@@ -1,0 +1,50 @@
+"""SparkSession factory with the engine's scale posture baked in.
+
+Local mode is for tests/bench only; the same config block is what we would
+ship to a 1000-executor cluster (AQE on, skew-join handling, sensible
+broadcast threshold). ``spark.sql.shuffle.partitions`` is sized from the
+local core count — on a real cluster this is left to AQE coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "funnel_report_etl_pipeline__spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for the local core count so the driver's
+    bench harness controls parallelism.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # ---- scale posture: identical on a real cluster ----
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # deterministic semantics across engines (DuckDB oracle parity)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # Arrow for the pandas-UDF slow path and toPandas at sinks
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ---- local-mode only knobs ----
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

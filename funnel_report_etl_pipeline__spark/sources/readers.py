@@ -1,0 +1,115 @@
+"""Source layer: testdata catalog + reference-compatible CSV readers.
+
+Two source families:
+
+* ``TestDataCatalog`` — the driver's TPC-H-ish parquet tables
+  (/root/testdata/sf*/, TESTDATA.md). Parquet, self-describing, columnar;
+  all engine queries run on these.
+* ``read_funnel_csv`` — compatibility reader for the reference's
+  directory-per-day CSV layout ({base}/{dd_mm_yyyy}/{dataset}-{date}.csv,
+  reference report_engine.py:99-194, docs/DATA_SOURCES.md:7-17). One
+  multi-path scan per window — never a per-day query loop.
+
+At 100 TB the CSV layout would be converted once to Parquet partitioned by
+(event_date, entity_id-bucket); ``read_funnel_csv`` exists so a user of the
+reference can point the engine at their existing landing zone unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from funnel_report_etl_pipeline__spark.sources.datespec import DateWindow
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+@dataclass
+class TestDataCatalog:
+    """Lazy catalog over one scale-factor directory of parquet tables.
+
+    Registers each table as a temp view on first access so both the
+    DataFrame API and ``spark.sql`` can reach it. Views are per-SparkSession
+    global; re-registration is idempotent.
+    """
+
+    spark: SparkSession
+    sf_dir: str = DEFAULT_SF_DIR
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            path = os.path.join(self.sf_dir, f"{name}.parquet")
+            df = self.spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        # catalog.lineitem / catalog.events sugar
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return self.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Reference-compatible CSV sources
+# ---------------------------------------------------------------------------
+
+# dataset name → filename stem (reference report_engine.py:99,126,154,180)
+_FUNNEL_DATASETS = {
+    "uf_stages": "uf-stages-user-funnel",
+    "otp_summary": "otp-summary-user-funnel",
+    "discovery_summary": "discovery-summary-user-funnel",
+    "user_funnel": "user-funnel",
+}
+
+
+def funnel_csv_paths(base: str, dataset: str, window: DateWindow) -> list[str]:
+    """Exact per-day paths for a window — the Spark analogue of the
+    reference's path construction (report_engine.py:72, 84, 99)."""
+    stem = _FUNNEL_DATASETS[dataset]
+    return [
+        os.path.join(base, d.strftime("%d_%m_%Y"), f"{stem}-{d.strftime('%d_%m_%Y')}.csv")
+        for d in window.days()
+    ]
+
+
+def read_funnel_csv(
+    spark: SparkSession,
+    base: str,
+    dataset: str,
+    window: DateWindow,
+    schema: T.StructType,
+    entity_id: str | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """One multi-path CSV scan for the whole window.
+
+    Replaces the reference's per-day / per-month query loop + client-side
+    concat (report_engine.py:94-198, U1 at :103,:131,:159,:188) with a
+    single scan; the union is implicit in the multi-path read and the
+    entity filter is pushed to the scan by Catalyst (F1).
+
+    ``strict=True`` → FAILFAST on malformed rows; default PERMISSIVE
+    matches the reference's forgiving behavior (empty frame on error,
+    report_engine.py:60-62).
+    """
+    paths = [p for p in funnel_csv_paths(base, dataset, window) if os.path.exists(p)]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    reader = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+    )
+    df = reader.csv(paths)
+    if entity_id is not None:
+        key = "Entity_ID" if "Entity_ID" in schema.fieldNames() else "entity_id"
+        df = df.filter(F.col(key) == entity_id)
+    return df
