@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over ``funnel_report_etl_pipeline__spark.plans.registry``:
+every implemented operator/query from SURVEY.md §2 (plus the
+LLM-data-pipeline extensions) is a named QuerySpec with a DataFrame plan
+and, where SQL-expressible, a DuckDB oracle. The driver smoke-checks
+``entry``, then hash-compares each ``queries()`` entry against its
+``oracle_sql()`` twin at sf0.01.
 """
 
 from __future__ import annotations
@@ -13,26 +14,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from funnel_report_etl_pipeline__spark.plans.registry import load_all
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the funnel waterfall over sf0.001 events —
+    conditional stage counts → survivors by successive subtraction →
+    guarded HALF_EVEN percentages (reference report_engine.py:233-319)."""
+    specs = load_all()
+    return specs["funnel_waterfall"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator (SURVEY.md §2 + extensions)."""
+    return {name: spec.fn for name, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each hash-verifiable query.
+    Probabilistic operators (MinHash/SimHash/hyperplane-LSH) are omitted →
+    rows-only check; each has an exact-verified sibling (see
+    plans/pipeline_ops.py docstring)."""
+    return {
+        name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None
+    }

@@ -30,14 +30,18 @@ def sum_cast_double(col: Column | str, *, nullif: bool = False) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     if nullif:
         c = F.nullif(c, F.lit(""))
-    return F.sum(c.cast("double"))
+    # try_cast: under Spark 4's default ANSI mode a bare cast on a malformed
+    # cell kills the job; the reference degraded to NULL/empty → 0.
+    return F.sum(c.try_cast("double"))
 
 
 def trunc_long(col: Column | str) -> Column:
     """Truncate-toward-zero double→long, matching pandas
-    ``astype(float).astype(int)`` (reference report_engine.py:225)."""
+    ``astype(float).astype(int)`` (reference report_engine.py:225).
+    try_cast so malformed cells become NULL (ANSI-safe), as the reference's
+    error path degraded to empty frames rather than raising."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("double").cast("long")
+    return c.try_cast("double").try_cast("long")
 
 
 def pct_of(value: Column, total: Column) -> Column:

@@ -61,7 +61,7 @@ def otp_totals(otp_summary: DataFrame, entity_id: str | None = None) -> DataFram
     reference's Total_ prefix (report_engine.py:123-125)."""
     df = _entity_filter(otp_summary, entity_id, "entity_id")
     return df.agg(
-        *[F.sum(F.col(c).cast("double")).alias(f"Total_{c}") for c in OTP_COLUMNS]
+        *[F.sum(F.col(c).try_cast("double")).alias(f"Total_{c}") for c in OTP_COLUMNS]
     )
 
 
@@ -71,7 +71,7 @@ def discovery_totals(discovery_summary: DataFrame, entity_id: str | None = None)
     df = _entity_filter(discovery_summary, entity_id, "entity_id")
     return df.agg(
         *[
-            F.sum(F.nullif(F.col(c), F.lit("")).cast("double")).alias(c)
+            F.sum(F.nullif(F.col(c), F.lit("")).try_cast("double")).alias(c)
             for c in DISCOVERY_COLUMNS
         ]
     )
@@ -101,7 +101,7 @@ def _metrics_columns(pfx: str = "") -> list[Column]:
     STAGE column still feeds total_users; otp_ok_drop may be negative.
     """
     col = F.col
-    lng = lambda c: F.coalesce(col(c).cast("long"), F.lit(0))  # noqa: E731
+    lng = lambda c: F.coalesce(col(c).try_cast("long"), F.lit(0))  # noqa: E731
 
     d1 = lng("AA_client_Initialization")
     d2 = lng("OTP_Based_Sign_in_Sign_up")
@@ -218,11 +218,11 @@ def entity_funnel_metrics(
         *[F.coalesce(F.sum(trunc_long(c)), F.lit(0)).alias(c) for c in STAGE_COLUMNS]
     )
     ot = otp_summary.groupBy("entity_id").agg(
-        *[F.sum(F.col(c).cast("double")).alias(f"Total_{c}") for c in OTP_COLUMNS]
+        *[F.sum(F.col(c).try_cast("double")).alias(f"Total_{c}") for c in OTP_COLUMNS]
     )
     dc = discovery_summary.groupBy("entity_id").agg(
         *[
-            F.sum(F.nullif(F.col(c), F.lit("")).cast("double")).alias(c + "_disc")
+            F.sum(F.nullif(F.col(c), F.lit("")).try_cast("double")).alias(c + "_disc")
             for c in DISCOVERY_COLUMNS
         ]
     )

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths:
+
+* **Brute-force cosine top-k** — the exact baseline. Queries are broadcast
+  (a query set is small by definition); the corpus is scanned once, scored
+  with JVM higher-order functions (zip_with/aggregate — sequential
+  left-to-right double summation, bit-identical to DuckDB's
+  list_dot_product, verified), and per-query top-k is taken with a
+  WindowGroupLimit-eligible row_number.
+* **LSH-bucketed ANN** — the 100 TB path. Random-hyperplane signatures
+  (hyperplane components derived from Spark's deterministic murmur3 hash,
+  no RNG state to ship) bucket the corpus; queries probe only their own
+  bucket. Recall is tunable by bits/tables; candidates are re-ranked with
+  the exact score.
+
+No Python touches row data in either path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_cosine", "cosine_topk_brute", "hyperplane_signature", "cosine_topk_lsh"]
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    """cosine(a, b) over two array<double> columns."""
+    ca, cb = F.col(a), F.col(b)
+    return df.withColumn(out, _dot(ca, cb) / (_norm(ca) * _norm(cb)))
+
+
+def cosine_topk_brute(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast queries × corpus scan.
+
+    Returns (qid, cid, cosine, rnk). The per-query top-k is a row_number
+    window with a cid tiebreak — rank is engine-independent. At scale the
+    scored relation never materializes: the window's group-limit keeps k
+    rows per query per partition before the shuffle.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def hyperplane_signature(vec: F.Column, n_bits: int = 12, dim: int = 64) -> F.Column:
+    """Random-hyperplane LSH signature as an int bucket id.
+
+    Hyperplane j's i-th component is murmur3(j, i) scaled to [-1, 1] — a
+    fixed, seedless pseudo-random projection identical on every executor
+    and every run. Bit j = sign(v · h_j).
+    """
+    sig = F.lit(0)
+    for j in range(n_bits):
+        h = F.array(
+            *[(F.hash(F.lit(j), F.lit(i)) / F.lit(2147483647.0)) for i in range(dim)]
+        )
+        bit = F.when(_dot(vec, h) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: bucket corpus and queries by hyperplane signature, score
+    only within the query's bucket, exact re-rank. Recall < 1 by design;
+    the bucket join replaces the brute-force cross join, so cost scales
+    with corpus/2^n_bits per query instead of corpus."""
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("bucket", hyperplane_signature(F.col("cv"), n_bits, dim))
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).withColumn("bucket", hyperplane_signature(F.col("qv"), n_bits, dim))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines.
+
+Quality scoring, token counting, language-ID, and document fingerprinting
+over the `documents` table — every expression is a built-in Spark SQL
+function (JVM, codegen), and each has an exact DuckDB-SQL twin registered
+in plans/pipeline_ops.py so the driver hash-verifies them.
+
+None of these exist in the reference (a funnel ETL); they are the
+LLM-data-pipeline extensions the brief requires as first-class operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.operators.dedup import normalize_text
+
+__all__ = ["text_stats", "token_count_regex", "lang_id", "doc_fingerprint"]
+
+# tiny multilingual stopword sets for the marker heuristic; deterministic
+# and cheap — a real deployment would swap in fastText-style profiles via
+# the same column contract
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht"),
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "los", "y", "que"),
+    "fr": ("le", "la", "les", "et", "que"),
+    "zh": ("de5", "le5", "shi4", "zai4", "he2"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# word / number / single non-space symbol — the BPE-ish pre-tokenizer split
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics: char/token counts, mean token length,
+    stopword ratio, alpha ratio, and a boolean keep-flag in the fashion of
+    Gopher/C4 quality rules. Single scan, no shuffle."""
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    # bigint counts: parity with DuckDB's 64-bit len()/length(), and the
+    # right width for 100 TB corpora anyway
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(text).cast("long")
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])))
+    n_alpha = F.length(F.regexp_replace(text, "[^a-z]", ""))
+    stop_ratio = (n_stop.cast("double") / F.size(F.array_distinct(toks)))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_chars.cast("double") / n_tokens).alias("chars_per_token"),
+        stop_ratio.alias("stopword_ratio"),
+        (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
+        ((n_tokens >= 10) & (n_tokens <= 1000) & (stop_ratio > 0)).alias("quality_keep"),
+    )
+
+
+def token_count_regex(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token count under a BPE-ish pre-tokenizer regex (words | numbers |
+    single symbols) plus the plain whitespace count."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(text, "\\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-token language-ID: score each language by how many of its
+    marker words occur; argmax with lexicographic tiebreak so the result is
+    total-order deterministic. Emits per-language scores for inspection."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))).cast("long")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    # argmax via greatest over (score, inverted-lang) struct ordering:
+    # higher score wins; ties resolve to the lexicographically FIRST lang
+    best = None
+    for lang, sc in sorted(LANG_MARKERS.items(), key=lambda kv: kv[0], reverse=True):
+        s = scores[lang]
+        best = (
+            F.struct(s.alias("s"), F.lit(lang).alias("l"))
+            if best is None
+            else F.when(s >= best["s"], F.struct(s.alias("s"), F.lit(lang).alias("l"))).otherwise(best)
+        )
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+        best["l"].alias("pred_lang"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stable content fingerprints of the normalized text: md5 (dedup key),
+    sha256 (content address), and a 64-bit integer fingerprint (the first
+    15 hex digits of the md5) for compact joins."""
+    norm = normalize_text(F.col(text_col))
+    md5 = F.md5(norm)
+    return df.select(
+        F.col(id_col),
+        md5.alias("fp_md5"),
+        F.sha2(norm, 256).alias("fp_sha256"),
+        F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint").alias("fp_int64"),
+    )

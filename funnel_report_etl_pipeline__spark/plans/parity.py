@@ -141,7 +141,7 @@ def agg_sum_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       CAST(SUM(CAST(NULLIF(CAST(l_quantity AS VARCHAR), '') AS DECIMAL(22,4))) AS DOUBLE)
         AS sum_qty_nullif,
-      SUM(CASE WHEN NULLIF(l_returnflag, '') IS NOT NULL THEN 1 ELSE 0 END)
+      CAST(SUM(CASE WHEN NULLIF(l_returnflag, '') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         AS n_flagged
     FROM lineitem
     """,
@@ -197,7 +197,7 @@ def grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "partial_final_agg",
     oracle="""
-    SELECT event_type, SUM(cnt) AS cnt,
+    SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS cnt,
            CAST(SUM(day_value) AS DOUBLE) AS total_value
     FROM (
       SELECT event_type, CAST(ts AS DATE) AS day,
@@ -231,9 +231,9 @@ def partial_final_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stage_totals",
     oracle="""
     SELECT
-      SUM(CAST(TRUNC(CAST(l_quantity      AS DOUBLE)) AS BIGINT)) AS sum_qty_t,
-      SUM(CAST(TRUNC(CAST(l_extendedprice AS DOUBLE)) AS BIGINT)) AS sum_price_t,
-      SUM(CAST(TRUNC(CAST(l_tax           AS DOUBLE)) AS BIGINT)) AS sum_tax_t
+      CAST(SUM(CAST(TRUNC(CAST(l_quantity      AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_qty_t,
+      CAST(SUM(CAST(TRUNC(CAST(l_extendedprice AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_price_t,
+      CAST(SUM(CAST(TRUNC(CAST(l_tax           AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_tax_t
     FROM lineitem
     """,
     tags=("parity", "A6", "C3"),

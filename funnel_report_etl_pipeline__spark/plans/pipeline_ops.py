@@ -1,0 +1,375 @@
+"""LLM-training-data pipeline queries: dedup, similarity, text analysis,
+multimodal plumbing — registered over the driver's `documents` /
+`embeddings` tables with DuckDB oracles wherever SQL-expressible.
+
+Probabilistic-but-deterministic operators (MinHash-LSH, SimHash, hyperplane
+ANN) depend on Spark's murmur3/xxhash64 — not replicable in DuckDB SQL —
+so they register without an oracle (driver does a rows-only check); each
+has an exact-verified sibling (ngram_jaccard_pairs, similarity_topk_brute)
+covering the same semantics with a full value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash,
+    simhash_candidate_pairs,
+)
+from funnel_report_etl_pipeline__spark.operators.multimodal import (
+    attach_binary_payload,
+    binary_meta,
+)
+from funnel_report_etl_pipeline__spark.operators.similarity import (
+    cosine_topk_brute,
+    cosine_topk_lsh,
+)
+from funnel_report_etl_pipeline__spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    text_stats,
+    token_count_regex,
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_REGEX,
+)
+from funnel_report_etl_pipeline__spark.plans.registry import register
+from funnel_report_etl_pipeline__spark.sources.readers import TestDataCatalog
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return TestDataCatalog(spark, sf_dir).table(name)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) t WHERE rn = 1
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-hash groupBy keeping the lowest doc_id. Only
+    (id, 128-bit hash) shuffles — never the text payload."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "source")
+
+
+@register(
+    "dedup_exact_norm",
+    oracle="""
+    SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')
+           ))) AS n_unique_norm
+    FROM documents
+    """,
+    tags=("pipeline", "dedup"),
+)
+def dedup_exact_norm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text dedup cardinality: how many docs survive when the
+    dedup key is the lowercased/punct-stripped/space-collapsed text."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.md5(normalize_text(F.col("text")))).alias("n_unique_norm"),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+    """,
+    tags=("pipeline", "dedup", "jaccard"),
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity join (pairs ≥ 0.8): explode distinct
+    grams, self-join on gram (blocking on shared content — never a raw
+    cross product), count intersections, Jaccard by inclusion-exclusion.
+    The exact-verified twin of dedup_minhash_lsh."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    from funnel_report_etl_pipeline__spark.operators.dedup import word_ngrams
+
+    g = (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(word_ngrams(toks, 3)).alias("gram"))
+    )
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    jacc = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return jacc.filter(F.col("jaccard") >= 0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # Spark murmur3 min-hashes are not replicable in DuckDB SQL;
+    # exact-verified twin: ngram_jaccard_pairs
+    tags=("pipeline", "dedup", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms over 3-gram shingles) + LSH(8 bands × 4) candidate
+    generation, exact-Jaccard verified at ≥0.8. The scale path: candidate
+    join is on band buckets, cost ∝ near-dup cluster sizes, not corpus²."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 token hashes are Spark-specific; Hamming blocking
+    # semantics covered by the jaccard twin above
+    tags=("pipeline", "dedup", "simhash"),
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at Hamming ≤ 3, blocked on 16-bit chunks
+    (pigeonhole guarantees recall within the distance budget)."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = simhash(docs)
+    return simhash_candidate_pairs(fps, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                 {list(STOPWORDS)!r})) AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token,
+           CAST(n_stop AS DOUBLE) / n_distinct AS stopword_ratio,
+           CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+           (n_tokens >= 10 AND n_tokens <= 1000 AND n_stop > 0) AS quality_keep
+    FROM t
+    """,
+    tags=("pipeline", "text"),
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality metrics per document; single scan."""
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("pipeline", "text", "tokens"),
+)
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    return token_count_regex(_t(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"len(list_intersect(list_distinct(string_split(text, ' ')), [{markers}]))"
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             {", ".join(f"{_lang_score_sql(lang)} AS score_{lang}" for lang in sorted(LANG_MARKERS))}
+      FROM documents
+    )
+    SELECT doc_id, {", ".join(f"score_{lang}" for lang in sorted(LANG_MARKERS))},
+      CASE greatest({", ".join(f"score_{lang}" for lang in sorted(LANG_MARKERS))})
+        {" ".join(f"WHEN score_{lang} THEN '{lang}'" for lang in sorted(LANG_MARKERS))}
+      END AS pred_lang
+    FROM s
+    """,
+    tags=("pipeline", "text", "langid"),
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with deterministic lexicographic tiebreak.
+    (DuckDB's CASE scans WHENs in order → first max lang, same tiebreak.)"""
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS fp_md5,
+           sha256({_NORM_SQL}) AS fp_sha256,
+           CAST(('0x' || substr(md5({_NORM_SQL}), 1, 15)) AS BIGINT) AS fp_int64
+    FROM documents
+    """,
+    tags=("pipeline", "text", "fingerprint"),
+)
+def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-address fingerprints (md5 / sha256 / 60-bit int) of the
+    normalized text."""
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk_brute",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT qid, cid,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cosine
+      FROM q, c WHERE qid <> cid
+    )
+    SELECT qid, cid, cosine, rnk FROM (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 5
+    """,
+    tags=("pipeline", "similarity", "ann"),
+    bench=True,
+)
+def similarity_topk_brute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors: broadcast queries, one
+    corpus scan, JVM-side dot products (bit-identical to the oracle's
+    list_dot_product — sequential double summation, verified)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_brute(emb, queries, k=5)
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,  # hyperplane components derive from Spark murmur3;
+    # exact twin: similarity_topk_brute
+    tags=("pipeline", "similarity", "ann", "lsh"),
+)
+def similarity_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via random-hyperplane LSH buckets (8 bits → 256 buckets);
+    approximate recall, bucket-local scoring — the 100 TB scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(emb, queries, k=5, n_bits=8).orderBy("qid", "rnk")
+
+
+@register(
+    "embedding_label_stats",
+    oracle="""
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                     AS DECIMAL(28,12))) AS DOUBLE) AS total_norm
+    FROM embeddings GROUP BY label
+    """,
+    tags=("pipeline", "similarity"),
+)
+def embedding_label_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats; norms summed in exact decimal so the result
+    is partitioning-independent."""
+    from funnel_report_etl_pipeline__spark.operators.similarity import _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = _norm(F.col("embedding").cast("array<double>"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(norm.cast("decimal(28,12)")).cast("double").alias("total_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256,
+           16 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 64 AS width,
+           16 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 64 AS height
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata + stub-decoded features through the real
+    mapInPandas plumbing (Arrow batches, bounded memory). The oracle
+    replays the deterministic stub in SQL, so the whole Python path is
+    value-verified."""
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return binary_meta(docs, "payload", "doc_id")

@@ -1,0 +1,404 @@
+"""Relational breadth: joins, top-k, distinct, windows, sessionization.
+
+The reference contains zero relational joins (SURVEY.md §2.3) — its four
+datasets are combined as scalar aggregates. A user replacing the reference
+with this engine gets the full relational surface of Spark; these queries
+are the evidence, each with a DuckDB oracle so the driver's hash-compare
+gate covers them.
+
+Determinism rules (see plans/registry.py docstring): double sums go through
+exact decimal (``dsum``); per-row double arithmetic (e.g. price*(1-disc))
+is identical IEEE ops in both engines, so summing the decimal-cast of the
+per-row double is bit-stable at any parallelism. Top-k queries always carry
+a total tiebreak order so rank is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.functions.core import dsum
+from funnel_report_etl_pipeline__spark.plans.registry import register
+from funnel_report_etl_pipeline__spark.sources.readers import TestDataCatalog
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return TestDataCatalog(spark, sf_dir).table(name)
+
+
+def _revenue_dec():
+    # per-row double product is deterministic; the decimal cast makes the
+    # SUM order-independent (exact), so 1 core == 1000 executors
+    return (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(22,4)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-join (shuffle join on the fact keys; the big-two-table case)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_equi",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "join"),
+    bench=True,
+)
+def join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem on the order key, grouped revenue. Both sides are
+    facts → sort-merge/shuffled-hash join on l_orderkey; AQE coalesces the
+    post-shuffle partitions. At 100 TB both tables would be bucketed on the
+    order key, making this join shuffle-free."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_revenue_dec()).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(22,4))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("relational", "join", "broadcast"),
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ two small dims. The dims are broadcast (explicit hint — at
+    100 TB nation/region are KBs while customer is TBs), so the fact table
+    never shuffles for the join; only the final low-cardinality groupBy
+    shuffles 1-row-per-group partials."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "semi_anti_join",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer c WHERE EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+      (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders
+    """,
+    tags=("relational", "join", "semi", "anti"),
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI joins — EXISTS / NOT EXISTS. Spark plans these
+    as semi/anti hash joins that short-circuit on first match and never
+    materialize the probe side's payload columns."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    with_o = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count("*").alias("n_with_orders")
+    )
+    without_o = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count("*").alias("n_without_orders")
+    )
+    return with_o.crossJoin(F.broadcast(without_o))
+
+
+# ---------------------------------------------------------------------------
+# Distinct / HAVING / top-k / windows — none exist in the reference
+# (SURVEY.md §2.4-2.5) but any replacement engine must have them
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_count",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "distinct"),
+)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct grouped aggregation (Spark expands to a partial
+    dedup + final count; exact, unlike approx_count_distinct)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "having_filter",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,4))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    HAVING COUNT(*) > 100
+    """,
+    tags=("relational", "having"),
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING — a post-aggregation filter node."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+        .filter(F.col("n_orders") > 100)
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+    tags=("relational", "topk"),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver; no full sort at
+    any scale. o_orderkey tiebreak keeps rank engine-independent."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) t WHERE rnk <= 3
+    """,
+    tags=("relational", "window", "W1"),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via ROW_NUMBER. Spark 3.5+ inserts a WindowGroupLimit
+    below the shuffle for rank<=k filters, so each partition only keeps k
+    rows before shuffling — the scalable formulation of per-group top-k."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(22,4))) AS DECIMAL(28,10))
+                / COUNT(*) AS DOUBLE) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-10-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "agg"),
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (the classic pricing summary): filter → wide grouped
+    agg. One scan, partial/final hash agg, two-key shuffle. avg is computed
+    as exact-decimal sum / count so it is deterministic across engines and
+    partitionings."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_dec = F.sum(F.col("l_quantity").cast("decimal(22,4)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-10-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            qty_dec.cast("double").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(_revenue_dec()).cast("double").alias("sum_disc_price"),
+            (qty_dec.cast("decimal(28,10)") / F.count("*")).cast("double").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-grain funnel + sessionization (SURVEY.md §7 extensions: the
+# windowFunnel / session_window shapes the reference's daily summaries
+# pre-compute upstream — here first-class over the raw events table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_funnel_users",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_signup_view,
+           (SELECT COUNT(*) FROM s3) AS n_signup_view_purchase
+    """,
+    tags=("funnel", "window", "extension"),
+    bench=True,
+)
+def event_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-grain ordered funnel (ClickHouse windowFunnel shape): users who
+    did signup, then view AFTER the signup, then purchase AFTER that view.
+
+    ONE shuffle: groupBy(user) collects each user's (ts, type) pairs, sorts
+    them in-memory (events-per-user is bounded), and a JVM-side aggregate
+    lambda walks the timeline computing the furthest stage reached. No
+    self-joins over the event table — at 100 TB the join-chain formulation
+    (the DuckDB oracle) would shuffle the fact table three times; this
+    shuffles it once."""
+    ev = _t(spark, sf_dir, "events")
+    stages = ["signup", "view", "purchase"]
+    timeline = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_type").alias("et")))
+    )
+    # walk the sorted timeline: state = furthest stage index reached (0..3)
+    depth = F.aggregate(
+        timeline,
+        F.lit(0),
+        lambda acc, x: F.when(
+            # try_element_at: once all stages are reached acc+1 is past the
+            # end; NULL compares false and the accumulator passes through
+            x["et"] == F.try_element_at(F.lit(stages), acc + 1),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    per_user = (
+        ev.filter(F.col("event_type").isin(*stages))
+        .groupBy("user_id")
+        .agg(depth.alias("depth"))
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("depth") >= 1, 1)).alias("n_signup"),
+        F.count(F.when(F.col("depth") >= 2, 1)).alias("n_signup_view"),
+        F.count(F.when(F.col("depth") >= 3, 1)).alias("n_signup_view_purchase"),
+    )
+
+
+@register(
+    "sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+    tags=("funnel", "session", "extension"),
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag over the per-user
+    timeline marks session starts; summing the marks counts sessions. One
+    shuffle on user_id shared by the window and the groupBy (Catalyst
+    reuses the partitioning — no second exchange)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    # µs precision for the gap (cast-to-long would truncate to seconds and
+    # disagree with the oracle's exact INTERVAL comparison at the boundary)
+    is_new = (
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 30 * 60 * 1_000_000)
+    ).cast("bigint")
+    return (
+        ev.select("user_id", "ts")
+        .withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "daily_rollup",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, event_type
+    """,
+    tags=("relational", "rollup", "timeseries"),
+)
+def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series rollup: day × type grain with exact distinct users. The
+    hypertable-rollup shape — at scale this materializes incrementally per
+    day partition and the engine only ever scans the new day."""
+    ev = _t(spark, sf_dir, "events")
+    # ISO-string day, not DATE: Spark hands pandas datetime.date while
+    # DuckDB hands Timestamp — they hash differently at the compare gate
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("total_value"),
+    )

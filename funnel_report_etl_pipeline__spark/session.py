@@ -38,13 +38,18 @@ def get_spark(
         # deterministic semantics across engines (DuckDB oracle parity)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # TIMESTAMP(NANOS) parquet (events.ts) is illegal for Spark's reader
+        # by default; read as nanos-since-epoch long, converted in the catalog
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for the pandas-UDF slow path and toPandas at sinks
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # ---- local-mode only knobs ----
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # NOTE: spark.driver.memory cannot be set here — the driver JVM is
+    # already up before builder configs apply in pyspark local mode. Set it
+    # via PYSPARK_SUBMIT_ARGS / spark-submit.
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -44,8 +44,17 @@ class TestDataCatalog:
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
+            # runtime-settable (verified): needed even when the caller built
+            # the session without funnel_report_etl_pipeline__spark.session
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             path = os.path.join(self.sf_dir, f"{name}.parquet")
             df = self.spark.read.parquet(path)
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+                # reader rejects; with nanosAsLong it arrives as an epoch-nanos
+                # long. Truncate to micros (matching DuckDB's ns→µs read) and
+                # restore the timestamp type so downstream plans are identical.
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             df.createOrReplaceTempView(name)
             self._cache[name] = df
         return self._cache[name]
@@ -80,6 +89,21 @@ def funnel_csv_paths(base: str, dataset: str, window: DateWindow) -> list[str]:
     ]
 
 
+def _existing_paths(spark: SparkSession, paths: list[str]) -> list[str]:
+    """Filter to paths that exist, via the Hadoop FileSystem API so it works
+    against HDFS/S3/GCS as well as file:// (os.path.exists only sees the
+    driver's local disk)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    out = []
+    for p in paths:
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(hconf)
+        if fs.exists(hpath):
+            out.append(p)
+    return out
+
+
 def read_funnel_csv(
     spark: SparkSession,
     base: str,
@@ -100,7 +124,7 @@ def read_funnel_csv(
     matches the reference's forgiving behavior (empty frame on error,
     report_engine.py:60-62).
     """
-    paths = [p for p in funnel_csv_paths(base, dataset, window) if os.path.exists(p)]
+    paths = _existing_paths(spark, funnel_csv_paths(base, dataset, window))
     if not paths:
         return spark.createDataFrame([], schema)
     reader = (
