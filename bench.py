@@ -1,0 +1,59 @@
+"""Headline benchmark harness.
+
+Runs every ``bench=True`` query from the registry at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing is end-to-end per query: plan construction + execution + collect to
+the driver. A tiny warm-up query first so JVM/codegen startup is not billed
+to the first benchmark entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from funnel_report_etl_pipeline__spark.plans.registry import load_all  # noqa: E402
+from funnel_report_etl_pipeline__spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0)
+
+    spark = get_spark(app_name="bench")
+    specs = {n: s for n, s in load_all().items() if s.bench}
+
+    # warm-up: JVM classloading + codegen paths, not billed to any query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -120,14 +120,10 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams, self-join on gram (blocking on shared content — never a raw
     cross product), count intersections, Jaccard by inclusion-exclusion.
     The exact-verified twin of dedup_minhash_lsh."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    from funnel_report_etl_pipeline__spark.operators.dedup import word_ngrams
+    from funnel_report_etl_pipeline__spark.operators.dedup import gram_rows
 
-    g = (
-        docs.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(word_ngrams(toks, 3)).alias("gram"))
-    )
+    docs = _t(spark, sf_dir, "documents")
+    g = gram_rows(docs, "doc_id", "text", 3).withColumnRenamed("id", "doc_id")
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = g.alias("a"), g.alias("b")
     inter = (
