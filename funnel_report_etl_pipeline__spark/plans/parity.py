@@ -62,6 +62,8 @@ def scan_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "F2", "F3"),
 )
 def filter_in_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3: IN-list + NOT NULL + not-empty predicates, all pushed to the
+    scan (reference report_engine.py:181-182, 195-196)."""
     return (
         _t(spark, sf_dir, "events")
         .filter(
@@ -90,6 +92,8 @@ def filter_in_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "F4"),
 )
 def date_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/D2: timestamp-range BETWEEN filter — the reference's month-glob
+    over-read + client mask (report_engine.py:104-107) as one pruned scan."""
     return (
         _t(spark, sf_dir, "events")
         .filter(

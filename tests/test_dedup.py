@@ -1,0 +1,99 @@
+"""Property tests for the dedup family on planted fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.operators.dedup import (
+    exact_dedup,
+    gram_rows,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_candidate_pairs,
+    word_ngrams,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again until dawn"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    near = BASE.replace("dawn", "dusk")  # one-token edit → high Jaccard
+    rows = [
+        (1, BASE, "a"),
+        (2, BASE, "a"),  # exact dup of 1
+        (3, near, "a"),  # near dup of 1
+        (4, "completely different text about spark catalyst optimizer plans", "b"),
+        (5, "short", "b"),  # < 3 tokens → no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, source string")
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 5]  # doc 2 (dup of 1) dropped
+
+
+def test_exact_dedup_idempotent(docs):
+    once = exact_dedup(docs)
+    twice = exact_dedup(once)
+    assert sorted(r.doc_id for r in twice.collect()) == sorted(
+        r.doc_id for r in once.collect()
+    )
+
+
+def test_gram_rows_match_word_ngrams(docs):
+    """Row-based grams (hot path) ≡ array-based word_ngrams (HOF path)."""
+    by_rows = {
+        (r.id, r.gram) for r in gram_rows(docs, "doc_id", "text", 3).collect()
+    }
+    arr = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_ngrams(F.split("text", " "), 3)).alias("gram"),
+    )
+    assert by_rows == {(r.id, r.gram) for r in arr.collect()}
+
+
+def test_short_doc_has_no_shingles(docs):
+    ids = {r.id for r in gram_rows(docs, "doc_id", "text", 3).select("id").distinct().collect()}
+    assert 5 not in ids
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    grams = gram_rows(docs, "doc_id", "text", 3)
+    sigs = {r.id: tuple(r.sig) for r in minhash_signatures(grams).collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 32
+    # near-dup shares most minhashes, disjoint docs share almost none
+    overlap_near = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    overlap_far = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert overlap_near > overlap_far
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_lsh_candidates_exclude_self_and_mirror(docs):
+    grams = gram_rows(docs, "doc_id", "text", 3)
+    cands = lsh_candidate_pairs(minhash_signatures(grams)).collect()
+    for r in cands:
+        assert r.id_a < r.id_b
+
+
+def test_simhash_hamming_zero_for_exact_dup(docs):
+    fps = {r.id: r.simhash for r in simhash(docs).collect()}
+    assert fps[1] == fps[2]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_candidate_pairs(
+        simhash(docs), max_hamming=3
+    ).collect()}
+    assert pairs.get((1, 2)) == 0
