@@ -152,6 +152,8 @@ def agg_sum_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "A2", "C2"),
 )
 def agg_sum_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/C2: SUM over NULLIF(c,'') — the empty-string→NULL guard of the
+    reference's discovery aggregation (report_engine.py:149-153)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.sum(
@@ -182,6 +184,8 @@ def agg_sum_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: grouped COUNT on a low-cardinality key (reference
+    report_engine.py:179-183); partial/final hash agg, one small shuffle."""
     return (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type").isNotNull() & (F.col("event_type") != ""))
@@ -214,6 +218,9 @@ def grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "A4", "A5"),
 )
 def partial_final_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5: per-day partial aggregates re-aggregated to entity grain —
+    the reference's N+1 per-day query pattern (report_engine.py:121-131,
+    177-191) as one declarative two-level groupBy."""
     ev = _t(spark, sf_dir, "events")
     per_day = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
         F.count("*").alias("cnt"),
@@ -243,6 +250,8 @@ def partial_final_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "A6", "C3"),
 )
 def stage_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/C3: truncate-toward-zero per cell THEN sum (pandas
+    astype(float).astype(int) order, reference report_engine.py:222-225)."""
     li = _t(spark, sf_dir, "lineitem")
 
     def tsum(c: str, alias: str):
@@ -275,6 +284,8 @@ def stage_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "U1"),
 )
 def union_all_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: UNION ALL of two window scans then re-aggregate — the
+    reference's pd.concat of per-day frames (report_engine.py:103-188)."""
     ev = _t(spark, sf_dir, "events")
 
     def window(lo: str, hi: str) -> DataFrame:
@@ -306,6 +317,8 @@ def union_all_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "A8", "F5"),
 )
 def conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/F5: conditional aggregation replacing the reference's post-agg
+    row filters (fi_req_ok = Success + Failed, report_engine.py:277-281)."""
     ev = _t(spark, sf_dir, "events")
     return ev.agg(
         (
@@ -342,6 +355,9 @@ def conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "J1"),
 )
 def scalar_crossjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: cross join of 1-row scalar aggregates + derived arithmetic —
+    the reference's build_report_table scalar scope
+    (report_engine.py:239-291) as broadcast joins."""
     li = _t(spark, sf_dir, "lineitem").agg(dsum("l_quantity").alias("sum_qty"))
     o = _t(spark, sf_dir, "orders").agg(F.count("*").alias("n_orders"))
     e = (
@@ -380,6 +396,9 @@ def scalar_crossjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("parity", "M1"),
 )
 def pct_bround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: zero-guarded percent-of-total with HALF_EVEN rounding — Spark
+    bround ≡ Python round ≡ DuckDB round_even (reference _pct,
+    report_engine.py:228-230)."""
     ev = _t(spark, sf_dir, "events")
     total = ev.agg(F.count("*").alias("total"))
     g = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
