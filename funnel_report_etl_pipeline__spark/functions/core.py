@@ -65,3 +65,10 @@ def dsum(col: Column | str, precision: int = 22, scale: int = 4) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def pct_py(value: float, total: float) -> float:
+    """Driver-side twin of ``pct_of`` for the presentation sink: Python
+    round IS HALF_EVEN, matching the reference `_pct` exactly
+    (report_engine.py:228-230)."""
+    return round(value / total * 100, 1) if total and total > 0 else 0
