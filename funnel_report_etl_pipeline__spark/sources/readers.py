@@ -104,6 +104,14 @@ def _existing_paths(spark: SparkSession, paths: list[str]) -> list[str]:
     return out
 
 
+def month_glob_paths(base: str, dataset: str, window: DateWindow) -> list[str]:
+    """Month-glob paths ``{base}/*{mm_yyyy}/{stem}-*.csv`` covering the
+    window (reference S3: report_engine.py:84, 96-100) — an over-read that
+    must be refined by the Date column (D2/F4)."""
+    stem = _FUNNEL_DATASETS[dataset]
+    return [os.path.join(base, f"*{m}", f"{stem}-*.csv") for m in window.month_prefixes()]
+
+
 def read_funnel_csv(
     spark: SparkSession,
     base: str,
@@ -112,6 +120,7 @@ def read_funnel_csv(
     schema: T.StructType,
     entity_id: str | None = None,
     strict: bool = False,
+    month_glob: bool = False,
 ) -> DataFrame:
     """One multi-path CSV scan for the whole window.
 
@@ -120,19 +129,46 @@ def read_funnel_csv(
     single scan; the union is implicit in the multi-path read and the
     entity filter is pushed to the scan by Catalyst (F1).
 
+    ``month_glob=True`` reproduces the reference's stages strategy for
+    month-partitioned layouts (S3 + D2/F4, report_engine.py:96-107): scan
+    whole-month globs, then refine the over-read with an exact
+    ``to_date(Date, 'dd-MM-yyyy') BETWEEN start AND end`` mask on the CSV
+    Date column instead of relying on directory naming.
+
     ``strict=True`` → FAILFAST on malformed rows; default PERMISSIVE
     matches the reference's forgiving behavior (empty frame on error,
     report_engine.py:60-62).
     """
-    paths = _existing_paths(spark, funnel_csv_paths(base, dataset, window))
-    if not paths:
-        return spark.createDataFrame([], schema)
-    reader = (
-        spark.read.schema(schema)
-        .option("header", True)
-        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
-    )
-    df = reader.csv(paths)
+    if month_glob:
+        if "Date" not in schema.fieldNames():
+            raise ValueError(f"{dataset}: month_glob needs a Date column to refine")
+        paths = month_glob_paths(base, dataset, window)
+        reader = (
+            spark.read.schema(schema)
+            .option("header", True)
+            .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+            # glob may match nothing for empty months — not an error
+            .option("spark.sql.files.ignoreMissingFiles", "true")
+        )
+        try:
+            df = reader.csv(paths)
+        except Exception:  # no month dir matched at all → empty, as reference
+            return spark.createDataFrame([], schema)
+        df = df.filter(
+            F.to_date(F.col("Date"), "dd-MM-yyyy").between(
+                F.lit(window.start), F.lit(window.end)
+            )
+        )
+    else:
+        paths = _existing_paths(spark, funnel_csv_paths(base, dataset, window))
+        if not paths:
+            return spark.createDataFrame([], schema)
+        reader = (
+            spark.read.schema(schema)
+            .option("header", True)
+            .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+        )
+        df = reader.csv(paths)
     if entity_id is not None:
         key = "Entity_ID" if "Entity_ID" in schema.fieldNames() else "entity_id"
         df = df.filter(F.col(key) == entity_id)

@@ -1,0 +1,64 @@
+"""CSV source layer: exact-day path scan vs month-glob + Date refine (D2)."""
+
+from __future__ import annotations
+
+import csv
+
+import pytest
+
+from funnel_report_etl_pipeline__spark import schemas
+from funnel_report_etl_pipeline__spark.sources.datespec import parse_date_spec
+from funnel_report_etl_pipeline__spark.sources.readers import read_funnel_csv
+
+STEM = "uf-stages-user-funnel"
+
+
+@pytest.fixture()
+def month_layout(tmp_path):
+    """Day dirs across two months; each file holds one row whose Date
+    matches the dir."""
+    days = ["28_01_2026", "29_01_2026", "01_02_2026", "02_02_2026", "15_02_2026"]
+    for d in days:
+        day = tmp_path / d
+        day.mkdir()
+        with open(day / f"{STEM}-{d}.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["Entity_ID", "Date"] + schemas.STAGE_COLUMNS)
+            w.writerow(["FIU_001", d.replace("_", "-"), *["1"] * 11])
+    return tmp_path
+
+
+def _dates(df):
+    return sorted(r.Date for r in df.select("Date").collect())
+
+
+def test_exact_day_paths(spark, month_layout):
+    w = parse_date_spec("29_01_2026 -> 01_02_2026")
+    df = read_funnel_csv(spark, str(month_layout), "uf_stages", w, schemas.UF_STAGES_SCHEMA)
+    assert _dates(df) == ["01-02-2026", "29-01-2026"]
+
+
+def test_month_glob_refines_overread(spark, month_layout):
+    """The glob scans both whole months (5 files) but the Date mask must
+    cut it back to the exact window — reference report_engine.py:96-107."""
+    w = parse_date_spec("29_01_2026 -> 02_02_2026")
+    df = read_funnel_csv(
+        spark, str(month_layout), "uf_stages", w, schemas.UF_STAGES_SCHEMA, month_glob=True
+    )
+    assert _dates(df) == ["01-02-2026", "02-02-2026", "29-01-2026"]
+
+
+def test_month_glob_agrees_with_day_paths(spark, month_layout):
+    w = parse_date_spec("28_01_2026 -> 15_02_2026")
+    a = read_funnel_csv(spark, str(month_layout), "uf_stages", w, schemas.UF_STAGES_SCHEMA)
+    b = read_funnel_csv(
+        spark, str(month_layout), "uf_stages", w, schemas.UF_STAGES_SCHEMA, month_glob=True
+    )
+    assert _dates(a) == _dates(b)
+
+
+def test_missing_days_return_empty(spark, month_layout):
+    w = parse_date_spec("01_06_2026 -> 02_06_2026")
+    df = read_funnel_csv(spark, str(month_layout), "uf_stages", w, schemas.UF_STAGES_SCHEMA)
+    assert df.count() == 0
+    assert df.schema == schemas.UF_STAGES_SCHEMA
