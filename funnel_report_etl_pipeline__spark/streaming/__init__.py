@@ -1,0 +1,23 @@
+"""Structured Streaming extension (SURVEY.md §2.7/§7).
+
+The reference is batch-only: daily directories are manual tumbling
+day-windows materialized upstream (docs/DATA_SOURCES.md:5-17). This package
+makes that window first-class: the same rollup/sessionization/funnel
+semantics over an unbounded stream with watermarks for late data.
+"""
+
+from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+    daily_rollup_stream,
+    funnel_depth_stream,
+    read_event_stream,
+    run_to_memory,
+    session_stream,
+)
+
+__all__ = [
+    "read_event_stream",
+    "daily_rollup_stream",
+    "session_stream",
+    "funnel_depth_stream",
+    "run_to_memory",
+]

@@ -1,0 +1,168 @@
+"""Streaming funnel operators: windowed rollups, session windows, and a
+custom stateful per-user funnel-depth operator.
+
+Batch/stream parity is the design rule: every aggregation here is the
+streaming twin of a registered batch query (daily_rollup, sessionize,
+event_funnel_users in plans/relational.py), so a user can run the same
+semantics over the daily landing zone or a live event feed.
+
+Scale posture: state is keyed by user_id/window — Spark's state store
+shards it across executors; watermarks bound state size by evicting
+windows/sessions older than the allowed lateness. No collect, no Python
+in the hot path except the explicitly-stateful operator (Arrow-batched
+``applyInPandasWithState``, the documented escape hatch for custom state
+machines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+FUNNEL_STAGES = ("signup", "view", "purchase")
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: T.StructType = EVENT_STREAM_SCHEMA
+) -> DataFrame:
+    """File-source event stream: new parquet files in ``path`` become
+    micro-batches. Swap for kafka/rate sources with the same downstream
+    graph — the operators below only need (user_id, event_type, ts, value).
+    """
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def daily_rollup_stream(
+    events: DataFrame, watermark: str = "1 hour", window: str = "1 day"
+) -> DataFrame:
+    """Streaming twin of the batch ``daily_rollup`` query: tumbling
+    day-window × event_type counts/sums, late events admitted up to the
+    watermark then dropped (state for closed windows is evicted)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"),
+            "event_type",
+            "n_events",
+            "approx_users",
+            "total_value",
+        )
+    )
+
+
+def session_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming sessionization with a native session window (gap-based,
+    merging as events arrive) — the streaming twin of the batch
+    ``sessionize`` query's lag-gap formulation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user ordered funnel depth
+# ---------------------------------------------------------------------------
+
+_DEPTH_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+_DEPTH_STATE = T.StructType(
+    [T.StructField("depth", T.IntegerType()), T.StructField("last_us", T.LongType())]
+)
+
+
+def _depth_update(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """State machine: advance depth when the NEXT stage arrives with a
+    later timestamp than the previous advance (same ordered-funnel
+    semantics as the batch event_funnel_users walk)."""
+    depth, last_us = state.get if state.exists else (0, -1)
+    for pdf in batches:
+        pdf = pdf.sort_values("ts")
+        for et, ts in zip(pdf["event_type"], pdf["ts"]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if depth < len(FUNNEL_STAGES) and et == FUNNEL_STAGES[depth] and us > last_us:
+                depth += 1
+                last_us = us
+    state.update((depth, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "depth": [depth],
+            "last_ts": [pd.Timestamp(last_us * 1000) if last_us >= 0 else pd.NaT],
+        }
+    )
+
+
+def funnel_depth_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per-user furthest-funnel-stage, maintained incrementally across
+    micro-batches with ``applyInPandasWithState`` (Arrow-batched; state =
+    (depth, last_event_us) per user — a few bytes, sharded by the state
+    store). Emits the user's current depth every time they have activity
+    in a batch."""
+    return (
+        events.filter(F.col("event_type").isin(*FUNNEL_STAGES))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _depth_update,
+            outputStructType=_DEPTH_OUTPUT,
+            stateStructType=_DEPTH_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream: DataFrame, name: str, mode: str = "update"
+) -> DataFrame:
+    """Drain all available input into an in-memory table (test/dev helper):
+    trigger=availableNow processes the full backlog then stops."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.table(name)

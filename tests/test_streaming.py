@@ -1,0 +1,98 @@
+"""Structured Streaming extension: batch/stream parity on a file source."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.streaming import (
+    daily_rollup_stream,
+    funnel_depth_stream,
+    read_event_stream,
+    run_to_memory,
+    session_stream,
+)
+
+T0 = datetime(2026, 1, 1, 10, 0, 0)
+
+
+def _mk(evt_id, user, etype, minutes, value=1.0):
+    return (evt_id, user, etype, T0 + timedelta(minutes=minutes), value)
+
+
+EVENTS = [
+    # user 1: full ordered funnel
+    _mk(1, 1, "signup", 0),
+    _mk(2, 1, "view", 5),
+    _mk(3, 1, "purchase", 10),
+    # user 2: view before signup → only signup counts toward depth
+    _mk(4, 2, "view", 0),
+    _mk(5, 2, "signup", 1),
+    # user 3: two sessions, 40 min apart
+    _mk(6, 3, "view", 0),
+    _mk(7, 3, "view", 10),
+    _mk(8, 3, "view", 50),
+    # day 2 event
+    _mk(9, 1, "view", 60 * 24),
+]
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    df = spark.createDataFrame(
+        EVENTS, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_daily_rollup_stream_matches_batch(spark, stream_dir):
+    out = run_to_memory(
+        daily_rollup_stream(read_event_stream(spark, stream_dir)), "rollup_t", "update"
+    )
+    rows = {(r.day_start, r.event_type): r for r in out.collect()}
+    batch = {
+        (r.day, r.event_type): r
+        for r in spark.read.parquet(stream_dir)
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert set(rows) == set(batch)
+    for k in rows:
+        assert rows[k].n_events == batch[k].n_events
+
+
+def test_session_stream_gap_split(spark, stream_dir):
+    # session-window aggregation only supports append mode: sessions are
+    # emitted once FINALIZED (watermark passed session end + gap)
+    out = run_to_memory(
+        session_stream(read_event_stream(spark, stream_dir), gap="30 minutes"),
+        "sessions_t",
+        "append",
+    )
+    per_user = {}
+    for r in out.collect():
+        per_user.setdefault(r.user_id, []).append(r)
+    # user 3: events at +0,+10,+50 with 30-min gap → 2 sessions
+    assert len(per_user[3]) == 2
+    # user 1: day-1 session (+0,+5,+10) finalized with 3 events; the day-2
+    # session is still within the watermark at end-of-input → withheld
+    assert len(per_user[1]) == 1
+    assert per_user[1][0].n_events == 3
+
+
+def test_funnel_depth_stateful(spark, stream_dir):
+    out = run_to_memory(
+        funnel_depth_stream(read_event_stream(spark, stream_dir)), "depth_t", "update"
+    )
+    # take each user's final reported depth
+    depth = {}
+    for r in out.collect():
+        depth[r.user_id] = r.depth
+    assert depth[1] == 3  # signup → view → purchase, in order
+    assert depth[2] == 1  # view arrived before signup, doesn't count
+    assert depth[3] == 0  # views only, never signed up
