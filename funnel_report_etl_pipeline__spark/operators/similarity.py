@@ -22,7 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_cosine", "cosine_topk_brute", "hyperplane_signature", "cosine_topk_lsh"]
+__all__ = [
+    "with_cosine",
+    "cosine_topk_brute",
+    "hyperplane_signature",
+    "cosine_topk_lsh",
+    "cosine_near_dup_pairs",
+    "cosine_topk_ivf",
+]
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
@@ -61,6 +68,95 @@ def cosine_topk_brute(
     )
     scored = (
         c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs baseline).
+
+    The exact-verified twin of the bucketed paths: id_a < id_b halves the
+    pair space, but cost is still O(n²·dim) — correct for verification and
+    small corpora. At 100 TB use hyperplane-LSH or IVF cells to block the
+    join (cosine_topk_lsh / cosine_topk_ivf) and keep this only as the
+    within-bucket verifier."""
+    v = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a = v.withColumnsRenamed({"id": "id_a", "v": "va"})
+    b = v.withColumnsRenamed({"id": "id_b", "v": "vb"})
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+        "cosine",
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+    )
+    return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into `n_cells` cells, probe
+    the query's `n_probe` nearest cells, exact re-rank inside them.
+
+    Centroids are `n_cells` corpus vectors picked by deterministic hash
+    order (a stand-in for k-means — same plumbing, reproducible across
+    runs/cluster sizes). The centroid table is tiny and becomes literal
+    expressions, so cell assignment is a per-row scan-side computation; the
+    only join is corpus⋈queries on cell id — cost ∝ corpus·n_probe/n_cells
+    per query instead of corpus."""
+    v = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    cents = [
+        list(r.cv)
+        for r in v.withColumn("__r", F.hash("cid")).orderBy("__r", "cid").limit(n_cells).collect()
+    ]
+
+    def cell_sims(vec: F.Column) -> list[F.Column]:
+        sims = []
+        for ci, cent in enumerate(cents):
+            cvec = F.array(*[F.lit(float(x)) for x in cent])
+            sims.append(
+                F.struct(
+                    (_dot(vec, cvec) / (_norm(vec) * _norm(cvec))).alias("sim"),
+                    F.lit(ci).alias("cell"),
+                )
+            )
+        return sims
+
+    def top_cells(vec: F.Column, n: int) -> F.Column:
+        ranked = F.reverse(F.array_sort(F.array(*cell_sims(vec))))
+        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+
+    c = v.withColumn("cell", top_cells(F.col("cv"), 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).withColumn("cell", F.explode(top_cells(F.col("qv"), n_probe)))
+    scored = (
+        c.join(F.broadcast(q), "cell")
         .filter(F.col("qid") != F.col("cid"))
         .select(
             "qid",

@@ -25,7 +25,9 @@ from funnel_report_etl_pipeline__spark.operators.multimodal import (
     binary_meta,
 )
 from funnel_report_etl_pipeline__spark.operators.similarity import (
+    cosine_near_dup_pairs,
     cosine_topk_brute,
+    cosine_topk_ivf,
     cosine_topk_lsh,
 )
 from funnel_report_etl_pipeline__spark.operators.text import (
@@ -320,6 +322,45 @@ def similarity_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_lsh(emb, queries, k=5, n_bits=8).orderBy("qid", "rnk")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+             AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+          >= 0.45
+    """,
+    tags=("pipeline", "dedup", "embedding"),
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at ≥0.95 — exact all-pairs baseline
+    (the LSH/IVF paths are the scale formulation; this is their verifier)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # the synthetic embeddings are uniform-random (max pairwise cosine
+    # ~0.51), so the "near-dup" threshold is set where the data has
+    # pairs — the computation under test is identical at any cutoff
+    return cosine_near_dup_pairs(emb, threshold=0.45)
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=None,  # centroid pick depends on Spark murmur3 ordering;
+    # exact twin: similarity_topk_brute
+    tags=("pipeline", "similarity", "ann", "ivf"),
+)
+def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: 16 deterministic coarse cells, 2-probe, exact
+    re-rank inside probed cells — the inverted-file scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=2).orderBy("qid", "rnk")
 
 
 @register(
