@@ -191,16 +191,20 @@ def minhash_dedup_pairs(
     bands: int = 8,
     rows: int = 4,
     threshold: float = 0.8,
+    persist_grams: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: gram rows → signatures → banded
     candidates → exact-Jaccard verify. Returns (id_a, id_b, jaccard) pairs
     ≥ threshold.
 
-    The gram frame is persisted: it feeds both the signature pass and the
-    verify join, and the token-window scan is the dominant cost. At 100 TB
-    the same role is played by materializing grams/signatures to a parquet
-    checkpoint."""
-    grams = gram_rows(df, id_col, text_col, ngram).persist()
+    The gram frame feeds both the signature pass and the verify join.
+    Recomputing it is cheap at small/medium scale (measured: persist's
+    materialization costs more than the recompute at sf0.1); at 100 TB set
+    ``persist_grams=True`` — or better, materialize grams/signatures to a
+    parquet checkpoint between runs."""
+    grams = gram_rows(df, id_col, text_col, ngram)
+    if persist_grams:
+        grams = grams.persist()
     sigs = minhash_signatures(grams, num_perm)
     cands = lsh_candidate_pairs(sigs, bands, rows)
     return jaccard_verify(cands, grams, threshold)

@@ -274,6 +274,45 @@ def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "corpus_curation",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                 {list(STOPWORDS)!r})) AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ),
+    q AS (
+      SELECT * FROM t
+      WHERE n_tokens BETWEEN 10 AND 1000 AND CAST(n_stop AS DOUBLE) / n_distinct > 0
+    ),
+    d AS (
+      SELECT * FROM (
+        SELECT q.*, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM q
+      ) WHERE rn = 1
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
+             AS total_bpe_tokens
+    FROM d GROUP BY source
+    """,
+    tags=("pipeline", "curation", "composition"),
+    bench=True,
+)
+def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality gate → exact dedup → per-source token
+    budgets, one lineage (the composition every training-data pipeline
+    runs; each stage is also verified standalone)."""
+    from funnel_report_etl_pipeline__spark.operators.curation import curation_summary
+
+    return curation_summary(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

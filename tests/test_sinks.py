@@ -1,0 +1,64 @@
+"""Partitioned-parquet sink + landing-zone conversion."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark import schemas
+from funnel_report_etl_pipeline__spark.sources.datespec import parse_date_spec
+from funnel_report_etl_pipeline__spark.sources.sinks import (
+    convert_landing_zone,
+    write_partitioned,
+)
+
+STEM = "uf-stages-user-funnel"
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    for d in ("14_02_2026", "15_02_2026"):
+        day = tmp_path / "landing" / d
+        day.mkdir(parents=True)
+        with open(day / f"{STEM}-{d}.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["Entity_ID", "Date"] + schemas.STAGE_COLUMNS)
+            w.writerow(["FIU_001", d.replace("_", "-"), *["1"] * 11])
+            w.writerow(["FIU_002", d.replace("_", "-"), *["2"] * 11])
+    return str(tmp_path / "landing")
+
+
+def test_convert_landing_zone(spark, landing, tmp_path):
+    out = str(tmp_path / "parquet")
+    w = parse_date_spec("14_02_2026 -> 15_02_2026")
+    df = convert_landing_zone(
+        spark, landing, "uf_stages", w, schemas.UF_STAGES_SCHEMA, out
+    )
+    assert df.count() == 4
+    # the path date became a typed partition column
+    assert {str(r.event_date) for r in df.select("event_date").distinct().collect()} == {
+        "2026-02-14",
+        "2026-02-15",
+    }
+    # physically partitioned: hive-style directories exist
+    assert os.path.isdir(os.path.join(out, "event_date=2026-02-14"))
+    # partition pruning applies: filtered scan reads one partition
+    pruned = df.filter(F.col("event_date") == "2026-02-14")
+    assert pruned.count() == 2
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_write_partitioned_caps_file_rows(spark, tmp_path):
+    out = str(tmp_path / "capped")
+    df = spark.range(100).withColumn("part", (F.col("id") % 2).cast("string"))
+    write_partitioned(df, out, ["part"], target_file_rows=10)
+    files = [
+        f
+        for f in os.listdir(os.path.join(out, "part=0"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 5  # 50 rows / 10 per file
