@@ -22,7 +22,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_META_SCHEMA", "attach_binary_payload", "binary_meta", "decode_stub"]
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "attach_binary_payload",
+    "binary_meta",
+    "decode_stub",
+    "resize_stub",
+    "frame_sample_stub",
+    "media_features",
+]
 
 # typed metadata contract accompanying any opaque media column
 MEDIA_META_SCHEMA = T.StructType(
@@ -50,6 +58,67 @@ def decode_stub(payload: bytes) -> dict:
     """
     h = hashlib.sha256(payload).digest()
     return {"width": 16 + h[0] % 64, "height": 16 + h[1] % 64}
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Placeholder for image resize (PIL ``Image.resize``). Deterministic
+    fake: re-hash the payload with the target dims so the output is a
+    stable function of (payload, w, h) — the batch shape, schema, and
+    partitioning of a real resize, without the codec."""
+    return hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+
+
+def frame_sample_stub(payload: bytes, n_frames: int) -> list[bytes]:
+    """Placeholder for video frame sampling (av/ffmpeg). Deterministic
+    fake: n pseudo-frames derived from the payload hash chain — real
+    plumbing would yield decoded frames at evenly-spaced timestamps."""
+    frames, h = [], payload
+    for i in range(n_frames):
+        h = hashlib.sha256(h + bytes([i])).digest()
+        frames.append(h)
+    return frames
+
+
+def media_features(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    resize_to: tuple[int, int] = (224, 224),
+    n_frames: int = 4,
+) -> DataFrame:
+    """Full media feature pass over a binary column: decode → resize →
+    frame-sample, one Arrow-batched ``mapInPandas`` (one Python hop for all
+    three steps, not three). Output keeps frames as ``array<binary>`` —
+    the schema a downstream vision encoder consumes.
+
+    Real deployments swap the three ``*_stub`` functions for PIL/ffmpeg
+    calls; nothing else changes."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("frames", T.ArrayType(T.BinaryType())),
+        ]
+    )
+    rw, rh = resize_to
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[bin_col]
+            decoded = [decode_stub(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "resized": [resize_stub(p, rw, rh) for p in payloads],
+                    "frames": [frame_sample_stub(p, n_frames) for p in payloads],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(extract, out_schema)
 
 
 def binary_meta(df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id") -> DataFrame:

@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 
 from funnel_report_etl_pipeline__spark.operators.dedup import normalize_text
 
-__all__ = ["text_stats", "token_count_regex", "lang_id", "doc_fingerprint"]
+__all__ = [
+    "text_stats",
+    "token_count_regex",
+    "lang_id",
+    "doc_fingerprint",
+    "rolling_fingerprints",
+]
 
 # tiny multilingual stopword sets for the marker heuristic; deterministic
 # and cheap — a real deployment would swap in fastText-style profiles via
@@ -93,6 +99,36 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
         best["l"].alias("pred_lang"),
+    )
+
+
+def rolling_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16
+) -> DataFrame:
+    """Rolling-window document fingerprint (winnowing-style): hash every
+    k-char window of the text, keep the minimum — documents sharing any
+    long-enough passage share their minimum with high probability, making
+    this a cheap containment-detection key (the MOSS/winnowing idea with a
+    single global window).
+
+    Uses md5 (identical across engines) rather than murmur3 so the result
+    is oracle-verifiable; the min is taken over exploded positions with a
+    grouped min-aggregate — codegen, map-side partials, same shape as the
+    MinHash signature pass. Docs shorter than k get the whole-text hash.
+    """
+    text = F.col(text_col)
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        text.alias("__t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - k + 1, F.lit(1)))
+        ).alias("__p"),
+    )
+    win_hash = F.md5(F.col("__t").substr(F.col("__p"), F.lit(k)))
+    return (
+        pos.select("id", win_hash.alias("__h"))
+        .groupBy("id")
+        .agg(F.min("__h").alias("fp_rolling"))
     )
 
 

@@ -23,6 +23,7 @@ from funnel_report_etl_pipeline__spark.operators.dedup import (
 from funnel_report_etl_pipeline__spark.operators.multimodal import (
     attach_binary_payload,
     binary_meta,
+    media_features,
 )
 from funnel_report_etl_pipeline__spark.operators.similarity import (
     cosine_near_dup_pairs,
@@ -275,6 +276,31 @@ def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_fingerprint",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - 16 + 1, 1) + 1)) AS p
+      FROM documents
+    )
+    SELECT doc_id, MIN(md5(substr(text, CAST(p AS INT), 16))) AS fp_rolling
+    FROM pos GROUP BY doc_id
+    """,
+    tags=("pipeline", "text", "fingerprint", "rolling"),
+)
+def rolling_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint: min md5 over every
+    16-char window — a containment-detection key (shared passages share
+    the min with high probability)."""
+    from funnel_report_etl_pipeline__spark.operators.text import rolling_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return rolling_fingerprints(docs, "text", "doc_id", 16).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@register(
     "corpus_curation",
     oracle=f"""
     WITH t AS (
@@ -449,3 +475,16 @@ def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-verified."""
     docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
     return binary_meta(docs, "payload", "doc_id")
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # binary/array<binary> outputs; metadata twin
+    # (multimodal_meta) carries the value-hash oracle for this plumbing
+    tags=("pipeline", "multimodal", "features"),
+)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode → resize → frame-sample in ONE Arrow-batched mapInPandas hop;
+    emits array<binary> frames (stub codecs, real distribution plumbing)."""
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return media_features(docs, "payload", "doc_id", resize_to=(224, 224), n_frames=4)
