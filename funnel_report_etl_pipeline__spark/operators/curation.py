@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from funnel_report_etl_pipeline__spark.operators.dedup import exact_dedup
-from funnel_report_etl_pipeline__spark.operators.text import text_stats, token_count_regex
+from funnel_report_etl_pipeline__spark.operators.text import (
+    quality_keep_expr,
+    token_count_regex,
+)
 
 __all__ = ["curate_documents", "curation_summary"]
 
@@ -23,16 +26,12 @@ def curate_documents(
 ) -> DataFrame:
     """documents → quality-kept, exact-deduped corpus (original columns).
 
-    Quality gate = text_stats' Gopher/C4-style keep flag; dedup keeps the
-    lowest id per exact text. At 100 TB: the quality filter runs scan-side
-    (cheap columns only), so the dedup shuffle sees only surviving rows.
+    The quality gate is a scan-side filter EXPRESSION (not a stats join —
+    that would scan the corpus twice); dedup keeps the lowest id per exact
+    text. At 100 TB the dedup shuffle therefore sees only surviving rows,
+    and only (id, hash) pairs at that.
     """
-    keep_ids = (
-        text_stats(docs, text_col, id_col)
-        .filter(F.col("quality_keep"))
-        .select(id_col)
-    )
-    kept = docs.join(keep_ids, id_col)
+    kept = docs.filter(quality_keep_expr(text_col))
     return exact_dedup(kept, text_col, id_col)
 
 

@@ -41,6 +41,19 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
 
+def quality_keep_expr(text_col: str = "text") -> F.Column:
+    """The Gopher/C4-style keep predicate as a standalone expression, so
+    consumers (curation) can filter scan-side without a stats join."""
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    stop_ratio = n_stop.cast("double") / F.size(F.array_distinct(toks))
+    return (n_tokens >= 10) & (n_tokens <= 1000) & (stop_ratio > 0)
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality metrics: char/token counts, mean token length,
     stopword ratio, alpha ratio, and a boolean keep-flag in the fashion of
@@ -61,7 +74,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         (n_chars.cast("double") / n_tokens).alias("chars_per_token"),
         stop_ratio.alias("stopword_ratio"),
         (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
-        ((n_tokens >= 10) & (n_tokens <= 1000) & (stop_ratio > 0)).alias("quality_keep"),
+        quality_keep_expr(text_col).alias("quality_keep"),
     )
 
 
