@@ -337,6 +337,80 @@ def event_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_events",
+    oracle="""
+    SELECT l.user_id, l.event_id, l.ts AS purchase_ts, r.ts AS last_view_ts
+    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    tags=("relational", "asof", "extension"),
+    bench=True,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): each purchase gets
+    the user's most recent view at-or-before it. Union + ordered-window
+    composition — ONE key shuffle, no range-join blowup; the oracle is
+    DuckDB's native ASOF JOIN."""
+    from funnel_report_etl_pipeline__spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    return asof_join(purchases, views, on=["user_id"]).select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_ts").alias("last_view_ts"),
+    )
+
+
+@register(
+    "rollup_hierarchy",
+    oracle="""
+    SELECT COALESCE(r_name, '<all>') AS region_name,
+           COALESCE(n_name, '<all>') AS nation_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(22,4))) AS DOUBLE) AS total_acctbal,
+           GROUPING(r_name) + GROUPING(n_name) AS lvl
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("relational", "rollup", "grouping-sets"),
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP over the region→nation hierarchy with grouping-level
+    markers — subtotals and grand total in one pass (Spark expands the
+    grouping sets; still a single scan + one shuffle)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+            (F.grouping("r_name") + F.grouping("n_name")).cast("long").alias("lvl"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region_name"),
+            F.coalesce("n_name", F.lit("<all>")).alias("nation_name"),
+            "n_customers",
+            "total_acctbal",
+            "lvl",
+        )
+    )
+
+
+@register(
     "sessionize",
     oracle="""
     WITH flagged AS (

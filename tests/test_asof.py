@@ -1,0 +1,59 @@
+"""As-of join edge semantics: <= match, no-match NULL, tolerance, ties."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from funnel_report_etl_pipeline__spark.operators.asof import asof_join
+
+
+def ts(minute):
+    return datetime(2026, 1, 1, 10, minute, 0)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "a"), (1, ts(20), "b"), (2, ts(5), "c"), (3, ts(30), "d")],
+        "k int, ts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 100.0), (1, ts(15), 150.0), (2, ts(6), 60.0)],
+        "k int, ts timestamp, px double",
+    )
+    return left, right
+
+
+def test_basic_backward_match(spark, frames):
+    left, right = frames
+    out = {(r.k, r.lbl): r for r in asof_join(left, right, on=["k"]).collect()}
+    # exact-equal timestamp matches (<= semantics)
+    assert out[(1, "a")].asof_px == 100.0
+    # latest of several earlier rows
+    assert out[(1, "b")].asof_px == 150.0
+    # right row is LATER than left → no match
+    assert out[(2, "c")].asof_px is None
+    # key with no right rows at all → no match
+    assert out[(3, "d")].asof_px is None
+
+
+def test_tolerance(spark, frames):
+    left, right = frames
+    out = {
+        (r.k, r.lbl): r
+        for r in asof_join(left, right, on=["k"], tolerance_seconds=60).collect()
+    }
+    # (1,"b") at 10:20, last view 10:15 → 300s stale > 60s tolerance
+    assert out[(1, "b")].asof_px is None
+    assert out[(1, "a")].asof_px == 100.0  # 0s stale
+
+
+def test_tie_among_right_rows(spark):
+    left = spark.createDataFrame([(1, ts(10), "x")], "k int, ts timestamp, lbl string")
+    right = spark.createDataFrame(
+        [(1, ts(5), 1.0), (1, ts(5), 9.0)], "k int, ts timestamp, px double"
+    )
+    r = asof_join(left, right, on=["k"], right_tiebreak="px").collect()[0]
+    assert r.asof_px == 9.0  # highest tiebreak wins deterministically
