@@ -7,7 +7,6 @@ without an oracle get a runs-and-returns smoke check.
 
 from __future__ import annotations
 
-import math
 
 import pytest
 
@@ -19,8 +18,13 @@ SPECS = load_all()
 
 
 def _eq(a, b) -> bool:
-    if isinstance(a, float) and isinstance(b, float) and math.isnan(a) and math.isnan(b):
-        return True
+    try:
+        import pandas as pd
+
+        if pd.isna(a) and pd.isna(b):  # NaN, NaT, None — all null-equal
+            return True
+    except (TypeError, ValueError):
+        pass
     return a == b
 
 

@@ -9,7 +9,6 @@ Usage: python tools/verify_parity.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb
@@ -36,11 +35,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def values_equal(a, b) -> bool:
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
+    try:
+        if pd.isna(a) and pd.isna(b):  # NaN, NaT, None — all null-equal
             return True
-        return a == b  # exact — the driver hash-compares
-    return a == b
+    except (TypeError, ValueError):
+        pass
+    return a == b  # exact otherwise — the driver hash-compares
 
 
 def main() -> int:
