@@ -337,6 +337,104 @@ def event_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_count_salted",
+    oracle="""
+    SELECT event_type, COUNT(event_type) AS cnt
+    FROM events
+    WHERE event_type IS NOT NULL AND event_type <> ''
+    GROUP BY event_type
+    """,
+    tags=("relational", "skew", "salting"),
+)
+def grouped_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase grouped count — same oracle as grouped_count, so
+    the skew mitigation is proven result-identical. At 100 TB with one hot
+    event_type this is the difference between 1 reducer and n_salts."""
+    from funnel_report_etl_pipeline__spark.functions.skew import salted_grouped_agg
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & (F.col("event_type") != "")
+    )
+    return salted_grouped_agg(
+        ev,
+        keys=["event_type"],
+        partial_aggs={"__c": F.count("event_type")},
+        final_aggs={"cnt": F.sum("__c").cast("long")},
+        n_salts=16,
+    )
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.75) AS p75
+    FROM events GROUP BY event_type
+    """,
+    tags=("relational", "percentile"),
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — Spark `percentile` and DuckDB
+    `quantile_cont` share the (1−g)·a + g·b formula; verified bit-equal.
+    (The approximate twin for 100 TB is approx_percentile; see
+    approx_distinct_users for the approximate family's check pattern.)"""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.50)").alias("p50"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+    )
+
+
+@register(
+    "running_total",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             SUM(CAST(value AS DECIMAL(22,6))) AS v
+      FROM events GROUP BY 1
+    )
+    SELECT day,
+           CAST(SUM(v) OVER (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_value
+    FROM daily
+    """,
+    tags=("relational", "window", "running-total"),
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative daily value: pre-aggregate to day grain (tiny), then an
+    ordered window over the daily frame. The window is single-partition by
+    construction — but over day-grain rows, not raw events, so the ordered
+    pass is O(days) regardless of raw volume."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(22,6)")).alias("v")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select("day", F.sum("v").over(w).cast("double").alias("cum_value"))
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketches are engine-specific; the test suite bounds
+    # the relative error against the exact count instead
+    tags=("relational", "approximate"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HyperLogLog++, 1% rsd) —
+    the 100 TB substitute for exact count_distinct's full dedup shuffle;
+    sketches merge map-side."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
     "asof_join_events",
     oracle="""
     SELECT l.user_id, l.event_id, l.ts AS purchase_ts, r.ts AS last_view_ts
