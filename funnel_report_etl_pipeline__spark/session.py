@@ -46,6 +46,8 @@ def get_spark(
         # ---- local-mode only knobs ----
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
+        # bucketed-table demos/tests write here, never into the repo
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
     )
     # NOTE: spark.driver.memory cannot be set here — the driver JVM is
     # already up before builder configs apply in pyspark local mode. Set it

@@ -35,6 +35,26 @@ def write_partitioned(
     w.partitionBy(*partition_cols).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) table — the shuffle-free-join
+    layout. Two fact tables bucketed on the same key with the same bucket
+    count join WITHOUT an exchange (verified by plan assertion in
+    tests/test_bucketing.py); at 100 TB that deletes the two largest
+    shuffles in the workload. Sorting within buckets additionally removes
+    the sort for sort-merge joins."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def convert_landing_zone(
     spark: SparkSession,
     base: str,
