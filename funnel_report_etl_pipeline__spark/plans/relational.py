@@ -337,6 +337,58 @@ def event_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_ops",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'error')) AS n_purchase_and_error,
+      (SELECT COUNT(*) FROM (
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'error')) AS n_purchase_no_error
+    """,
+    tags=("relational", "setops", "intersect", "except"),
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct set semantics) — planned as left-semi /
+    left-anti joins over pre-distinct inputs; no full materialization."""
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = purch.intersect(err).agg(F.count("*").alias("n_purchase_and_error"))
+    only = purch.subtract(err).agg(F.count("*").alias("n_purchase_no_error"))
+    return both.crossJoin(F.broadcast(only))
+
+
+@register(
+    "pivot_daily_values",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(22,6)) END) AS DOUBLE) AS click,
+      CAST(SUM(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(22,6)) END) AS DOUBLE) AS error,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(22,6)) END) AS DOUBLE) AS purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(22,6)) END) AS DOUBLE) AS signup,
+      CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(22,6)) END) AS DOUBLE) AS view
+    FROM events GROUP BY 1
+    """,
+    tags=("relational", "pivot"),
+)
+def pivot_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: day × event_type value matrix. The explicit value list keeps
+    the plan single-pass (no distinct-values pre-query) and the output
+    schema static — required at scale AND for oracle comparison."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.sum(F.col("value").cast("decimal(22,6)")).cast("double"))
+    )
+
+
+@register(
     "grouped_count_salted",
     oracle="""
     SELECT event_type, COUNT(event_type) AS cnt
