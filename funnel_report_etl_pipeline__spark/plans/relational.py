@@ -561,6 +561,84 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_funnel_windowed",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(s1.t1) AS t1, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_view_7d,
+           (SELECT COUNT(*) FROM s3) AS n_purchase_7d
+    """,
+    tags=("funnel", "window", "windowFunnel", "extension"),
+)
+def event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained ordered funnel (the windowFunnel shape): complete
+    signup → view → purchase within 7 days of the FIRST signup. Anchored
+    semantics — the chain starts at the user's earliest signup; each later
+    stage must land strictly after the previous one and inside the window.
+
+    Same single-shuffle design as event_funnel_users: one groupBy(user)
+    collects the timeline; a state-machine fold ((t1,t2,t3) micros struct)
+    walks it. The oracle's join-chain re-shuffles events three times."""
+    window_us = 7 * 24 * 3600 * 1_000_000
+    ev = _t(spark, sf_dir, "events")
+    timeline = F.array_sort(
+        F.collect_list(
+            F.struct(F.unix_micros("ts").alias("us"), F.col("event_type").alias("et"))
+        )
+    )
+    NULL_ = F.lit(None).cast("long")
+    init = F.struct(NULL_.alias("t1"), NULL_.alias("t2"), NULL_.alias("t3"))
+
+    def step(acc, x):
+        t1, t2, t3 = acc["t1"], acc["t2"], acc["t3"]
+        new_t1 = F.when(t1.isNull() & (x["et"] == "signup"), x["us"]).otherwise(t1)
+        new_t2 = F.when(
+            t2.isNull()
+            & t1.isNotNull()
+            & (x["et"] == "view")
+            & (x["us"] > t1)
+            & (x["us"] <= t1 + window_us),
+            x["us"],
+        ).otherwise(t2)
+        new_t3 = F.when(
+            t3.isNull()
+            & t2.isNotNull()
+            & t1.isNotNull()
+            & (x["et"] == "purchase")
+            & (x["us"] > t2)
+            & (x["us"] <= t1 + window_us),
+            x["us"],
+        ).otherwise(t3)
+        return F.struct(new_t1.alias("t1"), new_t2.alias("t2"), new_t3.alias("t3"))
+
+    per_user = (
+        ev.filter(F.col("event_type").isin("signup", "view", "purchase"))
+        .groupBy("user_id")
+        .agg(F.aggregate(timeline, init, step).alias("s"))
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("s.t1").isNotNull(), 1)).alias("n_signup"),
+        F.count(F.when(F.col("s.t2").isNotNull(), 1)).alias("n_view_7d"),
+        F.count(F.when(F.col("s.t3").isNotNull(), 1)).alias("n_purchase_7d"),
+    )
+
+
+@register(
     "sessionize",
     oracle="""
     WITH flagged AS (
