@@ -85,6 +85,35 @@ def test_session_stream_gap_split(spark, stream_dir):
     assert per_user[1][0].n_events == 3
 
 
+def test_checkpointed_restart_no_duplicates(spark, stream_dir, tmp_path):
+    """Exactly-once file sink: re-running the query over the same
+    checkpoint must not re-emit already-committed micro-batches."""
+    out = str(tmp_path / "rollup_parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            daily_rollup_stream(read_event_stream(spark, stream_dir))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # restart over the same checkpoint, same input
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2  # nothing re-emitted
+    # parquet+append only emits finalized (watermark-passed) windows;
+    # day 1 is closed by the day-2 event, day 2 still open
+    rows = spark.read.parquet(out).collect()
+    assert all(r.day_start.day == 1 for r in rows)
+
+
 def test_funnel_depth_stateful(spark, stream_dir):
     out = run_to_memory(
         funnel_depth_stream(read_event_stream(spark, stream_dir)), "depth_t", "update"
