@@ -13,10 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from funnel_report_etl_pipeline__spark.operators.dedup import exact_dedup
-from funnel_report_etl_pipeline__spark.operators.text import (
-    quality_keep_expr,
-    token_count_regex,
-)
+from funnel_report_etl_pipeline__spark.operators.text import quality_keep_expr
 
 __all__ = ["curate_documents", "curation_summary"]
 
@@ -40,11 +37,24 @@ def curation_summary(
 ) -> DataFrame:
     """Per-source accounting of the curated corpus: surviving docs and
     token budgets (whitespace + BPE-ish) — the numbers a data-mixture
-    design actually consumes."""
+    design actually consumes.
+
+    The token counts are row-wise projections ADDED to the curated lineage
+    (not joined back — a self-join would re-run the quality filter + dedup
+    window on both sides and re-shuffle by id)."""
     curated = curate_documents(docs, text_col, id_col)
-    toks = token_count_regex(curated, text_col, id_col)
+    text = F.col(text_col)
+    from funnel_report_etl_pipeline__spark.operators.text import TOKEN_REGEX
+
     return (
-        curated.join(toks, id_col)
+        curated.withColumns(
+            {
+                "n_ws_tokens": F.size(F.split(text, "\\s+")).cast("long"),
+                "n_bpe_tokens": F.size(
+                    F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)
+                ).cast("long"),
+            }
+        )
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

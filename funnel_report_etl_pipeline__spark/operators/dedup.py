@@ -202,6 +202,11 @@ def minhash_dedup_pairs(
     materialization costs more than the recompute at sf0.1); at 100 TB set
     ``persist_grams=True`` — or better, materialize grams/signatures to a
     parquet checkpoint between runs."""
+    if bands * rows > num_perm:
+        raise ValueError(
+            f"bands*rows ({bands}*{rows}) exceeds signature length {num_perm}; "
+            "banding would index past the end of the signature"
+        )
     grams = gram_rows(df, id_col, text_col, ngram)
     if persist_grams:
         grams = grams.persist()

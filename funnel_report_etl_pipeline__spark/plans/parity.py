@@ -14,11 +14,11 @@ from pyspark.sql import functions as F
 
 from funnel_report_etl_pipeline__spark.functions.core import dsum, pct_of
 from funnel_report_etl_pipeline__spark.plans.registry import register
-from funnel_report_etl_pipeline__spark.sources.readers import TestDataCatalog
+from funnel_report_etl_pipeline__spark.sources.readers import catalog_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return TestDataCatalog(spark, sf_dir).table(name)
+    return catalog_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

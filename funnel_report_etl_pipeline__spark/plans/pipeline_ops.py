@@ -41,11 +41,11 @@ from funnel_report_etl_pipeline__spark.operators.text import (
     TOKEN_REGEX,
 )
 from funnel_report_etl_pipeline__spark.plans.registry import register
-from funnel_report_etl_pipeline__spark.sources.readers import TestDataCatalog
+from funnel_report_etl_pipeline__spark.sources.readers import catalog_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return TestDataCatalog(spark, sf_dir).table(name)
+    return catalog_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------
@@ -405,8 +405,10 @@ def similarity_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "dedup", "embedding"),
 )
 def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs at ≥0.95 — exact all-pairs baseline
-    (the LSH/IVF paths are the scale formulation; this is their verifier)."""
+    """Embedding-cosine near-dup pairs at ≥0.45 — exact all-pairs baseline
+    (the LSH/IVF paths are the scale formulation; this is their verifier).
+    The cutoff sits where THIS synthetic data has pairs (uniform-random
+    embeddings, max pairwise cosine ≈0.51); a real corpus would use ≥0.9."""
     emb = _t(spark, sf_dir, "embeddings")
     # the synthetic embeddings are uniform-random (max pairwise cosine
     # ~0.51), so the "near-dup" threshold is set where the data has

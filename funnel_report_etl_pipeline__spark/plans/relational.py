@@ -20,11 +20,11 @@ from pyspark.sql import functions as F
 
 from funnel_report_etl_pipeline__spark.functions.core import dsum
 from funnel_report_etl_pipeline__spark.plans.registry import register
-from funnel_report_etl_pipeline__spark.sources.readers import TestDataCatalog
+from funnel_report_etl_pipeline__spark.sources.readers import catalog_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return TestDataCatalog(spark, sf_dir).table(name)
+    return catalog_table(spark, sf_dir, name)
 
 
 def _revenue_dec():
@@ -311,19 +311,26 @@ def event_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     stages = ["signup", "view", "purchase"]
     timeline = F.array_sort(
-        F.collect_list(F.struct(F.col("ts"), F.col("event_type").alias("et")))
+        F.collect_list(
+            F.struct(F.unix_micros("ts").alias("us"), F.col("event_type").alias("et"))
+        )
     )
-    # walk the sorted timeline: state = furthest stage index reached (0..3)
+    # walk the sorted timeline: state = (furthest stage index 0..3, ts of
+    # the last advance). The strictly-greater guard matches the oracle's
+    # `e.ts > t_prev` — an event tied with the previous stage's timestamp
+    # must NOT advance the funnel.
+    init = F.struct(F.lit(0).alias("d"), F.lit(-1).cast("long").alias("last"))
     depth = F.aggregate(
         timeline,
-        F.lit(0),
+        init,
         lambda acc, x: F.when(
-            # try_element_at: once all stages are reached acc+1 is past the
-            # end; NULL compares false and the accumulator passes through
-            x["et"] == F.try_element_at(F.lit(stages), acc + 1),
-            acc + 1,
+            # try_element_at: once all stages are reached d+1 is past the
+            # end; NULL compares false and the state passes through
+            (x["et"] == F.try_element_at(F.lit(stages), acc["d"] + 1))
+            & (x["us"] > acc["last"]),
+            F.struct((acc["d"] + 1).alias("d"), x["us"].alias("last")),
         ).otherwise(acc),
-    )
+    )["d"]
     per_user = (
         ev.filter(F.col("event_type").isin(*stages))
         .groupBy("user_id")

@@ -66,6 +66,21 @@ class TestDataCatalog:
         return self.table(name)
 
 
+_CATALOGS: dict[tuple[int, str], TestDataCatalog] = {}
+
+
+def catalog_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shared per-(session, sf_dir) catalog so repeated query builds reuse
+    the cached DataFrames/temp views instead of re-reading parquet footers
+    with a fresh catalog per call (the registry's `_t` helpers route here)."""
+    key = (id(spark), sf_dir)
+    cat = _CATALOGS.get(key)
+    if cat is None or cat.spark is not spark:
+        cat = TestDataCatalog(spark, sf_dir)
+        _CATALOGS[key] = cat
+    return cat.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Reference-compatible CSV sources
 # ---------------------------------------------------------------------------
@@ -101,6 +116,23 @@ def _existing_paths(spark: SparkSession, paths: list[str]) -> list[str]:
         fs = hpath.getFileSystem(hconf)
         if fs.exists(hpath):
             out.append(p)
+    return out
+
+
+def _matching_globs(spark: SparkSession, globs: list[str]) -> list[str]:
+    """Keep only glob patterns that match ≥1 path (Hadoop globStatus).
+    Spark raises PATH_NOT_FOUND for a glob with zero matches, so an empty
+    month in a window must be dropped BEFORE the read — not caught after,
+    which would throw away the other months' data."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    out = []
+    for g in globs:
+        hpath = jvm.org.apache.hadoop.fs.Path(g)
+        fs = hpath.getFileSystem(hconf)
+        status = fs.globStatus(hpath)
+        if status is not None and len(status) > 0:
+            out.append(g)
     return out
 
 
@@ -142,20 +174,19 @@ def read_funnel_csv(
     if month_glob:
         if "Date" not in schema.fieldNames():
             raise ValueError(f"{dataset}: month_glob needs a Date column to refine")
-        paths = month_glob_paths(base, dataset, window)
+        paths = _matching_globs(spark, month_glob_paths(base, dataset, window))
+        if not paths:
+            return spark.createDataFrame([], schema)
         reader = (
             spark.read.schema(schema)
             .option("header", True)
             .option("mode", "FAILFAST" if strict else "PERMISSIVE")
-            # glob may match nothing for empty months — not an error
-            .option("spark.sql.files.ignoreMissingFiles", "true")
         )
-        try:
-            df = reader.csv(paths)
-        except Exception:  # no month dir matched at all → empty, as reference
-            return spark.createDataFrame([], schema)
+        df = reader.csv(paths)
+        # try_to_date: a malformed Date cell must drop the row (PERMISSIVE
+        # contract), not kill the job under Spark 4's ANSI default
         df = df.filter(
-            F.to_date(F.col("Date"), "dd-MM-yyyy").between(
+            F.try_to_date(F.col("Date"), "dd-MM-yyyy").between(
                 F.lit(window.start), F.lit(window.end)
             )
         )

@@ -90,6 +90,11 @@ def test_lsh_candidates_exclude_self_and_mirror(docs):
         assert r.id_a < r.id_b
 
 
+def test_minhash_rejects_inconsistent_banding(docs):
+    with pytest.raises(ValueError, match="bands"):
+        minhash_dedup_pairs(docs, num_perm=16)  # default 8×4 > 16
+
+
 def test_simhash_hamming_zero_for_exact_dup(docs):
     fps = {r.id: r.simhash for r in simhash(docs).collect()}
     assert fps[1] == fps[2]

@@ -57,6 +57,36 @@ def test_month_glob_agrees_with_day_paths(spark, month_layout):
     assert _dates(a) == _dates(b)
 
 
+def test_month_glob_partial_window_keeps_existing_months(spark, month_layout):
+    """Window spans a month with NO directory at all: the populated months'
+    data must survive (regression: an unmatched glob used to raise
+    PATH_NOT_FOUND and the catch-all returned an empty frame)."""
+    w = parse_date_spec("28_01_2026 -> 15_03_2026")  # no March dir exists
+    df = read_funnel_csv(
+        spark, str(month_layout), "uf_stages", w, schemas.UF_STAGES_SCHEMA, month_glob=True
+    )
+    assert len(_dates(df)) == 5  # all five planted days, none dropped
+
+
+def test_month_glob_malformed_date_cell_drops_row(spark, month_layout, tmp_path):
+    """A garbage Date cell must drop that row (try_to_date), not kill the
+    job under ANSI mode."""
+    import csv as _csv
+
+    day = month_layout / "16_02_2026"
+    day.mkdir()
+    with open(day / f"{STEM}-16_02_2026.csv", "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["Entity_ID", "Date"] + schemas.STAGE_COLUMNS)
+        w.writerow(["FIU_001", "not-a-date", *["1"] * 11])
+        w.writerow(["FIU_001", "16-02-2026", *["1"] * 11])
+    w = parse_date_spec("16_02_2026 -> 16_02_2026")
+    df = read_funnel_csv(
+        spark, str(month_layout), "uf_stages", w, schemas.UF_STAGES_SCHEMA, month_glob=True
+    )
+    assert _dates(df) == ["16-02-2026"]
+
+
 def test_missing_days_return_empty(spark, month_layout):
     w = parse_date_spec("01_06_2026 -> 02_06_2026")
     df = read_funnel_csv(spark, str(month_layout), "uf_stages", w, schemas.UF_STAGES_SCHEMA)

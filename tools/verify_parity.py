@@ -89,7 +89,7 @@ def main() -> int:
                     break
             if bad:
                 break
-        dtype_note = "" if st == ot else f"  [dtypes differ: {{k: (st[k], ot[k]) for k in st if st[k] != ot[k]}}]"
+        dtype_note = ""
         if st != ot:
             dtype_note = "  [dtypes differ: " + str({k: (st[k], ot[k]) for k in st if st[k] != ot[k]}) + "]"
         if bad:
