@@ -55,6 +55,58 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def materialize_daily_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    out_path: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Incremental day-grain rollup materialization (the hypertable-rollup
+    pattern): compute ONLY the day partitions missing from ``out_path`` and
+    write them with dynamic partition overwrite, so a daily run scans one
+    day of raw events regardless of history size and a re-run of a
+    half-written day is idempotent.
+
+    Returns the full materialized rollup (pruned reads thereafter)."""
+    day = F.date_format(ts_col, "yyyy-MM-dd")
+
+    def _read_existing() -> DataFrame:
+        # partition-type inference reads the day partition back as DATE;
+        # normalize to the ISO string the writer used so set-difference
+        # (and the returned schema) are stable
+        return spark.read.parquet(out_path).withColumn(
+            "day", F.col("day").cast("string")
+        )
+
+    try:
+        existing = {r.day for r in _read_existing().select("day").distinct().collect()}
+    except Exception:  # first run: nothing materialized yet
+        existing = set()
+
+    available = {r.day for r in events.select(day.alias("day")).distinct().collect()}
+    missing = sorted(available - existing)
+    if missing:
+        rollup = (
+            events.withColumn("day", day)
+            .filter(F.col("day").isin(missing))
+            .groupBy("day", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.count_distinct("user_id").alias("n_users"),
+                F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias(
+                    "total_value"
+                ),
+            )
+        )
+        (
+            rollup.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(out_path)
+        )
+    return _read_existing()
+
+
 def convert_landing_zone(
     spark: SparkSession,
     base: str,

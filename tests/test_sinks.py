@@ -52,6 +52,35 @@ def test_convert_landing_zone(spark, landing, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_incremental_rollup_materialization(spark, tmp_path):
+    from datetime import datetime
+
+    from funnel_report_etl_pipeline__spark.sources.sinks import materialize_daily_rollup
+
+    out = str(tmp_path / "rollup")
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+        )
+
+    day1 = [(i, i % 3, "view", datetime(2026, 1, 1, 10, i), 1.0) for i in range(6)]
+    day2 = [(10 + i, i % 2, "click", datetime(2026, 1, 2, 9, i), 2.0) for i in range(4)]
+
+    r1 = materialize_daily_rollup(spark, ev(day1), out)
+    assert {r.day for r in r1.select("day").collect()} == {"2026-01-01"}
+
+    # second run sees both days but must only compute/write the new one
+    r2 = materialize_daily_rollup(spark, ev(day1 + day2), out)
+    rows = {(r.day, r.event_type): r for r in r2.collect()}
+    assert rows[("2026-01-01", "view")].n_events == 6
+    assert rows[("2026-01-02", "click")].n_events == 4
+
+    # idempotent re-run: nothing duplicated
+    r3 = materialize_daily_rollup(spark, ev(day1 + day2), out)
+    assert r3.count() == r2.count()
+
+
 def test_write_partitioned_caps_file_rows(spark, tmp_path):
     out = str(tmp_path / "capped")
     df = spark.range(100).withColumn("part", (F.col("id") % 2).cast("string"))
