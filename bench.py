@@ -36,11 +36,15 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name in sorted(specs):
-        t0 = time.perf_counter()
-        specs[name].fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one broken query must not zero the whole bench
+            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {

@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the PLANS.md claims, executable.
+
+These lock in the plan shapes that matter at 100 TB — if a refactor
+reintroduces a shuffle, loses pushdown, or drops a group-limit, these fail
+even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from funnel_report_etl_pipeline__spark.plans.registry import load_all
+
+from .conftest import SF_SMALL
+
+SPECS = load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    return SPECS[name].fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_filter_pushdown(spark):
+    p = plan_of(spark, "scan_filter_eq")
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]" in p
+    # column pruning: the untouched payload column never leaves the scan
+    assert "ts" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_pricing_summary_partial_final_agg(spark):
+    p = plan_of(spark, "pricing_summary")
+    assert "partial_sum" in p  # map-side combine
+    assert p.count("Exchange hashpartitioning") == 1  # one shuffle only
+
+
+def test_topk_uses_take_ordered(spark):
+    p = plan_of(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p  # no shuffle for global top-k
+
+
+def test_window_rank_group_limit_below_shuffle(spark):
+    p = plan_of(spark, "window_rank")
+    assert p.count("WindowGroupLimit") == 2  # partial (map-side) + final
+
+
+def test_broadcast_dims_never_shuffle_fact(spark):
+    p = plan_of(spark, "join_broadcast_dims")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "Exchange hashpartitioning(c_nationkey" not in p
+    assert "Exchange hashpartitioning(n_regionkey" not in p
+
+
+def test_event_funnel_single_fact_shuffle(spark):
+    p = plan_of(spark, "event_funnel_users")
+    # one user_id exchange for the fold; the only other is the 1-row final
+    assert p.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_no_python_udfs_in_any_relational_plan(spark):
+    """No Python evaluation nodes anywhere in the registered batch queries
+    (the multimodal mapInPandas queries are the documented exceptions)."""
+    for name in SPECS:
+        if name.startswith("multimodal"):
+            continue
+        p = plan_of(spark, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
