@@ -40,6 +40,17 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 # word / number / single non-space symbol — the BPE-ish pre-tokenizer split
 TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+# distinctive character trigrams per language (with their surrounding
+# spaces where the function-word boundary is the signal) — the classic
+# char-n-gram-profile approach in miniature
+LANG_CHAR_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "de": (" de", "der", "ich", "sch", "und"),
+    "en": (" th", "the", "ing", " an", "and"),
+    "es": (" el", " la", "ión", "que", " qu"),
+    "fr": (" le", " la", "eux", "ais", " qu"),
+    "zh": ("de5", "le5", "sh4", "i4 ", "ai4"),
+}
+
 
 def quality_keep_expr(text_col: str = "text") -> F.Column:
     """The Gopher/C4-style keep predicate as a standalone expression, so
@@ -111,6 +122,35 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+        best["l"].alias("pred_lang"),
+    )
+
+
+def lang_id_char_ngrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Char-n-gram-profile language ID: score each language by how many of
+    its distinctive character trigrams occur in the text (substring
+    presence, scan-side `contains` — no tokenization). Same deterministic
+    lexicographic-first argmax as the word-marker variant."""
+    text = F.lower(F.col(text_col))
+    scores = {
+        lang: sum(
+            (F.when(text.contains(g), 1).otherwise(0) for g in grams), F.lit(0)
+        ).cast("long")
+        for lang, grams in sorted(LANG_CHAR_TRIGRAMS.items())
+    }
+    best = None
+    for lang in sorted(LANG_CHAR_TRIGRAMS, reverse=True):
+        s = scores[lang]
+        best = (
+            F.struct(s.alias("s"), F.lit(lang).alias("l"))
+            if best is None
+            else F.when(s >= best["s"], F.struct(s.alias("s"), F.lit(lang).alias("l"))).otherwise(best)
+        )
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_CHAR_TRIGRAMS)],
         best["l"].alias("pred_lang"),
     )
 

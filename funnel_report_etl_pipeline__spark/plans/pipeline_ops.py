@@ -258,6 +258,44 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_t(spark, sf_dir, "documents"))
 
 
+def _char_ngram_score_sql(lang: str) -> str:
+    from funnel_report_etl_pipeline__spark.operators.text import LANG_CHAR_TRIGRAMS
+
+    terms = " + ".join(
+        f"CASE WHEN contains(lower(text), '{g}') THEN 1 ELSE 0 END"
+        for g in LANG_CHAR_TRIGRAMS[lang]
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _lang_char_oracle() -> str:
+    from funnel_report_etl_pipeline__spark.operators.text import LANG_CHAR_TRIGRAMS
+
+    langs = sorted(LANG_CHAR_TRIGRAMS)
+    scores = ", ".join(f"{_char_ngram_score_sql(lg)} AS score_{lg}" for lg in langs)
+    sel = ", ".join(f"score_{lg}" for lg in langs)
+    whens = " ".join(f"WHEN score_{lg} THEN '{lg}'" for lg in langs)
+    return f"""
+    WITH s AS (SELECT doc_id, {scores} FROM documents)
+    SELECT doc_id, {sel},
+      CASE greatest({sel}) {whens} END AS pred_lang
+    FROM s
+    """
+
+
+@register(
+    "lang_id_char_ngrams",
+    oracle=_lang_char_oracle(),
+    tags=("pipeline", "text", "langid", "char-ngram"),
+)
+def lang_id_char_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID (substring presence scoring) —
+    the n-gram sibling of the word-marker heuristic."""
+    from funnel_report_etl_pipeline__spark.operators.text import lang_id_char_ngrams
+
+    return lang_id_char_ngrams(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "doc_fingerprints",
     oracle=f"""
