@@ -469,6 +469,44 @@ def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, CAST(i AS INT) - 1 AS dim,
+             CAST(round((embedding::DOUBLE[])[CAST(i AS INT)] * 1000000) AS BIGINT) AS xq
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) g
+    )
+    SELECT dim,
+           CAST(SUM(xq) AS BIGINT) AS sum_x_micro,
+           CAST(SUM(xq * xq) AS BIGINT) AS sum_x2_micro2,
+           COUNT(*) AS n
+    FROM d GROUP BY dim
+    """,
+    tags=("pipeline", "similarity", "array", "lateral"),
+)
+def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment sums across the embedding corpus (the inputs to
+    feature normalization): posexplode ≡ LATERAL UNNEST with ordinality.
+
+    Values are quantized to integer microunits before summing: float→
+    decimal conversion rounds dyadic fractions differently across engines
+    at any finite scale, while round(x·1e6)→BIGINT is the same integer in
+    both (the product is the identical IEEE double) — so the grouped sums
+    are exact and partitioning-stable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xq = F.round(F.col("x") * 1_000_000).cast("long")
+    d = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    ).withColumn("xq", xq)
+    return d.groupBy("dim").agg(
+        F.sum("xq").alias("sum_x_micro"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sum_x2_micro2"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "embedding_label_stats",
     oracle="""
     SELECT label, COUNT(*) AS n_vecs,
