@@ -103,6 +103,42 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "part_supplier_revenue",
+    oracle="""
+    SELECT p_brand, n_name AS supp_nation,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY p_brand, n_name
+    """,
+    tags=("relational", "join", "snowflake"),
+)
+def part_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join: fact ⋈ part ⋈ supplier ⋈ nation, revenue by brand ×
+    supplier nation. part/supplier broadcast under the threshold; at 100 TB
+    part is bucketed on p_partkey alongside a lineitem bucket on l_partkey
+    and the supplier/nation dims stay broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("p_brand", F.col("n_name").alias("supp_nation"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(_revenue_dec()).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
     "semi_anti_join",
     oracle="""
     SELECT
