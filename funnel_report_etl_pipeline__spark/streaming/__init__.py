@@ -12,6 +12,7 @@ from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
     read_event_stream,
     run_to_memory,
     session_stream,
+    view_purchase_attribution,
 )
 
 __all__ = [
@@ -19,5 +20,6 @@ __all__ = [
     "daily_rollup_stream",
     "session_stream",
     "funnel_depth_stream",
+    "view_purchase_attribution",
     "run_to_memory",
 ]

@@ -92,6 +92,38 @@ def session_stream(
     )
 
 
+def view_purchase_attribution(
+    events: DataFrame, max_gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the views by
+    the same user in the preceding ``max_gap``. Both sides are watermarked,
+    and the join condition bounds the time range, so the state store holds
+    only ``watermark + max_gap`` of either side — the requirement for an
+    unbounded stream-stream join to have bounded state."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select("user_id", "purchase_id", "view_ts", "purchase_ts", "purchase_value")
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: per-user ordered funnel depth
 # ---------------------------------------------------------------------------

@@ -57,11 +57,21 @@ def test_event_funnel_single_fact_shuffle(spark):
     assert p.count("Exchange hashpartitioning(user_id") == 1
 
 
+PYTHON_PATH_EXCEPTIONS = {
+    # the documented Arrow escape hatches — everything else must stay JVM-side
+    "multimodal_meta",
+    "multimodal_features",
+    "arrow_udf_normalize",
+}
+
+
 def test_no_python_udfs_in_any_relational_plan(spark):
     """No Python evaluation nodes anywhere in the registered batch queries
-    (the multimodal mapInPandas queries are the documented exceptions)."""
+    (the Arrow-batched mapInPandas/pandas_udf queries are the documented
+    exceptions — and even those must be Arrow, not row-at-a-time)."""
     for name in SPECS:
-        if name.startswith("multimodal"):
-            continue
         p = plan_of(spark, name)
+        if name in PYTHON_PATH_EXCEPTIONS:
+            assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
+            continue
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name

@@ -13,6 +13,7 @@ from funnel_report_etl_pipeline__spark.streaming import (
     read_event_stream,
     run_to_memory,
     session_stream,
+    view_purchase_attribution,
 )
 
 T0 = datetime(2026, 1, 1, 10, 0, 0)
@@ -83,6 +84,20 @@ def test_session_stream_gap_split(spark, stream_dir):
     # session is still within the watermark at end-of-input → withheld
     assert len(per_user[1]) == 1
     assert per_user[1][0].n_events == 3
+
+
+def test_stream_stream_interval_join(spark, stream_dir):
+    """Purchase at +10min attributes to the user-1 views at +5 (within the
+    1-hour gap); nothing else in the fixture qualifies."""
+    out = run_to_memory(
+        view_purchase_attribution(read_event_stream(spark, stream_dir), max_gap="1 hour"),
+        "attrib_t",
+        "append",
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].user_id == 1 and rows[0].purchase_id == 3
+    assert rows[0].view_ts.minute == 5 and rows[0].purchase_ts.minute == 10
 
 
 def test_checkpointed_restart_no_duplicates(spark, stream_dir, tmp_path):
