@@ -34,7 +34,7 @@ def main() -> int:
     # warm-up: JVM classloading + codegen paths, not billed to any query
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     for name in sorted(specs):
         try:
             t0 = time.perf_counter()
@@ -42,9 +42,10 @@ def main() -> int:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # one broken query must not zero the whole bench
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
-            timings[name] = -1.0
+            timings[name] = None  # machine-readable failure marker
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    failed = [n for n, t in timings.items() if t is None]
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
             {
@@ -56,7 +57,8 @@ def main() -> int:
             }
         )
     )
-    return 0
+    # the JSON line still comes out, but a failure is not a success
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -48,8 +48,20 @@ LANG_CHAR_TRIGRAMS: dict[str, tuple[str, ...]] = {
     "en": (" th", "the", "ing", " an", "and"),
     "es": (" el", " la", "ión", "que", " qu"),
     "fr": (" le", " la", "eux", "ais", " qu"),
-    "zh": ("de5", "le5", "sh4", "i4 ", "ai4"),
+    "zh": ("de5", "le5", "shi", "i4 ", "ai4"),
 }
+
+
+def _argmax_lang(scores: dict[str, F.Column]) -> F.Column:
+    """Deterministic argmax over per-language score columns: higher score
+    wins; ties resolve to the lexicographically FIRST language. Shared by
+    both lang-ID variants so their tiebreak can never diverge."""
+    best = None
+    for lang in sorted(scores, reverse=True):
+        s = scores[lang]
+        cand = F.struct(s.alias("s"), F.lit(lang).alias("l"))
+        best = cand if best is None else F.when(s >= best["s"], cand).otherwise(best)
+    return best["l"]
 
 
 def quality_keep_expr(text_col: str = "text") -> F.Column:
@@ -109,20 +121,10 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))).cast("long")
         for lang, markers in sorted(LANG_MARKERS.items())
     }
-    # argmax via greatest over (score, inverted-lang) struct ordering:
-    # higher score wins; ties resolve to the lexicographically FIRST lang
-    best = None
-    for lang, sc in sorted(LANG_MARKERS.items(), key=lambda kv: kv[0], reverse=True):
-        s = scores[lang]
-        best = (
-            F.struct(s.alias("s"), F.lit(lang).alias("l"))
-            if best is None
-            else F.when(s >= best["s"], F.struct(s.alias("s"), F.lit(lang).alias("l"))).otherwise(best)
-        )
     return df.select(
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
-        best["l"].alias("pred_lang"),
+        _argmax_lang(scores).alias("pred_lang"),
     )
 
 
@@ -140,18 +142,10 @@ def lang_id_char_ngrams(
         ).cast("long")
         for lang, grams in sorted(LANG_CHAR_TRIGRAMS.items())
     }
-    best = None
-    for lang in sorted(LANG_CHAR_TRIGRAMS, reverse=True):
-        s = scores[lang]
-        best = (
-            F.struct(s.alias("s"), F.lit(lang).alias("l"))
-            if best is None
-            else F.when(s >= best["s"], F.struct(s.alias("s"), F.lit(lang).alias("l"))).otherwise(best)
-        )
     return df.select(
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in sorted(LANG_CHAR_TRIGRAMS)],
-        best["l"].alias("pred_lang"),
+        _argmax_lang(scores).alias("pred_lang"),
     )
 
 

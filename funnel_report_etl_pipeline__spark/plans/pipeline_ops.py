@@ -563,7 +563,11 @@ def arrow_udf_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .str.replace(r" +", " ", regex=True)
             .str.strip()
         )
-        return norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        # NULL text propagates as NaN through .str — return None like the
+        # oracle's md5(NULL), never .encode a float
+        return norm.map(
+            lambda s: hashlib.md5(s.encode()).hexdigest() if isinstance(s, str) else None
+        )
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", norm_md5(F.col("text")).alias("fp"))

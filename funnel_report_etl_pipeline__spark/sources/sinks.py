@@ -60,20 +60,25 @@ def materialize_daily_rollup(
     events: DataFrame,
     out_path: str,
     ts_col: str = "ts",
+    refresh_tail_days: int = 1,
 ) -> DataFrame:
     """Incremental day-grain rollup materialization (the hypertable-rollup
-    pattern): compute ONLY the day partitions missing from ``out_path`` and
-    write them with dynamic partition overwrite, so a daily run scans one
-    day of raw events regardless of history size and a re-run of a
-    half-written day is idempotent.
+    pattern): compute only the day partitions missing from ``out_path`` —
+    plus the newest ``refresh_tail_days`` of the available days, which are
+    ALWAYS recomputed because the most recent partition may have been
+    materialized mid-day (an existing partition is no proof of a closed
+    day). Dynamic partition overwrite makes the tail refresh idempotent.
 
     Returns the full materialized rollup (pruned reads thereafter)."""
     day = F.date_format(ts_col, "yyyy-MM-dd")
 
     def _read_existing() -> DataFrame:
+        # dynamic overwrite replaces files under the path: drop Spark's
+        # cached file listing first or reads hit deleted part-files.
         # partition-type inference reads the day partition back as DATE;
         # normalize to the ISO string the writer used so set-difference
         # (and the returned schema) are stable
+        spark.catalog.refreshByPath(out_path)
         return spark.read.parquet(out_path).withColumn(
             "day", F.col("day").cast("string")
         )
@@ -83,8 +88,9 @@ def materialize_daily_rollup(
     except Exception:  # first run: nothing materialized yet
         existing = set()
 
-    available = {r.day for r in events.select(day.alias("day")).distinct().collect()}
-    missing = sorted(available - existing)
+    available = sorted(r.day for r in events.select(day.alias("day")).distinct().collect())
+    tail = set(available[-refresh_tail_days:]) if refresh_tail_days > 0 else set()
+    missing = sorted((set(available) - existing) | tail)
     if missing:
         rollup = (
             events.withColumn("day", day)
@@ -103,6 +109,14 @@ def materialize_daily_rollup(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("day")
             .parquet(out_path)
+        )
+    elif not existing:
+        # first run with zero input: nothing was ever written — return an
+        # empty frame with the rollup contract instead of reading a
+        # nonexistent path
+        return spark.createDataFrame(
+            [],
+            "day string, event_type string, n_events long, n_users long, total_value double",
         )
     return _read_existing()
 

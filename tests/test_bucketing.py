@@ -24,6 +24,7 @@ def bucketed_tables(spark):
 def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
     ot, lt = bucketed_tables
     # force the non-broadcast path so the join strategy is key-partitioned
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         o = spark.table(ot)
@@ -52,4 +53,4 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
             map(tuple, unbucketed.collect())
         )
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

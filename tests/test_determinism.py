@@ -21,11 +21,12 @@ def test_join_strategy_independence(spark):
     """join_equi under forced sort-merge must equal the broadcast plan."""
     q = SPECS["join_equi"].fn
     with_broadcast = _rows(q(spark, SF_SMALL))
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         forced_smj = _rows(q(spark, SF_SMALL))
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     assert with_broadcast == forced_smj
 
 
@@ -35,9 +36,10 @@ def test_shuffle_partition_invariance(name, spark):
     (a plain double SUM would drift in the last ulp)."""
     q = SPECS[name].fn
     base = _rows(q(spark, SF_SMALL))
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "3")
     try:
         low_par = _rows(q(spark, SF_SMALL))
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert base == low_par

@@ -67,18 +67,37 @@ def test_incremental_rollup_materialization(spark, tmp_path):
     day1 = [(i, i % 3, "view", datetime(2026, 1, 1, 10, i), 1.0) for i in range(6)]
     day2 = [(10 + i, i % 2, "click", datetime(2026, 1, 2, 9, i), 2.0) for i in range(4)]
 
-    r1 = materialize_daily_rollup(spark, ev(day1), out)
-    assert {r.day for r in r1.select("day").collect()} == {"2026-01-01"}
+    # collect eagerly after each run: the tail refresh rewrites the newest
+    # partition, so earlier runs' DataFrames point at replaced files
+    r1 = materialize_daily_rollup(spark, ev(day1), out).collect()
+    assert {r.day for r in r1} == {"2026-01-01"}
 
     # second run sees both days but must only compute/write the new one
-    r2 = materialize_daily_rollup(spark, ev(day1 + day2), out)
-    rows = {(r.day, r.event_type): r for r in r2.collect()}
+    r2 = materialize_daily_rollup(spark, ev(day1 + day2), out).collect()
+    rows = {(r.day, r.event_type): r for r in r2}
     assert rows[("2026-01-01", "view")].n_events == 6
     assert rows[("2026-01-02", "click")].n_events == 4
 
     # idempotent re-run: nothing duplicated
-    r3 = materialize_daily_rollup(spark, ev(day1 + day2), out)
-    assert r3.count() == r2.count()
+    r3 = materialize_daily_rollup(spark, ev(day1 + day2), out).collect()
+    assert len(r3) == len(r2)
+
+    # the newest day is ALWAYS recomputed: more day-2 events arriving after
+    # a mid-day materialization must not be frozen out
+    late = [(20, 9, "click", datetime(2026, 1, 2, 23, 0), 2.0)]
+    r4 = materialize_daily_rollup(spark, ev(day1 + day2 + late), out).collect()
+    assert {(r.day, r.event_type): r.n_events for r in r4}[("2026-01-02", "click")] == 5
+
+
+def test_rollup_empty_first_run(spark, tmp_path):
+    from funnel_report_etl_pipeline__spark.sources.sinks import materialize_daily_rollup
+
+    empty = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    out = materialize_daily_rollup(spark, empty, str(tmp_path / "never_written"))
+    assert out.count() == 0
+    assert "day" in out.columns
 
 
 def test_write_partitioned_caps_file_rows(spark, tmp_path):
