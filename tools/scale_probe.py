@@ -1,0 +1,87 @@
+"""Scaling probe: synthesize corpora N× the bench scale and time the hot
+operators, so the 'would this survive a scale-up' claim is measured, not
+asserted. Writes synthetic parquet under /tmp and prints a JSON line per
+(operator, scale).
+
+Usage: python tools/scale_probe.py [scales ...]   (default: 1 4 10)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from funnel_report_etl_pipeline__spark.operators.curation import curation_summary  # noqa: E402
+from funnel_report_etl_pipeline__spark.operators.dedup import minhash_dedup_pairs  # noqa: E402
+from funnel_report_etl_pipeline__spark.session import get_spark  # noqa: E402
+from funnel_report_etl_pipeline__spark.sources.readers import TestDataCatalog  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+
+
+def synth_documents(spark, mult: int, out: str):
+    """mult copies of the sf0.1 documents with perturbed ids/text, written
+    as a multi-file parquet so the scan parallelizes (unlike the single-
+    row-group testdata)."""
+    docs = TestDataCatalog(spark, BASE_SF).table("documents")
+    parts = []
+    for i in range(mult):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                # interleave a replica token between every word: every
+                # 3-gram then contains it, so cross-replica Jaccard ≈ 0 and
+                # replicas do NOT become one giant near-dup cluster (which
+                # would make the probe quadratic by construction), while
+                # each replica keeps the original near-dup structure
+                F.regexp_replace(F.col("text"), " ", f" z{i} ").alias("text"),
+                "source",
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(32).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def main() -> int:
+    scales = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+    spark = get_spark(app_name="scale_probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    for mult in scales:
+        docs = synth_documents(spark, mult, f"{tmp}/docs_x{mult}")
+        n = docs.count()
+
+        t0 = time.perf_counter()
+        n_pairs = minhash_dedup_pairs(docs, threshold=0.8).count()
+        t_minhash = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        curation_summary(docs).count()
+        t_curation = round(time.perf_counter() - t0, 2)
+
+        print(
+            json.dumps(
+                {
+                    "scale": mult,
+                    "n_docs": n,
+                    "minhash_lsh_sec": t_minhash,
+                    "minhash_pairs": n_pairs,
+                    "curation_sec": t_curation,
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
