@@ -51,12 +51,69 @@ def synth_documents(spark, mult: int, out: str):
     return spark.read.parquet(out)
 
 
+def synth_events(spark, mult: int, out: str):
+    """mult copies of the sf0.1 events with shifted users/ids — user
+    cardinality grows with scale, preserving events-per-user (the quantity
+    that bounds per-key state)."""
+    ev = TestDataCatalog(spark, BASE_SF).table("events")
+    parts = []
+    for i in range(mult):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+                (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+                "event_type",
+                "ts",
+                "value",
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(32).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def _time_events_ops(spark, ev) -> dict[str, float]:
+    from funnel_report_etl_pipeline__spark.operators.asof import asof_join
+
+    out = {}
+    t0 = time.perf_counter()
+    stages = ["signup", "view", "purchase"]
+    timeline = F.array_sort(
+        F.collect_list(F.struct(F.unix_micros("ts").alias("us"), F.col("event_type").alias("et")))
+    )
+    init = F.struct(F.lit(0).alias("d"), F.lit(-1).cast("long").alias("last"))
+    depth = F.aggregate(
+        timeline, init,
+        lambda acc, x: F.when(
+            (x["et"] == F.try_element_at(F.lit(stages), acc["d"] + 1)) & (x["us"] > acc["last"]),
+            F.struct((acc["d"] + 1).alias("d"), x["us"].alias("last")),
+        ).otherwise(acc),
+    )["d"]
+    ev.filter(F.col("event_type").isin(*stages)).groupBy("user_id").agg(
+        depth.alias("depth")
+    ).agg(F.sum("depth")).collect()
+    out["funnel_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    asof_join(p, v, on=["user_id"]).count()
+    out["asof_sec"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
 def main() -> int:
     scales = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
     spark = get_spark(app_name="scale_probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
 
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    for mult in scales:
+        ev = synth_events(spark, mult, f"{tmp}/events_x{mult}")
+        ev_stats = _time_events_ops(spark, ev)
+        print(json.dumps({"scale": mult, "n_events": ev.count(), **ev_stats}))
     for mult in scales:
         docs = synth_documents(spark, mult, f"{tmp}/docs_x{mult}")
         n = docs.count()
