@@ -682,6 +682,130 @@ def event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_segment_priority",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, '<all>') AS segment,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           COUNT(*) AS n_orders,
+           GROUPING(c_mktsegment) + GROUPING(o_orderpriority) AS lvl
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderpriority)
+    """,
+    tags=("relational", "cube", "grouping-sets"),
+)
+def cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all 2² grouping sets in one pass (Spark expands the
+    sets; single scan + one shuffle, same as rollup)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.grouping("c_mktsegment") + F.grouping("o_orderpriority"))
+            .cast("long")
+            .alias("lvl"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "lvl",
+        )
+    )
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substr(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           replace(c_name, '#', '-') AS name_dashed,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer WHERE c_custkey <= 100
+    """,
+    tags=("relational", "string", "scalar"),
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function battery (upper/substr/length/replace/lpad/
+    concat) — all codegen'd, all pushed into the project above the scan."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") <= 100).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+    )
+
+
+@register(
+    "date_parts",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+           COUNT(*) AS n_orders,
+           CAST(MIN(strftime(o_orderdate, '%Y-%m-%d')) AS VARCHAR) AS first_day,
+           CAST(MAX(strftime(o_orderdate, '%Y-%m-%d')) AS VARCHAR) AS last_day
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "date", "scalar"),
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar decomposition (extract year/month) + per-bucket date range
+    — ISO strings at the boundary (DATE output hashes differently across
+    engines, see PLANS.md)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day"),
+            F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_day"),
+        )
+    )
+
+
+@register(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey <= 200
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value
+    FROM part WHERE p_partkey <= 200
+    """,
+    tags=("relational", "unpivot", "melt"),
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide measures → (key, measure, value) rows — the
+    inverse of pivot_daily_values; Spark's Expand node emits both rows per
+    input in one pass (the UNION ALL oracle scans twice)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")
+    )
+
+
+@register(
     "sessionize",
     oracle="""
     WITH flagged AS (
