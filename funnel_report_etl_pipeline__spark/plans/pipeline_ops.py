@@ -509,6 +509,37 @@ def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(list_max(embedding::DOUBLE[]) AS DOUBLE) AS max_val,
+           CAST(list_min(embedding::DOUBLE[]) AS DOUBLE) AS min_val,
+           CAST((list_sort(embedding::DOUBLE[]))[1] AS DOUBLE) AS sorted_first,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive
+    FROM embeddings WHERE vec_id < 50
+    """,
+    tags=("pipeline", "array", "scalar"),
+)
+def array_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery over the embedding column: size/index/min/
+    max/sort/filter — the collection-type surface of the engine, value-
+    matched against DuckDB's list functions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    return emb.filter(F.col("vec_id") < 50).select(
+        "vec_id",
+        F.size(e).cast("long").alias("dim"),
+        e[0].alias("first_val"),
+        F.array_max(e).alias("max_val"),
+        F.array_min(e).alias("min_val"),
+        F.array_sort(e)[0].alias("sorted_first"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+@register(
     "embedding_label_stats",
     oracle="""
     SELECT label, COUNT(*) AS n_vecs,

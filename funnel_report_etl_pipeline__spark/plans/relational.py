@@ -682,6 +682,32 @@ def event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_correlated_subquery",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM customer c WHERE c_custkey <= 100
+    """,
+    tags=("relational", "sql", "subquery"),
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end through the same gate: a correlated scalar
+    subquery submitted as raw ``spark.sql`` over the catalog's temp views
+    (Catalyst decorrelates it into a left outer aggregate join). Every
+    other registered query is DataFrame API; this one proves both surfaces
+    are the same engine."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t)  # registers temp views
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c WHERE c_custkey <= 100
+        """
+    )
+
+
+@register(
     "cube_segment_priority",
     oracle="""
     SELECT COALESCE(c_mktsegment, '<all>') AS segment,
