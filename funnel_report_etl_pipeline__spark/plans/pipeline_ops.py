@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints at runtime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from funnel_report_etl_pipeline__spark.operators.dedup import (
@@ -636,3 +636,68 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits array<binary> frames (stub codecs, real distribution plumbing)."""
     docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
     return media_features(docs, "payload", "doc_id", resize_to=(224, 224), n_frames=4)
+
+
+@register(
+    "hash_sample",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    tags=("pipeline", "sampling"),
+)
+def hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed sampling: keep a doc iff the first
+    hex digit of md5(doc_id) is in a fixed set (here 2/16 = 12.5%). Unlike
+    ``df.sample`` this is reproducible across runs, engines, cluster sizes,
+    and data re-partitioning — the property a training-data holdout split
+    needs. Pure map-side filter: no shuffle, scan-pruned to two columns."""
+    d = _t(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.filter(digit.isin("0", "1")).select("doc_id", "n_chars")
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+      FROM t
+    )
+    SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+    FROM c
+    """,
+    tags=("pipeline", "packing", "tokens"),
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing for LLM pre-training: shard the corpus,
+    lay documents end-to-end in doc_id order within each shard, and assign
+    each doc the 2048-token context bin its first token falls in. One
+    window (cumulative token sum) per shard — shards bound the sort width,
+    so at 100 TB this is N independent partition-local sorts, never a
+    global order-by."""
+    d = _t(spark, sf_dir, "documents")
+    budget = 2048.0
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.col("text"), "\\s+")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget))
+        .cast("long")
+        .alias("bin_id"),
+    )

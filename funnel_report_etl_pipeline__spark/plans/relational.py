@@ -897,3 +897,72 @@ def daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "range_join_pricebands",
+    oracle="""
+    SELECT band, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(22,4))) AS DOUBLE) AS total_price
+    FROM part
+    JOIN (VALUES ('budget', 0.0, 940.0),
+                 ('midrange', 940.0, 980.0),
+                 ('premium', 980.0, 1e9)) AS b(band, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+    tags=("relational", "join", "range"),
+)
+def range_join_pricebands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) interval join: every part lands in the price band
+    whose [lo, hi) interval contains it. The band dimension is a handful of
+    rows → broadcast nested-loop join, so the fact side streams through
+    map-side with zero shuffle before the tiny grouped agg. At 100 TB the
+    band table stays KB-sized and the plan is unchanged; for a *large*
+    interval dimension the scale path is a bucketed bin-key equi-join
+    (floor(price/width)) with a residual range filter."""
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 940.0), ("midrange", 940.0, 980.0), ("premium", 980.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    pr = F.col("p_retailprice")
+    return (
+        p.join(F.broadcast(bands), (pr >= F.col("lo")) & (pr < F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(pr.cast("decimal(22,4)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "grouped_collect",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses
+    FROM orders
+    WHERE o_custkey <= 200
+    GROUP BY o_custkey
+    """,
+    tags=("relational", "agg", "collect"),
+)
+def grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped list aggregation: per-customer sorted status list, emitted as
+    a canonical comma-joined string (collect_list is unordered across
+    partitions — array_sort makes the result deterministic and oracle-
+    comparable). The list payload is one char per order, so the shuffled
+    bytes stay proportional to the group size, not the row width."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey") <= 200)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.concat_ws(",", F.array_sort(F.collect_list("o_orderstatus"))).alias(
+                "statuses"
+            ),
+        )
+    )
