@@ -43,6 +43,8 @@ __all__ = [
     "minhash_dedup_pairs",
     "simhash",
     "simhash_candidate_pairs",
+    "connected_components",
+    "dedup_assign_clusters",
 ]
 
 
@@ -281,4 +283,77 @@ def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (near-dup pairs → clusters → canonical docs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """(id, comp) for every node in `pairs`, where comp is the minimum id
+    in the node's connected component — the step that turns a near-dup
+    *pair* list into dedup *decisions* (keep comp, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; fixpoint = components.
+    Rounds needed = graph diameter, and near-dup clusters are dense
+    (diameter 1-3 in practice), so this converges in a handful of rounds
+    even when star/chain topologies appear. Each round is one equi-join +
+    one grouped min — fully distributed, nothing but (id, label) pairs
+    ever shuffles, and `localCheckpoint` truncates the lineage so plan
+    size stays O(1) across rounds (on a real cluster with flaky executors,
+    prefer `checkpoint()` to a reliable store — localCheckpoint pins
+    blocks to executors).
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint()  # reused every round: materialize once
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = labels.join(nbr_min, "id", "left").select(
+            "id", F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp")
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.withColumnRenamed("comp", "new_comp")
+            .join(labels, "id")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_assign_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Full-corpus cluster assignment: every document gets a component id
+    (its cluster's min doc_id; singletons are their own component) and an
+    is_canonical flag — the row a dedup pass would keep."""
+    labels = connected_components(pairs)
+    return (
+        docs.select(id_col)
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("component"),
+            (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias("is_canonical"),
+        )
     )

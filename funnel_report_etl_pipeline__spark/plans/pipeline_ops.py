@@ -701,3 +701,56 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin_id"),
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    p AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+    walk(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id
+    ),
+    lbl AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+    SELECT d.doc_id,
+           CAST(COALESCE(l.comp, d.doc_id) AS BIGINT) AS component,
+           COALESCE(l.comp, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+    """,
+    tags=("pipeline", "dedup", "iterative"),
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → per-document cluster
+    assignment (component = min doc_id in the cluster; is_canonical marks
+    the keeper). The iterative min-label-propagation operator, value-
+    verified against a DuckDB recursive-CTE transitive closure — the only
+    iterative-algorithm entry in the registry, and the step that makes the
+    pair-emitting dedup queries an actual deduplicator."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import dedup_assign_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_q(spark, sf_dir).select("id_a", "id_b")
+    return dedup_assign_clusters(docs, pairs)

@@ -8,6 +8,7 @@ semantics over an unbounded stream with watermarks for late data.
 
 from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
     daily_rollup_stream,
+    dedup_stream,
     funnel_depth_stream,
     read_event_stream,
     run_to_memory,
@@ -18,6 +19,7 @@ from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
 __all__ = [
     "read_event_stream",
     "daily_rollup_stream",
+    "dedup_stream",
     "session_stream",
     "funnel_depth_stream",
     "view_purchase_attribution",

@@ -140,6 +140,22 @@ _DEPTH_STATE = T.StructType(
 )
 
 
+
+def dedup_stream(
+    events: DataFrame, watermark: str = "1 hour", keys: Iterable[str] = ("event_id",)
+) -> DataFrame:
+    """Streaming deduplication: turn an at-least-once event feed into an
+    exactly-once one by dropping re-deliveries of the same key that arrive
+    within the watermark delay. The streaming twin of the batch
+    ``exact_dedup`` operator, with the state-size story batch doesn't need:
+    the store holds one entry per key and the watermark evicts entries as
+    event time advances, so state is bounded by (key arrival rate x
+    watermark), not by stream history."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def _depth_update(
     key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:

@@ -6,6 +6,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from funnel_report_etl_pipeline__spark.operators.dedup import (
+    connected_components,
+    dedup_assign_clusters,
     exact_dedup,
     gram_rows,
     lsh_candidate_pairs,
@@ -102,3 +104,26 @@ def test_simhash_hamming_zero_for_exact_dup(docs):
         simhash(docs), max_hamming=3
     ).collect()}
     assert pairs.get((1, 2)) == 0
+
+
+def test_connected_components_chain_and_island(spark):
+    # chain 1-2-3-4 (diameter 3 — needs >1 propagation round), pair (10,11),
+    # and 20 never appears → not labeled
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    labels = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_assign_clusters_singletons_are_canonical(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_a long, id_b long")
+    rows = {r.doc_id: r for r in dedup_assign_clusters(docs, pairs).collect()}
+    assert [rows[i].component for i in range(1, 6)] == [1, 2, 1, 4, 1]
+    assert [rows[i].is_canonical for i in range(1, 6)] == [True, True, False, True, False]
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0

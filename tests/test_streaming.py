@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from funnel_report_etl_pipeline__spark.streaming import (
     daily_rollup_stream,
+    dedup_stream,
     funnel_depth_stream,
     read_event_stream,
     run_to_memory,
@@ -140,3 +141,26 @@ def test_funnel_depth_stateful(spark, stream_dir):
     assert depth[1] == 3  # signup → view → purchase, in order
     assert depth[2] == 1  # view arrived before signup, doesn't count
     assert depth[3] == 0  # views only, never signed up
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dup_stream"))
+    rows = [
+        _mk(1, 1, "signup", 0),
+        _mk(1, 1, "signup", 1),   # re-delivery of event 1, 1 min later
+        _mk(2, 1, "view", 5),
+        _mk(1, 1, "signup", 30),  # another re-delivery, still in watermark
+        _mk(3, 2, "view", 6),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    out = run_to_memory(
+        dedup_stream(read_event_stream(spark, path)), "dedup_t", "append"
+    ).collect()
+    ids = sorted(r.event_id for r in out)
+    assert ids == [1, 2, 3]  # each event exactly once
+    # batch twin agrees on the surviving key set
+    batch = spark.read.parquet(path).dropDuplicates(["event_id"])
+    assert sorted(r.event_id for r in batch.collect()) == ids
