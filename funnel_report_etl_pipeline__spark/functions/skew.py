@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_salt", "salted_grouped_agg"]
+__all__ = ["with_salt", "salted_grouped_agg", "salted_join"]
 
 
 def with_salt(df: DataFrame, n_salts: int = 16, col: str = "__salt") -> DataFrame:
@@ -41,3 +41,33 @@ def salted_grouped_agg(
         *[c.alias(a) for a, c in partial_aggs.items()]
     )
     return partial.groupBy(*keys).agg(*[c.alias(a) for a, c in final_aggs.items()])
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the skewed (left) side per-row, replicate
+    the small-enough-to-copy (right) side once per salt value, join on
+    (key, salt). The hot key's rows spread across ``n_salts`` reducers
+    instead of one; results are identical to the plain join (each left row
+    matches exactly the one right replica carrying its salt).
+
+    Complementary to AQE skew-join (which splits oversized *partitions*
+    post-shuffle): salting also handles the single-hot-KEY case where one
+    key exceeds any partition split, at the cost of an n_salts× right-side
+    replication — keep the replicated side the smaller one. Inner/left
+    joins only (replication would duplicate right-side non-matches under
+    right/outer semantics)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    spark = left.sparkSession
+    l = with_salt(left, n_salts)
+    salts = spark.range(n_salts).select(F.col("id").cast("long").alias("__salt"))
+    r = right.crossJoin(F.broadcast(salts))
+    cond = (l[left_key] == r[right_key]) & (l["__salt"] == r["__salt"])
+    return l.join(r, cond, how).drop("__salt")

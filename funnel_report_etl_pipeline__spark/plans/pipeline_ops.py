@@ -162,7 +162,9 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation, exact-Jaccard verified at ≥0.8. The scale path: candidate
     join is on band buckets, cost ∝ near-dup cluster sizes, not corpus²."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
+    return minhash_dedup_pairs(docs, threshold=0.8, persist_grams=True).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @register(
@@ -754,3 +756,73 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs_q(spark, sf_dir).select("id_a", "id_b")
     return dedup_assign_clusters(docs, pairs)
+
+
+@register(
+    "grouped_arrow_stats",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_toks,
+             CAST(SUM(length(text) * len(string_split(text, ' '))) AS BIGINT) AS sum_xy,
+             CAST(SUM(length(text) * length(text)) AS BIGINT) AS sum_xx,
+             CAST(SUM(len(string_split(text, ' ')) * len(string_split(text, ' ')))
+               AS BIGINT) AS sum_yy
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, sum_chars, sum_toks,
+           (CAST(n_docs AS DOUBLE) * sum_xy - CAST(sum_chars AS DOUBLE) * sum_toks) /
+           (sqrt(CAST(n_docs AS DOUBLE) * sum_xx - CAST(sum_chars AS DOUBLE) * sum_chars) *
+            sqrt(CAST(n_docs AS DOUBLE) * sum_yy - CAST(sum_toks AS DOUBLE) * sum_toks))
+             AS corr_chars_tokens
+    FROM s
+    """,
+    tags=("pipeline", "arrow", "grouped"),
+)
+def grouped_arrow_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Arrow exemplar: ``applyInPandas`` per language computes
+    integer-exact moment sums in pandas (int64 — order-independent, so one
+    partition or a thousand give identical bytes), then the Pearson
+    correlation is derived JVM-side from those integers with the same IEEE
+    double expression the oracle uses — bit-identical across engines. The
+    pattern for any custom per-group Python science: ship exact partials
+    out of Python, derive floats deterministically outside."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["text"].str.len().astype("int64")
+        y = pdf["text"].str.split(" ").str.len().astype("int64")
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "sum_chars": [int(x.sum())],
+                "sum_toks": [int(y.sum())],
+                "sum_xy": [int((x * y).sum())],
+                "sum_xx": [int((x * x).sum())],
+                "sum_yy": [int((y * y).sum())],
+            }
+        )
+
+    moments = docs.select("lang", "text").groupBy("lang").applyInPandas(
+        stats,
+        "lang string, n_docs long, sum_chars long, sum_toks long, "
+        "sum_xy long, sum_xx long, sum_yy long",
+    )
+    n = F.col("n_docs").cast("double")
+    sx, sy = F.col("sum_chars").cast("double"), F.col("sum_toks").cast("double")
+    return moments.select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "sum_toks",
+        (
+            (n * F.col("sum_xy") - sx * F.col("sum_toks"))
+            / (
+                F.sqrt(n * F.col("sum_xx") - sx * F.col("sum_chars"))
+                * F.sqrt(n * F.col("sum_yy") - sy * F.col("sum_toks"))
+            )
+        ).alias("corr_chars_tokens"),
+    )

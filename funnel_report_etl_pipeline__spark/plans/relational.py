@@ -966,3 +966,32 @@ def grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "join", "skew"),
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`join_equi` under explicit key-salting: the fact side is salted
+    per-row and the other side replicated once per salt, spreading any
+    single hot order key across 8 reducers. Same oracle as the unsalted
+    twin — salting is proven result-neutral. The manual fallback for when
+    one KEY outgrows anything AQE's partition-split skew handling can do."""
+    from funnel_report_etl_pipeline__spark.functions.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(_revenue_dec()).cast("double").alias("revenue"),
+    )

@@ -2,9 +2,11 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
-from funnel_report_etl_pipeline__spark.functions.skew import salted_grouped_agg, with_salt
+from funnel_report_etl_pipeline__spark.functions.skew import salted_join, salted_grouped_agg, with_salt
 
 from .conftest import SF_SMALL
 
@@ -44,3 +46,33 @@ def test_salt_spreads_rows(spark):
     df = with_salt(spark.range(1000).repartition(4), n_salts=8)
     n_buckets = df.select("__salt").distinct().count()
     assert n_buckets > 1  # the hot key's rows really do split
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, v string"
+    )
+    right = spark.createDataFrame([(1, "X"), (2, "Y"), (9, "Z")], "k2 long, w string")
+    plain = sorted(
+        (r.k, r.v, r.w) for r in left.join(right, left.k == right.k2).collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.w)
+        for r in salted_join(left, right, "k", "k2", n_salts=4).collect()
+    )
+    assert plain == salted
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (5, "e")], "k long, v string")
+    right = spark.createDataFrame([(1, "X")], "k2 long, w string")
+    rows = {
+        r.k: r.w for r in salted_join(left, right, "k", "k2", 4, "left").collect()
+    }
+    assert rows == {1: "X", 5: None}
+
+
+def test_salted_join_rejects_outer(spark):
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", "k", how="full")

@@ -62,6 +62,7 @@ PYTHON_PATH_EXCEPTIONS = {
     "multimodal_meta",
     "multimodal_features",
     "arrow_udf_normalize",
+    "grouped_arrow_stats",  # applyInPandas grouped map (FlatMapGroupsInPandas)
 }
 
 
@@ -75,3 +76,26 @@ def test_no_python_udfs_in_any_relational_plan(spark):
             assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python UDF"
             continue
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_hash_sample_prunes_and_never_shuffles(spark):
+    p = plan_of(spark, "hash_sample")
+    assert "Exchange" not in p  # pure map-side filter
+    read = p.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in read and "n_chars" in read and "text" not in read
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    p = plan_of(spark, "pack_sequences")
+    assert p.count("Exchange hashpartitioning") == 1  # the shard window only
+
+
+def test_range_join_broadcasts_band_dim(spark):
+    p = plan_of(spark, "range_join_pricebands")
+    assert "BroadcastNestedLoopJoin" in p  # non-equi join, tiny side broadcast
+    assert "Exchange hashpartitioning(p_retailprice" not in p
+
+
+def test_grouped_collect_one_shuffle(spark):
+    p = plan_of(spark, "grouped_collect")
+    assert p.count("Exchange hashpartitioning") == 1  # single agg shuffle
