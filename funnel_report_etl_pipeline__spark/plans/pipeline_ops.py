@@ -826,3 +826,33 @@ def grouped_arrow_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr_chars_tokens"),
     )
+
+
+@register(
+    "vocab_topk",
+    oracle="""
+    SELECT tok, n
+    FROM (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    )
+    ORDER BY n DESC, tok
+    LIMIT 100
+    """,
+    tags=("pipeline", "text", "vocab"),
+)
+def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: token frequencies, top-100 by count with a
+    token tiebreak — the first step of tokenizer/vocab induction. explode →
+    map-side partial counts → one shuffle on token → TakeOrderedAndProject
+    (per-partition top-k, k-row driver merge; no global sort at any
+    scale)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(100)
+    )

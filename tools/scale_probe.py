@@ -18,7 +18,10 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 from funnel_report_etl_pipeline__spark.operators.curation import curation_summary  # noqa: E402
-from funnel_report_etl_pipeline__spark.operators.dedup import minhash_dedup_pairs  # noqa: E402
+from funnel_report_etl_pipeline__spark.operators.dedup import (  # noqa: E402
+    dedup_assign_clusters,
+    minhash_dedup_pairs,
+)
 from funnel_report_etl_pipeline__spark.session import get_spark  # noqa: E402
 from funnel_report_etl_pipeline__spark.sources.readers import TestDataCatalog  # noqa: E402
 
@@ -126,6 +129,13 @@ def main() -> int:
         curation_summary(docs).count()
         t_curation = round(time.perf_counter() - t0, 2)
 
+        t0 = time.perf_counter()
+        pairs = minhash_dedup_pairs(docs, threshold=0.8).select("id_a", "id_b")
+        n_clustered = dedup_assign_clusters(docs, pairs).filter(
+            ~F.col("is_canonical")
+        ).count()
+        t_cluster = round(time.perf_counter() - t0, 2)
+
         print(
             json.dumps(
                 {
@@ -134,6 +144,8 @@ def main() -> int:
                     "minhash_lsh_sec": t_minhash,
                     "minhash_pairs": n_pairs,
                     "curation_sec": t_curation,
+                    "cluster_sec": t_cluster,
+                    "n_dropped": n_clustered,
                 }
             )
         )
