@@ -65,9 +65,15 @@ def salted_join(
     right/outer semantics)."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = "__sj_salt"
+    clash = [c for c in (*left.columns, *right.columns) if c == salt]
+    if clash:
+        # overwriting a caller's column would silently corrupt it on the
+        # left and raise AMBIGUOUS_REFERENCE later on the right — fail now
+        raise ValueError(f"salted_join: input already has a {salt!r} column")
     spark = left.sparkSession
-    l = with_salt(left, n_salts)
-    salts = spark.range(n_salts).select(F.col("id").cast("long").alias("__salt"))
+    l = with_salt(left, n_salts, col=salt)
+    salts = spark.range(n_salts).select(F.col("id").cast("long").alias(salt))
     r = right.crossJoin(F.broadcast(salts))
-    cond = (l[left_key] == r[right_key]) & (l["__salt"] == r["__salt"])
-    return l.join(r, cond, how).drop("__salt")
+    cond = (l[left_key] == r[right_key]) & (l[salt] == r[salt])
+    return l.join(r, cond, how).drop(salt)

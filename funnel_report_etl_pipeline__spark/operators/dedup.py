@@ -184,6 +184,10 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+# the single live gram cache (see minhash_dedup_pairs persist_grams)
+_PERSISTED_GRAMS: list[DataFrame] = []
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -202,10 +206,15 @@ def minhash_dedup_pairs(
     The gram frame feeds both the signature pass and the verify join.
     ``persist_grams=True`` materializes it once and reuses it (measured
     1.46s vs 2.16s warm at sf0.1 — the recompute costs more than the
-    cache); the cached blocks are released by Spark's ContextCleaner when
-    the result frame is dropped. At 100 TB, materialize grams/signatures
-    to a parquet checkpoint between runs instead — executor-memory caching
-    of a corpus-sized gram frame would evict itself."""
+    cache). DataFrame caches are pinned by Spark's CacheManager until
+    explicitly unpersisted (ContextCleaner does NOT reap them), so this
+    module keeps at most ONE gram cache alive: each persisting call
+    releases the previous call's cache. Safe for sequential execution
+    (bench/verify drain each result before the next call); for concurrent
+    pipelines manage persistence externally. At 100 TB, materialize
+    grams/signatures to a parquet checkpoint between runs instead —
+    executor-memory caching of a corpus-sized gram frame would evict
+    itself."""
     if bands * rows > num_perm:
         raise ValueError(
             f"bands*rows ({bands}*{rows}) exceeds signature length {num_perm}; "
@@ -214,6 +223,9 @@ def minhash_dedup_pairs(
     grams = gram_rows(df, id_col, text_col, ngram)
     if persist_grams:
         grams = grams.persist()
+        while _PERSISTED_GRAMS:
+            _PERSISTED_GRAMS.pop().unpersist()
+        _PERSISTED_GRAMS.append(grams)
     sigs = minhash_signatures(grams, num_perm)
     cands = lsh_candidate_pairs(sigs, bands, rows)
     return jaccard_verify(cands, grams, threshold)
@@ -310,6 +322,12 @@ def connected_components(
     size stays O(1) across rounds (on a real cluster with flaky executors,
     prefer `checkpoint()` to a reliable store — localCheckpoint pins
     blocks to executors).
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds (graph diameter > max_iter): returning the
+    intermediate labels would silently split true components, making a
+    dedup pass keep duplicates. Raise ``max_iter`` for pathological chain
+    topologies.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(
@@ -339,8 +357,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter); labels would be wrong — "
+        "raise max_iter"
+    )
 
 
 def dedup_assign_clusters(

@@ -697,7 +697,11 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     other registered query is DataFrame API; this one proves both surfaces
     are the same engine."""
     for t in ("customer", "orders"):
-        _t(spark, sf_dir, t)  # registers temp views
+        # re-register unconditionally: the catalog caches per (session,
+        # sf_dir) and skips view registration on cache hits, so after a
+        # different sf_dir registered the same global view names, a cached
+        # catalog would silently leave spark.sql reading the OTHER sf's data
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
         """
         SELECT c_custkey,
@@ -994,4 +998,45 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
         F.sum(_revenue_dec()).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "json_roundtrip",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey,
+             to_json(struct_pack(k := o_orderkey, s := o_orderstatus,
+                                 p := o_totalprice)) AS doc
+      FROM orders WHERE o_orderkey <= 500
+    )
+    SELECT o_orderkey,
+           json_extract_string(doc, '$.s') AS status,
+           CAST(json_extract(doc, '$.k') AS BIGINT) AS key_back,
+           CAST(json_extract(doc, '$.p') AS DOUBLE) AS price_back
+    FROM j
+    """,
+    tags=("relational", "json", "scalar"),
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column surface: serialize a struct to a JSON document, then
+    extract typed fields back out (`to_json` → `get_json_object` /
+    `from_json`) — the semi-structured hop every log-ingestion pipeline
+    makes. Both engines serialize doubles round-trip-exactly, so the
+    *parsed* values compare bit-equal even though the JSON text may format
+    numbers differently. All codegen'd JVM expressions, zero shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_totalprice").alias("p"),
+        )
+    )
+    parsed = F.from_json(doc, "k long, s string, p double")
+    return o.select(
+        "o_orderkey",
+        F.get_json_object(doc, "$.s").alias("status"),
+        parsed.getField("k").alias("key_back"),
+        parsed.getField("p").alias("price_back"),
     )

@@ -76,3 +76,10 @@ def test_salted_join_rejects_outer(spark):
     df = spark.range(1).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(df, df, "k", "k", how="full")
+
+
+def test_salted_join_rejects_salt_name_clash(spark):
+    df = spark.range(1).select(F.col("id").alias("k"), F.lit(0).alias("__sj_salt"))
+    plain = spark.range(1).select(F.col("id").alias("k2"))
+    with pytest.raises(ValueError, match="__sj_salt"):
+        salted_join(df, plain, "k", "k2")

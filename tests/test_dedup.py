@@ -127,3 +127,12 @@ def test_dedup_assign_clusters_singletons_are_canonical(spark):
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    # a 6-node chain has diameter 5; max_iter=2 cannot reach the fixpoint
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)

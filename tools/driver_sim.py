@@ -33,8 +33,18 @@ def load_entry():
     return mod
 
 
+def _hashable(v):
+    # list/ndarray cells (array columns) are unsortable/uncomparable as-is
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_hashable(x) for x in v)
+    return v
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(_hashable)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
@@ -44,6 +54,9 @@ def cell_equal(a, b) -> bool:
             return True
     except (TypeError, ValueError):
         pass
+    a, b = _hashable(a), _hashable(b)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(cell_equal(x, y) for x, y in zip(a, b))
     return a == b
 
 
