@@ -72,3 +72,20 @@ def test_strict_mode_raises(spark, malformed_landing):
     with pytest.raises(Exception) as ei:
         df.collect()
     assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+
+
+def test_sql_view_queries_survive_sf_switch(spark):
+    """Regression: the catalog registers temp views on first access per
+    (session, sf_dir); spark.sql-based queries must re-register so a
+    cached catalog never leaves the global view pointing at another
+    sf_dir's parquet."""
+    from funnel_report_etl_pipeline__spark.plans.registry import load_all
+
+    from .conftest import SF_MED, SF_SMALL
+
+    fn = load_all()["sql_correlated_subquery"].fn
+    small_1 = {r.c_custkey: r.n_orders for r in fn(spark, SF_SMALL).collect()}
+    med = {r.c_custkey: r.n_orders for r in fn(spark, SF_MED).collect()}
+    small_2 = {r.c_custkey: r.n_orders for r in fn(spark, SF_SMALL).collect()}
+    assert small_1 == small_2  # sf0.001 answers unchanged after sf0.01 ran
+    assert small_1 != med  # and the two SFs genuinely differ
