@@ -1040,3 +1040,122 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("key_back"),
         parsed.getField("p").alias("price_back"),
     )
+
+
+@register(
+    "approx_percentiles",
+    oracle=None,  # GK-sketch output is engine-specific; exact twin:
+    # value_percentiles (same grouping, same probe points)
+    tags=("relational", "percentile", "approx"),
+)
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: `approx_percentile` (Greenwald-Khanna
+    sketch, mergeable partials — no global sort, bounded memory per group)
+    at accuracy 10000 (max rank error 1e-4), alongside the exact
+    percentile so the error is inspectable in-row. The exact twin
+    `value_percentiles` carries the full value-hash oracle; the test suite
+    asserts the sketch lands within the GK rank-error bound."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("approx_p99"),
+        F.expr("percentile(value, 0.99)").alias("exact_p99"),
+    )
+
+
+@register(
+    "window_nav_funcs",
+    oracle="""
+    SELECT user_id, event_id,
+           lag(event_id)  OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           first_value(event_id) OVER w AS first_event,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("relational", "window", "navigation"),
+)
+def window_nav_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation-function battery over per-user event timelines: lag /
+    lead / first_value / ntile share ONE window spec, so Catalyst computes
+    them all in a single Window operator over a single user-key exchange —
+    adding more navigation columns is free of extra shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.filter(F.col("user_id") < 50).select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "range_window_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_within_1k
+    FROM orders WHERE o_custkey <= 100
+    """,
+    tags=("relational", "window", "range-frame"),
+)
+def range_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: per customer, how many of their
+    orders fall within 1000 of this order's price, looking down the sorted
+    prices. RANGE frames bound peers by VALUE distance, not row count —
+    the frame Spark evaluates with a sliding bound over the sorted
+    partition, one user-key exchange. (SQL-expression form: the PySpark
+    ``rangeBetween`` API only accepts integer offsets, but the engine
+    itself takes any orderable numeric bound.)"""
+    ev = _t(spark, sf_dir, "orders")
+    frame = (
+        "COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+        "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
+    )
+    return ev.filter(F.col("o_custkey") <= 100).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.expr(frame).cast("long").alias("n_within_1k"),
+    )
+
+
+@register(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT n_name, c.c_custkey, c.c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) c
+    """,
+    tags=("relational", "sql", "lateral"),
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery through the SQL front-end: top-2
+    customers per nation, the per-row-subquery formulation Catalyst
+    rewrites into a join + windowed group-limit. Views are re-registered
+    unconditionally (same stale-view class as sql_correlated_subquery)."""
+    for t in ("nation", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n_name, c.c_custkey, c.c_acctbal
+        FROM nation, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) c
+        """
+    )

@@ -83,3 +83,17 @@ def test_salted_join_rejects_salt_name_clash(spark):
     plain = spark.range(1).select(F.col("id").alias("k2"))
     with pytest.raises(ValueError, match="__sj_salt"):
         salted_join(df, plain, "k", "k2")
+
+
+def test_approx_percentile_within_rank_error(spark):
+    from funnel_report_etl_pipeline__spark.plans.registry import load_all
+
+    from .conftest import SF_MED
+
+    rows = load_all()["approx_percentiles"].fn(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        # accuracy 10000 → rank error ≤ 1e-4; on this value range that
+        # keeps the sketch within a tight relative band of the exact answer
+        for a, e in ((r.approx_p50, r.exact_p50), (r.approx_p99, r.exact_p99)):
+            assert abs(a - e) / max(abs(e), 1e-9) < 0.01, (a, e)
