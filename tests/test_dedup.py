@@ -136,3 +136,17 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=2)
+
+
+def test_persist_grams_keeps_single_live_cache(spark, docs):
+    from funnel_report_etl_pipeline__spark.operators import dedup as D
+
+    D.minhash_dedup_pairs(docs, threshold=0.5, persist_grams=True).collect()
+    assert len(D._PERSISTED_GRAMS) == 1
+    k1 = D._PERSISTED_GRAMS[0][0]
+    D.minhash_dedup_pairs(docs, threshold=0.5, persist_grams=True).collect()
+    # identical call reuses the same cache entry (plan-hash match)
+    assert len(D._PERSISTED_GRAMS) == 1 and D._PERSISTED_GRAMS[0][0] == k1
+    D.minhash_dedup_pairs(docs.limit(3), threshold=0.5, persist_grams=True).collect()
+    # different input evicts the old cache and installs the new one
+    assert len(D._PERSISTED_GRAMS) == 1 and D._PERSISTED_GRAMS[0][0] != k1
