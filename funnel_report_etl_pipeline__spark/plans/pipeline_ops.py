@@ -856,3 +856,33 @@ def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("tok"))
         .limit(100)
     )
+
+
+@register(
+    "stratified_hash_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+               % 100 AS bucket
+      FROM documents
+    )
+    WHERE bucket < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 ELSE 100 END
+    """,
+    tags=("pipeline", "sampling", "stratified"),
+)
+def stratified_hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling — per-language rates (downsample
+    dominant languages, keep the tail whole), the mixture-control step of
+    training-data assembly. The doc's md5 prefix mod 100 is its permanent
+    percentile bucket, so rates are stable under reruns, engine changes,
+    and repartitioning. Map-side filter only, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+    bucket = bucket.cast("int") % 100
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "de", 50)
+        .otherwise(100)
+    )
+    return d.filter(bucket < rate).select("doc_id", "lang")
