@@ -1159,3 +1159,36 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c
         """
     )
+
+
+@register(
+    "regexp_funcs",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+           regexp_matches(c_name, '[0-9]{3}') AS has_3digits,
+           CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS BIGINT)
+             AS n_digits
+    FROM customer WHERE c_custkey <= 100
+    """,
+    tags=("relational", "string", "regex"),
+)
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery: extract / replace / match-test over customer rows.
+    Patterns stay in the Java-regex ∩ RE2 common subset (character
+    classes, quantifiers — no lookaround) so Spark and the DuckDB oracle
+    agree; Spark's regexp_replace is replace-ALL, which DuckDB only does
+    with the 'g' flag — an easy silent-divergence trap."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") <= 100).select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace(F.col("c_name"), F.lit("[0-9]"), F.lit("#")).alias(
+            "name_masked"
+        ),
+        F.col("c_name").rlike("[0-9]{3}").alias("has_3digits"),
+        F.length(F.regexp_replace(F.col("c_name"), F.lit("[^0-9]"), F.lit("")))
+        .cast("long")
+        .alias("n_digits"),
+    )
