@@ -1192,3 +1192,35 @@ def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_digits"),
     )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           (map(['status', 'priority'],
+                [o_orderstatus, o_orderpriority])['status'])[1] AS status_val,
+           (map(['status', 'priority'],
+                [o_orderstatus, o_orderpriority])['priority'])[1] AS priority_val,
+           CAST(len(map_keys(map(['status', 'priority'],
+                [o_orderstatus, o_orderpriority]))) AS BIGINT) AS n_keys
+    FROM orders WHERE o_orderkey <= 200
+    """,
+    tags=("relational", "map", "scalar"),
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type surface: build a map column, extract by key, count keys —
+    the collection type config/attribute payloads arrive in. (DuckDB's
+    map[key] yields a single-element LIST, hence the [1] in the oracle;
+    Spark's getItem yields the value directly — same values either way.)"""
+    o = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.filter(F.col("o_orderkey") <= 200).select(
+        "o_orderkey",
+        m["status"].alias("status_val"),
+        m["priority"].alias("priority_val"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )
