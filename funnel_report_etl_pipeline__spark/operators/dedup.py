@@ -36,6 +36,7 @@ __all__ = [
     "normalize_text",
     "word_ngrams",
     "gram_rows",
+    "drop_frequent_grams",
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
@@ -118,12 +119,26 @@ def minhash_signatures(
     grams: DataFrame,
     num_perm: int = 32,
 ) -> DataFrame:
-    """(id, sig) — sig[i] = min over grams of murmur3(gram, seed=i), from a
-    (id, gram) row frame. k seeded min-aggregates in one grouped pass;
-    map-side partials mean only (id, k ints) per partition shuffle. The
-    seeded hash is deterministic across runs and cluster sizes."""
-    mins = grams.groupBy("id").agg(
-        *[F.min(F.hash(F.col("gram"), F.lit(i))).alias(f"__h{i}") for i in range(num_perm)]
+    """(id, sig) — sig[i] = min over grams of h1 + i·h2, from a (id, gram)
+    row frame: Kirsch–Mitzenmacher double hashing over the two halves of
+    md5(gram) (h1 = 60-bit prefix, h2 = 48-bit mid slice forced odd).
+
+    One md5 per gram row, then num_perm multiply-add min-aggregates in one
+    grouped pass — map-side partials mean only (id, k longs) per partition
+    shuffle. i·h2 ≤ 31·2⁴⁸ so h1 + i·h2 < 2⁶¹ never overflows a long.
+
+    The hash family is plain hex/integer arithmetic on md5 — identical in
+    any engine (unlike murmur3 seeds), so the full MinHash-LSH pipeline is
+    DuckDB-replicable and carries a value-hash oracle."""
+    md5 = F.md5(F.col("gram"))
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 16, 12), 16, 10).cast("long").bitwiseOR(F.lit(1))
+    hashed = grams.select("id", h1.alias("__h1"), h2.alias("__h2"))
+    mins = hashed.groupBy("id").agg(
+        *[
+            F.min(F.col("__h1") + F.lit(i) * F.col("__h2")).alias(f"__h{i}")
+            for i in range(num_perm)
+        ]
     )
     return mins.select(
         "id", F.array(*[f"__h{i}" for i in range(num_perm)]).alias("sig")
@@ -132,13 +147,21 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
     """Banding: split the signature into `bands` chunks of `rows`; docs
-    sharing any (band_idx, band_hash) are candidates. The join key is the
+    sharing any (band_idx, band_key) are candidates. The join key is the
     band bucket — at 100 TB this is the only join, and each bucket holds a
-    near-dup cluster (skewed mega-clusters are handled by AQE skew-join)."""
+    near-dup cluster (skewed mega-clusters are handled by AQE skew-join).
+    The band key is the dash-joined decimal rendering of the band's minhash
+    values — engine-neutral (no murmur3), so the oracle groups identically."""
     band = F.posexplode(
         F.array(
             *[
-                F.hash(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.element_at("sig", b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
+                )
                 for b in range(bands)
             ]
         )
@@ -158,12 +181,38 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8, rows: int = 4) -> DataF
     )
 
 
+def drop_frequent_grams(grams: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop grams that appear in more than ``max_doc_freq`` documents (the
+    CCNet stop-gram guard): a viral boilerplate passage shared by k docs
+    otherwise makes every gram-blocked join build k² groups. One window
+    count over the gram partition — a single shuffle on gram, no join —
+    and the surviving gram set is identical on any engine (the filter is a
+    pure doc-frequency predicate, SQL-replicable for the oracle)."""
+    w = Window.partitionBy("gram")
+    return (
+        grams.withColumn("__df", F.count("*").over(w))
+        .filter(F.col("__df") <= max_doc_freq)
+        .drop("__df")
+    )
+
+
 def jaccard_verify(
-    pairs: DataFrame, grams: DataFrame, threshold: float = 0.8
+    pairs: DataFrame,
+    grams: DataFrame,
+    threshold: float = 0.8,
+    max_gram_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over (id, gram) rows for the candidate pairs only:
     join each side's grams, count matches, inclusion-exclusion. Filters LSH
-    false positives. All equi-joins — candidate-set-sized, never corpus²."""
+    false positives. All equi-joins — candidate-set-sized, never corpus².
+
+    ``max_gram_freq`` applies the stop-gram guard to the verify join's gram
+    frame: without it, a gram shared by k docs contributes k rows to each
+    side of the intersection join; with it, group sizes are bounded by the
+    cap. Jaccard is then computed over the capped gram set (standard
+    doc-frequency weighting — stop-grams carry no dedup signal)."""
+    if max_gram_freq is not None:
+        grams = drop_frequent_grams(grams, max_gram_freq)
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     ga = grams.withColumnsRenamed({"id": "id_a", "gram": "g"})
     gb = grams.withColumnsRenamed({"id": "id_b", "gram": "g"})
@@ -184,9 +233,11 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-# the single live gram cache as (semantic plan hash, frame) — see
-# minhash_dedup_pairs persist_grams
-_PERSISTED_GRAMS: list[tuple[int, DataFrame]] = []
+# the single live gram cache as ((session id, semantic plan hash), frame) —
+# see minhash_dedup_pairs persist_grams. The session id is part of the key:
+# a new session with the same input must NOT reuse a frame bound to a
+# stopped session (the plan hash alone would collide).
+_PERSISTED_GRAMS: list[tuple[tuple[int, int], DataFrame]] = []
 
 
 def minhash_dedup_pairs(
@@ -199,10 +250,19 @@ def minhash_dedup_pairs(
     rows: int = 4,
     threshold: float = 0.8,
     persist_grams: bool = False,
+    max_gram_freq: int | None = 1000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: gram rows → signatures → banded
     candidates → exact-Jaccard verify. Returns (id_a, id_b, jaccard) pairs
     ≥ threshold.
+
+    ``max_gram_freq`` (default 1000) drops grams shared by more document
+    than the cap BEFORE both the signature and verify passes — one
+    consistent gram universe, so signatures, candidates, and the verified
+    Jaccard all agree. Viral boilerplate (a stop-gram in >cap docs)
+    otherwise quadratically blows the verify join's per-gram groups at
+    corpus scale; the dropped grams carry no near-dup signal (they don't
+    discriminate). Set None to disable (exact textbook semantics).
 
     The gram frame feeds both the signature pass and the verify join.
     ``persist_grams=True`` materializes it once and reuses it (measured
@@ -222,17 +282,23 @@ def minhash_dedup_pairs(
             "banding would index past the end of the signature"
         )
     grams = gram_rows(df, id_col, text_col, ngram)
+    if max_gram_freq is not None:
+        grams = drop_frequent_grams(grams, max_gram_freq)
     if persist_grams:
         # one live cache, keyed by semantic plan hash: an identical call
         # (same session/input/params — e.g. bench warm-up then timed run)
         # REUSES the cached frame; a different input evicts the old cache
         # first, so caches never accumulate across scale factors
-        key = grams._jdf.queryExecution().analyzed().semanticHash()
+        key = (id(grams.sparkSession), grams._jdf.queryExecution().analyzed().semanticHash())
         if _PERSISTED_GRAMS and _PERSISTED_GRAMS[0][0] == key:
             grams = _PERSISTED_GRAMS[0][1]
         else:
             while _PERSISTED_GRAMS:
-                _PERSISTED_GRAMS.pop()[1].unpersist()
+                old = _PERSISTED_GRAMS.pop()[1]
+                try:
+                    old.unpersist()
+                except Exception:  # noqa: BLE001 — cache bound to a stopped
+                    pass  # session: nothing left to release
             grams = grams.persist()
             _PERSISTED_GRAMS.append((key, grams))
     sigs = minhash_signatures(grams, num_perm)
@@ -245,45 +311,48 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _bit_mask(b: int) -> int:
-    # bit 63 is the sign bit of a signed long: 1<<63 overflows int64, so
-    # its mask is the two's-complement value
-    return (1 << b) if b < 63 else -(1 << 63)
+SIMHASH_BITS = 60  # 4 chunks × 15 bits; < 63 so every mask fits a signed long
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: each distinct token votes ±1 on each bit of its
-    xxhash64; the sign of the vote sum sets the fingerprint bit. Exploded
-    tokens → 64 grouped conditional sums (codegen, map-side partials)."""
+    """60-bit SimHash: each distinct token votes ±1 on each bit of its
+    hash; the sign of the vote sum sets the fingerprint bit. Exploded
+    tokens → 60 grouped conditional sums (codegen, map-side partials).
+
+    The token hash is the 60-bit md5 prefix — plain hex/integer arithmetic
+    (no engine-specific murmur/xxhash), so the fingerprints, the chunk
+    blocking, and the Hamming verify are all DuckDB-replicable and the
+    registered query carries a full value-hash oracle. 60 bits (vs the
+    textbook 64) keeps every bit mask inside a signed long in any engine."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     )
-    h = F.xxhash64(F.col("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     votes = toks.groupBy("id").agg(
         *[
             F.sum(
-                F.when(h.bitwiseAND(F.lit(_bit_mask(b))) != 0, 1).otherwise(-1)
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"__v{b}")
-            for b in range(64)
+            for b in range(SIMHASH_BITS)
         ]
     )
     fp = None
-    for b in range(64):
-        bit = F.when(F.col(f"__v{b}") > 0, F.lit(_bit_mask(b))).otherwise(F.lit(0))
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"__v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = bit if fp is None else fp.bitwiseOR(bit)
     return votes.select("id", fp.alias("simhash"))
 
 
 def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ max_hamming. Blocking: split the
-    64-bit fingerprint into 4 × 16-bit chunks — any pair within distance 3
+    60-bit fingerprint into 4 × 15-bit chunks — any pair within distance 3
     must agree on ≥1 chunk (pigeonhole), so the join is on chunk equality,
     never all-pairs. Verify with bit_count(xor)."""
     chunks = F.posexplode(
         F.array(
             *[
-                F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned("simhash", 15 * i).bitwiseAND(F.lit(0x7FFF))
                 for i in range(4)
             ]
         )
@@ -300,9 +369,9 @@ def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
-                "hamming"
-            ),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

@@ -70,12 +70,19 @@ def resize_stub(payload: bytes, width: int, height: int) -> bytes:
 
 def frame_sample_stub(payload: bytes, n_frames: int) -> list[bytes]:
     """Placeholder for video frame sampling (av/ffmpeg). Deterministic
-    fake: n pseudo-frames derived from the payload hash chain — real
-    plumbing would yield decoded frames at evenly-spaced timestamps."""
-    frames, h = [], payload
-    for i in range(n_frames):
-        h = hashlib.sha256(h + bytes([i])).digest()
-        frames.append(h)
+    fake: n pseudo-frames from a sha256 chain — real plumbing would yield
+    decoded frames at evenly-spaced timestamps.
+
+    The chain walks hex-digest STRINGS (frame i = digest of previous hex
+    digest + "f{i}") so the whole fake is replicable by any engine's
+    varchar sha256 — which is what lets the registered query carry a full
+    value-hash oracle instead of a rows-only waiver."""
+    frames = []
+    prev = hashlib.sha256(payload + b"f0").hexdigest()
+    frames.append(bytes.fromhex(prev))
+    for i in range(1, n_frames):
+        prev = hashlib.sha256(prev.encode("ascii") + f"f{i}".encode()).hexdigest()
+        frames.append(bytes.fromhex(prev))
     return frames
 
 

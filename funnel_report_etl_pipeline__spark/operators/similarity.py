@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (`array<float>`).
 
-Two paths:
+Three paths:
 
 * **Brute-force cosine top-k** — the exact baseline. Queries are broadcast
   (a query set is small by definition); the corpus is scanned once, scored
@@ -8,16 +8,24 @@ Two paths:
   left-to-right double summation, bit-identical to DuckDB's
   list_dot_product, verified), and per-query top-k is taken with a
   WindowGroupLimit-eligible row_number.
-* **LSH-bucketed ANN** — the 100 TB path. Random-hyperplane signatures
-  (hyperplane components derived from Spark's deterministic murmur3 hash,
-  no RNG state to ship) bucket the corpus; queries probe only their own
-  bucket. Recall is tunable by bits/tables; candidates are re-ranked with
-  the exact score.
+* **LSH-bucketed ANN** — a 100 TB path. Rademacher (±1) hyperplane
+  signatures over integer-quantized embeddings: the sign pattern is fixed
+  md5-derived constants embedded as literals, the per-bit dot products are
+  exact int64 sums over posexploded dimensions (whole-stage codegen, no
+  interpreted HOFs on the corpus side), so signatures are bit-identical on
+  any engine/partitioning — the registered query carries a full DuckDB
+  value-hash oracle. Recall is tuned by tables × bits and Hamming-1
+  multi-probe on the query side; candidates are re-ranked exactly.
+* **IVF ANN** — the inverted-file 100 TB path: k-means coarse quantizer
+  (trained once, tiny centroid table), cell-blocked join, exact re-rank
+  inside the probed cells.
 
-No Python touches row data in either path.
+No Python touches row data in any path.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -25,9 +33,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "with_cosine",
     "cosine_topk_brute",
-    "hyperplane_signature",
+    "rademacher_sign",
+    "hyperplane_buckets",
     "cosine_topk_lsh",
     "cosine_near_dup_pairs",
+    "train_ivf_centroids",
     "cosine_topk_ivf",
 ]
 
@@ -89,6 +99,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all-pairs baseline).
 
@@ -96,7 +107,18 @@ def cosine_near_dup_pairs(
     pair space, but cost is still O(n²·dim) — correct for verification and
     small corpora. At 100 TB use hyperplane-LSH or IVF cells to block the
     join (cosine_topk_lsh / cosine_topk_ivf) and keep this only as the
-    within-bucket verifier."""
+    within-bucket verifier.
+
+    ``max_rows`` is the footgun guard: the call RAISES if the corpus
+    exceeds it, so nobody points the quadratic verifier at a real corpus
+    by accident — raising the cap is an explicit, visible decision."""
+    n = corpus.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_near_dup_pairs is the O(n²) exact baseline and the corpus "
+            f"has {n} rows (> max_rows={max_rows}). Use cosine_topk_lsh / "
+            "cosine_topk_ivf at scale, or pass a larger max_rows explicitly."
+        )
     v = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -109,6 +131,33 @@ def cosine_near_dup_pairs(
     return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Spherical-ish k-means coarse quantizer: L2-normalize the vectors
+    (so Euclidean k-means ≈ cosine clustering), train
+    ``pyspark.ml.clustering.KMeans`` with a fixed seed, return the centers.
+
+    The model is a tiny driver-side artifact (n_cells × dim floats — a
+    hyperparameter, not data); training is a handful of distributed passes
+    over the corpus. At 100 TB train on a hash-sample (a few million rows
+    bounds centroid noise) rather than the full corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    feats = v.select(
+        array_to_vector(F.transform("v", lambda x: x / norm)).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return [list(c) for c in model.clusterCenters()]
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -117,23 +166,22 @@ def cosine_topk_ivf(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into `n_cells` cells, probe
     the query's `n_probe` nearest cells, exact re-rank inside them.
 
-    Centroids are `n_cells` corpus vectors picked by deterministic hash
-    order (a stand-in for k-means — same plumbing, reproducible across
-    runs/cluster sizes). The centroid table is tiny and becomes literal
+    Centroids come from the k-means quantizer (``train_ivf_centroids``)
+    unless passed in. The centroid table is tiny and becomes literal
     expressions, so cell assignment is a per-row scan-side computation; the
     only join is corpus⋈queries on cell id — cost ∝ corpus·n_probe/n_cells
     per query instead of corpus."""
     v = corpus.select(
         F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
     )
-    cents = [
-        list(r.cv)
-        for r in v.withColumn("__r", F.hash("cid")).orderBy("__r", "cid").limit(n_cells).collect()
-    ]
+    cents = centroids if centroids is not None else train_ivf_centroids(
+        corpus, n_cells, vec_col
+    )
 
     def cell_sims(vec: F.Column) -> list[F.Column]:
         sims = []
@@ -173,45 +221,106 @@ def cosine_topk_ivf(
     )
 
 
-def hyperplane_signature(vec: F.Column, n_bits: int = 12, dim: int = 64) -> F.Column:
-    """Random-hyperplane LSH signature as an int bucket id.
+def rademacher_sign(table: int, bit: int, dim_idx: int) -> int:
+    """Deterministic ±1 hyperplane component: the low bit of
+    md5("table:bit:dim") — plain Python, so the SAME constants can be
+    embedded as literals in the Spark plan and in the SQL oracle."""
+    return 1 if hashlib.md5(f"{table}:{bit}:{dim_idx}".encode()).digest()[0] & 1 else -1
 
-    Hyperplane j's i-th component is murmur3(j, i) scaled to [-1, 1] — a
-    fixed, seedless pseudo-random projection identical on every executor
-    and every run. Bit j = sign(v · h_j).
-    """
-    sig = F.lit(0)
-    for j in range(n_bits):
-        h = F.array(
-            *[(F.hash(F.lit(j), F.lit(i)) / F.lit(2147483647.0)) for i in range(dim)]
+
+def hyperplane_buckets(
+    df: DataFrame,
+    id_out: str,
+    n_tables: int = 2,
+    n_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table_idx, bucket) — one row per LSH table.
+
+    Bit j of table t = sign(Σ_i q(v_i)·s_{t,j,i}) where q quantizes to
+    integer microunits (round(x·1e6) — the identical int64 on any engine)
+    and s is the fixed Rademacher ±1 matrix. The per-bit sums are grouped
+    integer aggregates over posexploded dimensions: whole-stage codegen,
+    map-side partials, only (id, tables×bits longs) reach the shuffle —
+    the minhash pattern, NOT interpreted per-row HOFs."""
+    base = (
+        df.select(
+            F.col(id_col).alias(id_out),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("__dim", "__x"),
         )
-        bit = F.when(_dot(vec, h) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sig = sig.bitwiseOR(bit)
-    return sig
+        .filter(F.col("__dim") < dim)
+        .withColumn("__xq", F.round(F.col("__x") * 1_000_000).cast("long"))
+    )
+    aggs = []
+    for t in range(n_tables):
+        for j in range(n_bits):
+            signs = F.array(*[F.lit(rademacher_sign(t, j, i)) for i in range(dim)])
+            aggs.append(
+                F.sum(F.col("__xq") * F.element_at(signs, F.col("__dim") + 1)).alias(
+                    f"__d{t}_{j}"
+                )
+            )
+    sums = base.groupBy(id_out).agg(*aggs)
+    buckets = []
+    for t in range(n_tables):
+        b: F.Column | None = None
+        for j in range(n_bits):
+            bit = F.when(F.col(f"__d{t}_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            b = bit if b is None else b.bitwiseOR(bit)
+        buckets.append(b)
+    return sums.select(
+        id_out, F.posexplode(F.array(*buckets)).alias("table_idx", "bucket")
+    )
 
 
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_bits: int = 12,
+    n_tables: int = 2,
+    n_bits: int = 8,
     dim: int = 64,
+    multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: bucket corpus and queries by hyperplane signature, score
-    only within the query's bucket, exact re-rank. Recall < 1 by design;
-    the bucket join replaces the brute-force cross join, so cost scales
-    with corpus/2^n_bits per query instead of corpus."""
+    """ANN top-k: bucket corpus and queries by Rademacher-hyperplane
+    signatures in `n_tables` independent tables, union candidates, exact
+    re-rank. Recall < 1 by design; the bucket join replaces the brute
+    cross join, so per-query cost scales with corpus·tables·probes/2^bits.
+
+    Recall hardening: independent tables (any table can recover a
+    neighbor) and Hamming-1 multi-probe (the query also probes the n_bits
+    buckets one bit-flip away — the standard trade of query fan-out for
+    table count). Signatures are integer-exact, so the whole pipeline is
+    engine-deterministic and oracle-verifiable."""
     c = corpus.select(
         F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
-    ).withColumn("bucket", hyperplane_signature(F.col("cv"), n_bits, dim))
+    )
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).withColumn("bucket", hyperplane_signature(F.col("qv"), n_bits, dim))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    )
+    cb = hyperplane_buckets(corpus, "cid", n_tables, n_bits, dim, id_col, vec_col)
+    qb = hyperplane_buckets(queries, "qid", n_tables, n_bits, dim, id_col, vec_col)
+    masks = [0] + ([1 << j for j in range(n_bits)] if multiprobe else [])
+    probes = qb.select(
+        "qid",
+        "table_idx",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    cands = (
+        cb.join(F.broadcast(probes), ["table_idx", "bucket"])
         .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    scored = (
+        cands.join(c, "cid")
+        .join(F.broadcast(q), "qid")
         .select(
             "qid",
             "cid",

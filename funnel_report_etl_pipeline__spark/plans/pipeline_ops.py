@@ -152,30 +152,124 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # Spark murmur3 min-hashes are not replicable in DuckDB SQL;
-    # exact-verified twin: ngram_jaccard_pairs
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g0 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    g AS (  -- stop-gram guard: drop grams in > 1000 docs (matches max_gram_freq)
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g0
+      ) WHERE df <= 1000
+    ),
+    h AS (
+      SELECT doc_id, gram,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h1,
+             (CAST(('0x' || substr(md5(gram), 16, 12)) AS BIGINT) | 1) AS h2
+      FROM g
+    ),
+    m AS (  -- minhash i = min over grams of h1 + i*h2 (Kirsch-Mitzenmacher)
+      SELECT doc_id, i, MIN(h1 + i * h2) AS mh
+      FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i) perms
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band_idx,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
+      FROM m GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.id_a
+      JOIN g gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+    ORDER BY id_a, id_b
+    """,
     tags=("pipeline", "dedup", "lsh"),
     bench=True,
 )
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms over 3-gram shingles) + LSH(8 bands × 4) candidate
-    generation, exact-Jaccard verified at ≥0.8. The scale path: candidate
-    join is on band buckets, cost ∝ near-dup cluster sizes, not corpus²."""
+    generation, exact-Jaccard verified at ≥0.8, stop-grams (>1000 docs)
+    dropped. The scale path: candidate join is on band buckets, cost ∝
+    near-dup cluster sizes, not corpus².
+
+    The minhash family is md5-based double hashing — plain hex/integer
+    arithmetic, so the ENTIRE probabilistic pipeline (signatures → bands →
+    candidates → verify) is replicated in the DuckDB oracle and the result
+    is value-hash verified, not merely rows-only."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_dedup_pairs(docs, threshold=0.8, persist_grams=True).orderBy(
         "id_a", "id_b"
     )
 
 
+def _simhash_oracle() -> str:
+    """DuckDB replica of the 60-bit md5 SimHash + chunk-blocked Hamming
+    join — generated (60 vote aggregates + fingerprint reconstruction)."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import SIMHASH_BITS
+
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, {fp} AS simhash FROM votes),
+    blocked AS (
+      SELECT doc_id, simhash, CAST(i AS INT) AS chunk_idx,
+             (simhash >> (15 * CAST(i AS INT))) & 32767 AS chunk
+      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS i) c
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM blocked a JOIN blocked b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64 token hashes are Spark-specific; Hamming blocking
-    # semantics covered by the jaccard twin above
+    oracle=_simhash_oracle(),
     tags=("pipeline", "dedup", "simhash"),
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs at Hamming ≤ 3, blocked on 16-bit chunks
-    (pigeonhole guarantees recall within the distance budget)."""
+    """SimHash-60 near-dup pairs at Hamming ≤ 3, blocked on 15-bit chunks
+    (pigeonhole guarantees recall within the distance budget). The token
+    hash is the md5 prefix — engine-neutral — so the whole fingerprint +
+    blocking + Hamming pipeline is value-hash verified against DuckDB."""
     docs = _t(spark, sf_dir, "documents")
     fps = simhash(docs)
     return simhash_candidate_pairs(fps, max_hamming=3).orderBy("id_a", "id_b")
@@ -417,18 +511,93 @@ def similarity_topk_brute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_brute(emb, queries, k=5)
 
 
+_LSH_TABLES, _LSH_BITS, _LSH_DIM = 2, 8, 64
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB replica of the Rademacher-hyperplane ANN: same ±1 sign
+    constants (md5-derived in plain Python), same integer-quantized dot
+    products, same multi-table + Hamming-1 multi-probe candidate set,
+    same exact re-rank — generated so both engines share one spec."""
+    from funnel_report_etl_pipeline__spark.operators.similarity import rademacher_sign
+
+    sums = ", ".join(
+        "SUM(xq * (["
+        + ",".join(str(rademacher_sign(t, j, i)) for i in range(_LSH_DIM))
+        + f"])[dim + 1]) AS d{t}_{j}"
+        for t in range(_LSH_TABLES)
+        for j in range(_LSH_BITS)
+    )
+    bucket_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN d{t}_{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(_LSH_BITS)
+        )
+        + f") AS b{t}"
+        for t in range(_LSH_TABLES)
+    )
+    cb_union = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_idx, b{t} AS bucket FROM buck"
+        for t in range(_LSH_TABLES)
+    )
+    masks = ",".join(str(m) for m in [0] + [1 << j for j in range(_LSH_BITS)])
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (
+      SELECT vec_id, CAST(i AS INT) - 1 AS dim,
+             CAST(round(v[CAST(i AS INT)] * 1000000) AS BIGINT) AS xq
+      FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) g
+      WHERE CAST(i AS INT) - 1 < {_LSH_DIM}
+    ),
+    sums AS (SELECT vec_id, {sums} FROM d GROUP BY vec_id),
+    buck AS (SELECT vec_id, {bucket_cols} FROM sums),
+    cb AS ({cb_union}),
+    probes AS (
+      SELECT vec_id AS qid, table_idx, xor(bucket, m.m) AS bucket
+      FROM cb CROSS JOIN (SELECT unnest([{masks}]) AS m) m
+      WHERE vec_id < 10
+    ),
+    cand AS (
+      SELECT DISTINCT p.qid, c.vec_id AS cid
+      FROM probes p
+      JOIN cb c ON c.table_idx = p.table_idx AND c.bucket = p.bucket
+      WHERE c.vec_id <> p.qid
+    ),
+    scored AS (
+      SELECT cand.qid, cand.cid,
+             list_dot_product(eq.v, ec.v)
+               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v)))
+               AS cosine
+      FROM cand
+      JOIN e eq ON eq.vec_id = cand.qid
+      JOIN e ec ON ec.vec_id = cand.cid
+    )
+    SELECT qid, cid, cosine, rnk FROM (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 5 ORDER BY qid, rnk
+    """
+
+
 @register(
     "similarity_ann_lsh",
-    oracle=None,  # hyperplane components derive from Spark murmur3;
-    # exact twin: similarity_topk_brute
+    oracle=_ann_lsh_oracle(),
     tags=("pipeline", "similarity", "ann", "lsh"),
 )
 def similarity_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via random-hyperplane LSH buckets (8 bits → 256 buckets);
-    approximate recall, bucket-local scoring — the 100 TB scale path."""
+    """ANN top-5 via Rademacher-hyperplane LSH: 2 independent 8-bit tables
+    + Hamming-1 multi-probe, exact re-rank of the candidate union — the
+    100 TB scale path. Signatures are integer-exact md5-derived constants,
+    so the ENTIRE approximate pipeline (buckets → probes → candidates →
+    re-rank) is value-hash verified against the DuckDB oracle — no
+    rows-only waiver, and no interpreted HOFs on the corpus side."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk_lsh(emb, queries, k=5, n_bits=8).orderBy("qid", "rnk")
+    return cosine_topk_lsh(
+        emb, queries, k=5, n_tables=_LSH_TABLES, n_bits=_LSH_BITS, dim=_LSH_DIM
+    ).orderBy("qid", "rnk")
 
 
 @register(
@@ -460,13 +629,15 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ann_ivf",
-    oracle=None,  # centroid pick depends on Spark murmur3 ordering;
-    # exact twin: similarity_topk_brute
+    oracle=None,  # the k-means coarse quantizer is a trained model (not
+    # SQL-replicable); exact twin: similarity_topk_brute; recall@5 on
+    # cluster-structured data is pytest-asserted (test_similarity_recall)
     tags=("pipeline", "similarity", "ann", "ivf"),
 )
 def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5: 16 deterministic coarse cells, 2-probe, exact
-    re-rank inside probed cells — the inverted-file scale path."""
+    """IVF ANN top-5: 16 k-means-trained coarse cells (spherical quantizer,
+    fixed seed), 2-probe, exact re-rank inside probed cells — the
+    inverted-file scale path."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=2).orderBy("qid", "rnk")
@@ -629,15 +800,38 @@ def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # binary/array<binary> outputs; metadata twin
-    # (multimodal_meta) carries the value-hash oracle for this plumbing
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             16 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 64 AS width,
+             16 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 64 AS height,
+             sha256(text || '224x224') AS resized_hex,
+             sha256(text || 'f0') AS f0
+      FROM documents
+    ),
+    c1 AS (SELECT *, sha256(f0 || 'f1') AS f1 FROM f),
+    c2 AS (SELECT *, sha256(f1 || 'f2') AS f2 FROM c1),
+    c3 AS (SELECT *, sha256(f2 || 'f3') AS f3 FROM c2)
+    SELECT doc_id, width, height, resized_hex, [f0, f1, f2, f3] AS frames_hex
+    FROM c3
+    """,
     tags=("pipeline", "multimodal", "features"),
 )
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """decode → resize → frame-sample in ONE Arrow-batched mapInPandas hop;
-    emits array<binary> frames (stub codecs, real distribution plumbing)."""
+    """decode → resize → frame-sample in ONE Arrow-batched mapInPandas hop
+    (stub codecs, real distribution plumbing). The stubs are deterministic
+    sha256 fakes, so the oracle replays the whole Python path in SQL and
+    the mapInPandas plumbing is value-hash verified end-to-end; binary
+    outputs are hex-rendered for the cross-engine compare."""
     docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
-    return media_features(docs, "payload", "doc_id", resize_to=(224, 224), n_frames=4)
+    feat = media_features(docs, "payload", "doc_id", resize_to=(224, 224), n_frames=4)
+    return feat.select(
+        "doc_id",
+        "width",
+        "height",
+        F.lower(F.hex("resized")).alias("resized_hex"),
+        F.transform("frames", lambda x: F.lower(F.hex(x))).alias("frames_hex"),
+    )
 
 
 @register(

@@ -150,3 +150,42 @@ def test_persist_grams_keeps_single_live_cache(spark, docs):
     D.minhash_dedup_pairs(docs.limit(3), threshold=0.5, persist_grams=True).collect()
     # different input evicts the old cache and installs the new one
     assert len(D._PERSISTED_GRAMS) == 1 and D._PERSISTED_GRAMS[0][0] != k1
+
+
+def test_gram_freq_cap_bounds_viral_passage(spark):
+    """A boilerplate passage shared by many docs must not reach the verify
+    join's gram groups when the cap is on — and with the cap above the
+    corpus's max doc-frequency, results are identical to uncapped."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import (
+        drop_frequent_grams,
+    )
+
+    viral = "subscribe to our newsletter for more great content every day"
+    rows = [(i, f"{viral} unique tail token{i} marker{i} end{i}", "s") for i in range(40)]
+    rows += [(100, "an entirely unrelated document about query planning", "s")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    grams = gram_rows(docs, "doc_id", "text", 3)
+
+    capped = drop_frequent_grams(grams, max_doc_freq=10)
+    # every viral gram (doc-freq 40) is gone; per-gram group sizes bounded
+    freqs = (
+        capped.groupBy("gram").count().agg(F.max("count").alias("m")).collect()[0].m
+    )
+    assert freqs is not None and freqs <= 10
+    # the viral docs share ONLY the boilerplate → no verified pairs survive
+    # the cap (their per-doc unique tails don't overlap)
+    pairs = minhash_dedup_pairs(docs, threshold=0.8, max_gram_freq=10).collect()
+    assert pairs == []
+
+
+def test_gram_freq_cap_noop_when_above_corpus_max(docs):
+    """Cap above the max doc-frequency ⇒ bit-identical pairs to uncapped."""
+    uncapped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(docs, threshold=0.5, max_gram_freq=None).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(docs, threshold=0.5, max_gram_freq=1000).collect()
+    }
+    assert uncapped == capped

@@ -39,8 +39,15 @@ def test_query_matches_oracle(name, spark, duck):
     assert len(sdf) == len(odf), f"rows: spark={len(sdf)} duckdb={len(odf)}"
     assert sorted(sdf.columns) == sorted(odf.columns)
     cols = sorted(sdf.columns)
-    s = sdf[cols].sort_values(by=cols, ignore_index=True)
-    o = odf[cols].sort_values(by=cols, ignore_index=True)
+    # array cells are unsortable as-is — canonicalize exactly like the
+    # strict driver replica does
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent / "tools"))
+    from driver_sim import canon
+
+    s = canon(sdf[cols]).sort_values(by=cols, ignore_index=True)
+    o = canon(odf[cols]).sort_values(by=cols, ignore_index=True)
     for c in cols:
         for i in range(len(s)):
             assert _eq(s[c].iloc[i], o[c].iloc[i]), (

@@ -1,0 +1,128 @@
+"""ANN recall + guard tests for the similarity operators.
+
+Recall is asserted on PLANTED cluster-structured embeddings, not the
+driver's uniform-random corpus: with uniform vectors the "nearest
+neighbors" sit at cosine ≈ 0.5 (no neighborhood structure), where any
+sublinear ANN's recall is necessarily poor — the meaningful contract is
+recall on data that HAS neighbors, which is what real embedding corpora
+look like (near-dups at cosine ≥ 0.9)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from funnel_report_etl_pipeline__spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk_brute,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    hyperplane_buckets,
+    rademacher_sign,
+    train_ivf_centroids,
+)
+
+DIM = 64
+N_CLUSTERS = 20
+PER_CLUSTER = 8  # 1 query + 7 in-cluster neighbors
+NOISE = 0.02  # per-dim noise (norm ≈ 0.16) → in-cluster cosine ≈ 0.97, cross ≈ 0
+
+
+def _planted_rows():
+    rng = random.Random(7)
+
+    def unit():
+        v = [rng.gauss(0, 1) for _ in range(DIM)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    vid = 0
+    for _ in range(N_CLUSTERS):
+        center = unit()
+        for _ in range(PER_CLUSTER):
+            v = [c + rng.gauss(0, NOISE) for c in center]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((vid, [x / n for x in v]))
+            vid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    df = spark.createDataFrame(
+        _planted_rows(), "vec_id long, embedding array<double>"
+    ).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _recall_at_k(approx_df, exact_df, k=5) -> float:
+    exact = {(r.qid, r.cid) for r in exact_df.collect()}
+    approx = {(r.qid, r.cid) for r in approx_df.collect()}
+    return len(exact & approx) / len(exact)
+
+
+def test_brute_topk_finds_cluster_mates(planted):
+    queries = planted.filter("vec_id % 40 = 0")  # one query per few clusters
+    top = cosine_topk_brute(planted, queries, k=5)
+    for r in top.collect():
+        # neighbors must come from the query's own planted cluster
+        assert r.cid // PER_CLUSTER == r.qid // PER_CLUSTER, (r.qid, r.cid)
+        assert r.cosine > 0.8
+
+
+def test_lsh_recall_at_5(planted):
+    queries = planted.filter("vec_id % 8 = 0")  # first point of every cluster
+    exact = cosine_topk_brute(planted, queries, k=5)
+    approx = cosine_topk_lsh(planted, queries, k=5, n_tables=2, n_bits=8, dim=DIM)
+    rec = _recall_at_k(approx, exact)
+    assert rec >= 0.9, f"multi-table+multi-probe LSH recall@5 = {rec:.3f}"
+
+
+def test_lsh_single_table_no_probe_is_weaker(planted):
+    """The hardening (tables × probes) must actually buy recall."""
+    queries = planted.filter("vec_id % 8 = 0")
+    exact = cosine_topk_brute(planted, queries, k=5)
+    hard = cosine_topk_lsh(planted, queries, k=5, n_tables=2, n_bits=8, dim=DIM)
+    weak = cosine_topk_lsh(
+        planted, queries, k=5, n_tables=1, n_bits=8, dim=DIM, multiprobe=False
+    )
+    assert _recall_at_k(hard, exact) >= _recall_at_k(weak, exact)
+
+
+def test_ivf_recall_at_5(planted):
+    queries = planted.filter("vec_id % 8 = 0")
+    exact = cosine_topk_brute(planted, queries, k=5)
+    cents = train_ivf_centroids(planted, n_cells=N_CLUSTERS)
+    approx = cosine_topk_ivf(
+        planted, queries, k=5, n_cells=N_CLUSTERS, n_probe=2, centroids=cents
+    )
+    rec = _recall_at_k(approx, exact)
+    assert rec >= 0.9, f"k-means IVF recall@5 = {rec:.3f}"
+
+
+def test_hyperplane_buckets_deterministic(planted):
+    a = {(r.cid, r.table_idx): r.bucket for r in
+         hyperplane_buckets(planted, "cid", 2, 8, DIM).collect()}
+    b = {(r.cid, r.table_idx): r.bucket for r in
+         hyperplane_buckets(planted, "cid", 2, 8, DIM).collect()}
+    assert a == b
+    assert all(0 <= v < 256 for v in a.values())
+
+
+def test_rademacher_signs_are_pure():
+    assert rademacher_sign(0, 1, 2) == rademacher_sign(0, 1, 2)
+    assert all(rademacher_sign(t, j, i) in (-1, 1)
+               for t in range(2) for j in range(8) for i in range(8))
+
+
+def test_all_pairs_guard_raises(planted):
+    with pytest.raises(ValueError, match="max_rows"):
+        cosine_near_dup_pairs(planted, max_rows=10)
+    # explicit raise of the cap is the sanctioned escape hatch
+    out = cosine_near_dup_pairs(planted, threshold=0.99, max_rows=10_000)
+    assert out.columns == ["id_a", "id_b", "cosine"]
