@@ -8,13 +8,16 @@ JSON line::
 
 Timing is end-to-end per query: plan construction + execution + collect to
 the driver. A tiny warm-up query first so JVM/codegen startup is not billed
-to the first benchmark entry.
+to the first benchmark entry; each query then gets one untimed warm-up run
+and the reported figure is the MEDIAN of 3 timed runs (single-machine noise
+here is ±30%, so a single sample can misstate a query by its own runtime).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -34,18 +37,22 @@ def main() -> int:
     # warm-up: JVM classloading + codegen paths, not billed to any query
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float | None] = {}
     for name in sorted(specs):
         try:
             # one untimed warm-up run per query: bills one-time costs
             # (parquet footer/file listing, whole-stage codegen JIT) to
-            # warm-up, so the timed run measures steady-state throughput —
+            # warm-up, so the timed runs measure steady-state throughput —
             # the number that scales with data volume on a long-lived
-            # cluster. Results stay collect()-verified both times.
+            # cluster. Results stay collect()-verified every time.
             specs[name].fn(spark, sf_dir).collect()
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            samples = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf_dir).collect()
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 3)
         except Exception as e:  # one broken query must not zero the whole bench
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = None  # machine-readable failure marker
@@ -60,6 +67,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "stat": f"median_of_{n_runs}",
             }
         )
     )

@@ -184,16 +184,22 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8, rows: int = 4) -> DataF
 def drop_frequent_grams(grams: DataFrame, max_doc_freq: int) -> DataFrame:
     """Drop grams that appear in more than ``max_doc_freq`` documents (the
     CCNet stop-gram guard): a viral boilerplate passage shared by k docs
-    otherwise makes every gram-blocked join build k² groups. One window
-    count over the gram partition — a single shuffle on gram, no join —
-    and the surviving gram set is identical on any engine (the filter is a
-    pure doc-frequency predicate, SQL-replicable for the oracle)."""
-    w = Window.partitionBy("gram")
-    return (
-        grams.withColumn("__df", F.count("*").over(w))
-        .filter(F.col("__df") <= max_doc_freq)
-        .drop("__df")
+    otherwise makes every gram-blocked join build k² groups.
+
+    Shape: grouped count (map-side partials — only (gram, partial_count)
+    per partition reaches the shuffle, not the (id, gram) rows) → filter to
+    the over-cap grams (by construction ≤ corpus/cap of them, a tiny set)
+    → broadcast ANTI join. The gram rows themselves never shuffle, unlike
+    a per-gram window count which would exchange the full frame. The
+    surviving gram set is a pure doc-frequency predicate — identical on
+    any engine, SQL-replicable for the oracle."""
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("gram")
     )
+    return grams.join(F.broadcast(hot), "gram", "left_anti").select(*grams.columns)
 
 
 def jaccard_verify(

@@ -237,8 +237,23 @@ def entity_funnel_metrics(
             F.count(F.when(F.col("fetch_status") == "Failed", 1)).alias("fi_failed"),
         )
     )
-    wide = st.join(ot, "entity_id", "left").join(dc, "entity_id", "left").join(
-        fi, "entity_id", "left"
+    # entity spine = every entity seen in ANY of the four datasets: the
+    # reference queries each dataset independently per entity, so an entity
+    # with e.g. only OTP rows still gets a (zeros-elsewhere) report row —
+    # anchoring on uf_stages alone would silently drop it. The aggregates
+    # are one-row-per-entity, so the distinct-union spine is tiny.
+    spine = (
+        st.select("entity_id")
+        .union(ot.select("entity_id"))
+        .union(dc.select("entity_id"))
+        .union(fi.select("entity_id"))
+        .distinct()
+    )
+    wide = (
+        spine.join(st, "entity_id", "left")
+        .join(ot, "entity_id", "left")
+        .join(dc, "entity_id", "left")
+        .join(fi, "entity_id", "left")
     )
     return wide.select("entity_id", *_metrics_columns())
 

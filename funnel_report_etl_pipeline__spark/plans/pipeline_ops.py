@@ -937,6 +937,7 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
     """,
     tags=("pipeline", "dedup", "iterative"),
+    bench=True,  # the iterative-algorithm headliner
 )
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → per-document cluster

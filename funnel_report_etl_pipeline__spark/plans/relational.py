@@ -643,6 +643,7 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT COUNT(*) FROM s3) AS n_purchase_7d
     """,
     tags=("funnel", "window", "windowFunnel", "extension"),
+    bench=True,  # the windowed-funnel headliner
 )
 def event_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-constrained ordered funnel (the windowFunnel shape): complete

@@ -47,6 +47,11 @@ class TestDataCatalog:
             # runtime-settable (verified): needed even when the caller built
             # the session without funnel_report_etl_pipeline__spark.session
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # day-grain queries render days via date_format under the
+            # session timezone; DuckDB's naive timestamps are effectively
+            # UTC, so pin the session TZ — parity must not depend on the
+            # container's TZ being UTC
+            self.spark.conf.set("spark.sql.session.timeZone", "UTC")
             path = os.path.join(self.sf_dir, f"{name}.parquet")
             df = self.spark.read.parquet(path)
             if name == "events" and dict(df.dtypes).get("ts") == "bigint":

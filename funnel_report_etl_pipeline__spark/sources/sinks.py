@@ -83,9 +83,17 @@ def materialize_daily_rollup(
             "day", F.col("day").cast("string")
         )
 
+    from pyspark.errors import AnalysisException
+
     try:
         existing = {r.day for r in _read_existing().select("day").distinct().collect()}
-    except Exception:  # first run: nothing materialized yet
+    except AnalysisException as e:
+        # ONLY path-not-found means "first run, nothing materialized yet".
+        # Any other analysis error (corrupt store, permission denied, bad
+        # schema) must propagate — silently treating it as first-run would
+        # recompute and overwrite the whole rollup, masking the fault.
+        if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+            raise
         existing = set()
 
     available = sorted(r.day for r in events.select(day.alias("day")).distinct().collect())

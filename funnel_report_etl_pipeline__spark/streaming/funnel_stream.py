@@ -156,12 +156,23 @@ def dedup_stream(
     )
 
 
+_DEPTH_STATE_TTL_MS = 24 * 3600 * 1000  # evict users inactive 24h past the watermark
+
+
 def _depth_update(
     key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     """State machine: advance depth when the NEXT stage arrives with a
     later timestamp than the previous advance (same ordered-funnel
-    semantics as the batch event_funnel_users walk)."""
+    semantics as the batch event_funnel_users walk).
+
+    State is watermark-bounded: each update arms an event-time timeout at
+    (current watermark + TTL); a user with no activity for the TTL window
+    is evicted on timeout, so the store holds only recently-active users,
+    not total user cardinality."""
+    if state.hasTimedOut:
+        state.remove()
+        return  # inactive past the TTL horizon — evicted, nothing to emit
     depth, last_us = state.get if state.exists else (0, -1)
     for pdf in batches:
         pdf = pdf.sort_values("ts")
@@ -171,6 +182,7 @@ def _depth_update(
                 depth += 1
                 last_us = us
     state.update((depth, last_us))
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + _DEPTH_STATE_TTL_MS)
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
@@ -185,7 +197,9 @@ def funnel_depth_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
     micro-batches with ``applyInPandasWithState`` (Arrow-batched; state =
     (depth, last_event_us) per user — a few bytes, sharded by the state
     store). Emits the user's current depth every time they have activity
-    in a batch."""
+    in a batch. Event-time timeouts evict users inactive for 24h past the
+    watermark, so state is bounded by the active-user window, not total
+    user cardinality."""
     return (
         events.filter(F.col("event_type").isin(*FUNNEL_STAGES))
         .withWatermark("ts", watermark)
@@ -195,7 +209,7 @@ def funnel_depth_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
             outputStructType=_DEPTH_OUTPUT,
             stateStructType=_DEPTH_STATE,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

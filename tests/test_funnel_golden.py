@@ -118,3 +118,20 @@ def test_entity_grouped_matches_single(spark):
     ours = next(r for r in all_rows if r.entity_id == MOCK_ENTITY).asDict()
     for k, v in GOLDEN.items():
         assert ours[k] == v, f"{k}: got {ours[k]}, want {v}"
+
+def test_entity_only_in_otp_data_still_reported(spark):
+    """An entity with rows in ONLY one of the four datasets must still get
+    a metrics row (zeros elsewhere) — the reference queries each dataset
+    independently per entity, so it reports such entities too."""
+    from funnel_report_etl_pipeline__spark.operators.funnel import entity_funnel_metrics
+
+    st, ot, dc, fi = mock_funnel_frames(spark)
+    # FIU_OTHER appears in every mock frame; drop it from all but OTP
+    st2 = st.filter(st.Entity_ID != "FIU_OTHER")
+    dc2 = dc.filter(dc.entity_id != "FIU_OTHER")
+    fi2 = fi.filter(fi.entity_id != "FIU_OTHER")
+    rows = {r.entity_id: r for r in entity_funnel_metrics(st2, ot, dc2, fi2).collect()}
+    assert "FIU_OTHER" in rows, "entity present only in OTP data was dropped"
+    other = rows["FIU_OTHER"]
+    assert other.otp_wrong == 777  # its OTP data is reported
+    assert other.fi_req_ok == 0  # everything else degrades to zero
