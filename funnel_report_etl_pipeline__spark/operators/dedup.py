@@ -42,6 +42,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_verify",
     "minhash_dedup_pairs",
+    "ngram_decontaminate",
     "simhash",
     "simhash_candidate_pairs",
     "connected_components",
@@ -76,9 +77,15 @@ def word_ngrams(tokens: F.Column, n: int) -> F.Column:
 
 
 def gram_rows(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, gram) distinct word-n-gram rows per document.
+    """(id, gram) word-n-gram rows per document (distinct per doc by
+    default; ``distinct=False`` keeps every occurrence, for frequency-based
+    stats like repetition scoring).
 
     posexplode the token stream, window-lead n−1 successors, concat — every
     operator is codegen'd. The window's shuffle on id is the only exchange,
@@ -89,12 +96,12 @@ def gram_rows(
     )
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, ngram)]
-    return (
+    out = (
         tok.select("id", *[c.alias(f"__t{j}") for j, c in enumerate(leads)])
         .filter(F.col(f"__t{ngram - 1}").isNotNull())
         .select("id", F.concat_ws(" ", *[f"__t{j}" for j in range(ngram)]).alias("gram"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(
@@ -118,21 +125,40 @@ def exact_dedup(
 def minhash_signatures(
     grams: DataFrame,
     num_perm: int = 32,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(id, sig) — sig[i] = min over grams of h1 + i·h2, from a (id, gram)
-    row frame: Kirsch–Mitzenmacher double hashing over the two halves of
-    md5(gram) (h1 = 60-bit prefix, h2 = 48-bit mid slice forced odd).
+    row frame: Kirsch–Mitzenmacher double hashing.
 
-    One md5 per gram row, then num_perm multiply-add min-aggregates in one
+    One gram hash, then num_perm multiply-add min-aggregates in one
     grouped pass — map-side partials mean only (id, k longs) per partition
-    shuffle. i·h2 ≤ 31·2⁴⁸ so h1 + i·h2 < 2⁶¹ never overflows a long.
+    shuffle.
 
-    The hash family is plain hex/integer arithmetic on md5 — identical in
-    any engine (unlike murmur3 seeds), so the full MinHash-LSH pipeline is
-    DuckDB-replicable and carries a value-hash oracle."""
-    md5 = F.md5(F.col("gram"))
-    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(md5, 16, 12), 16, 10).cast("long").bitwiseOR(F.lit(1))
+    ``hash_family``:
+
+    * ``"md5"`` — h1 = 60-bit md5 prefix, h2 = 48-bit mid slice forced
+      odd. Plain hex/integer arithmetic, identical in any engine (unlike
+      murmur3 seeds), so the full MinHash-LSH pipeline is DuckDB-replicable
+      and carries a value-hash oracle. i·h2 ≤ 31·2⁴⁸ keeps h1 + i·h2 < 2⁶¹
+      — never overflows a long (ANSI-safe).
+    * ``"xxhash64"`` — the production family: one native-long xxhash64 per
+      gram (JVM codegen, no hex-string materialization or base-conversion
+      parse like md5's `conv(substring(...))` chain). h1 = top 60 bits of
+      xxhash64(gram), h2 = top 48 bits of xxhash64(gram, 1) forced odd —
+      the same overflow-safe ranges. Not DuckDB-replicable (engine hash),
+      so queries built on it are rows-only; the md5 family is the
+      value-verified twin over the identical plan shape."""
+    if hash_family == "md5":
+        md5 = F.md5(F.col("gram"))
+        h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(md5, 16, 12), 16, 10).cast("long").bitwiseOR(F.lit(1))
+    elif hash_family == "xxhash64":
+        h1 = F.shiftrightunsigned(F.xxhash64(F.col("gram")), 4)
+        h2 = F.shiftrightunsigned(F.xxhash64(F.col("gram"), F.lit(1)), 16).bitwiseOR(
+            F.lit(1)
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r} (md5 | xxhash64)")
     hashed = grams.select("id", h1.alias("__h1"), h2.alias("__h2"))
     mins = hashed.groupBy("id").agg(
         *[
@@ -257,6 +283,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     persist_grams: bool = False,
     max_gram_freq: int | None = 1000,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: gram rows → signatures → banded
     candidates → exact-Jaccard verify. Returns (id_a, id_b, jaccard) pairs
@@ -307,9 +334,48 @@ def minhash_dedup_pairs(
                     pass  # session: nothing left to release
             grams = grams.persist()
             _PERSISTED_GRAMS.append((key, grams))
-    sigs = minhash_signatures(grams, num_perm)
+    sigs = minhash_signatures(grams, num_perm, hash_family)
     cands = lsh_candidate_pairs(sigs, bands, rows)
     return jaccard_verify(cands, grams, threshold)
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, count the distinct
+    word-n-grams it shares with an evaluation/benchmark corpus (the
+    GPT-3/PaLM n-gram-overlap protocol — a training doc that reproduces any
+    benchmark n-gram is flagged for removal before training).
+
+    Returns one row per training doc: (doc_id, n_contaminated_grams,
+    contaminated). Scale shape: eval sets are small by definition, so the
+    benchmark gram set is broadcast and the training-side gram stream is
+    filtered map-side — the corpus never shuffles on gram; the only
+    training-side exchange is the per-doc count. The gram construction is
+    shared with the dedup family (`gram_rows`), so the oracle replicates it
+    exactly."""
+    train_grams = gram_rows(docs, id_col, text_col, ngram)
+    bench_grams = (
+        gram_rows(benchmark, id_col, text_col, ngram).select("gram").distinct()
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_contaminated_grams", F.lit(0)).alias("n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -428,18 +494,17 @@ def connected_components(
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("src", "id")
         )
+        # the change flag rides inside the checkpointed frame, so fixpoint
+        # detection is a filter over already-materialized blocks — no extra
+        # label-vs-label shuffle join per round
         new_labels = labels.join(nbr_min, "id", "left").select(
-            "id", F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp")
+            "id",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("__changed"),
         )
         new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.withColumnRenamed("comp", "new_comp")
-            .join(labels, "id")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -22,6 +22,7 @@ __all__ = [
     "lang_id",
     "doc_fingerprint",
     "rolling_fingerprints",
+    "repetition_stats",
 ]
 
 # tiny multilingual stopword sets for the marker heuristic; deterministic
@@ -176,6 +177,51 @@ def rolling_fingerprints(
         pos.select("id", win_hash.alias("__h"))
         .groupBy("id")
         .agg(F.min("__h").alias("fp_rolling"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    * ``top_2gram_frac`` — occurrences of the most frequent word 2-gram /
+      total 2-gram occurrences (the "top n-gram fraction" rule);
+    * ``dup_3gram_frac`` — fraction of 3-gram occurrences that belong to a
+      gram appearing more than once (the "duplicate n-gram fraction" rule);
+    * ``rep_keep`` — the Gopher-ish keep predicate (top2 ≤ 0.20,
+      dup3 ≤ 0.18; thresholds from the Gopher paper's table, applied to
+      token counts rather than characters).
+
+    Shape: NON-distinct gram rows (every occurrence counts) → per-(doc,
+    gram) count → per-doc max/sum. Two grouped aggregates, both with
+    map-side partials; only (id, gram, count) rows reach a shuffle — never
+    the text. Docs too short to have any 2-gram (or 3-gram) get 0.0 for
+    that fraction (no repetition evidence → not filtered).
+    """
+    from funnel_report_etl_pipeline__spark.operators.dedup import gram_rows
+
+    def frac(ngram: int, dup_only: bool) -> DataFrame:
+        g = gram_rows(df, id_col, text_col, ngram, distinct=False)
+        counts = g.groupBy("id", "gram").agg(F.count("*").alias("c"))
+        top = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) if dup_only else F.max("c")
+        return counts.groupBy("id").agg(
+            (top.cast("double") / F.sum("c")).alias(f"__f{ngram}")
+        )
+
+    spine = df.select(F.col(id_col).alias("id"))
+    return (
+        spine.join(frac(2, dup_only=False), "id", "left")
+        .join(frac(3, dup_only=True), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("__f2", F.lit(0.0)).alias("top_2gram_frac"),
+            F.coalesce("__f3", F.lit(0.0)).alias("dup_3gram_frac"),
+            (
+                (F.coalesce("__f2", F.lit(0.0)) <= 0.20)
+                & (F.coalesce("__f3", F.lit(0.0)) <= 0.18)
+            ).alias("rep_keep"),
+        )
     )
 
 

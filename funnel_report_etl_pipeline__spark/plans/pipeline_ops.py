@@ -1081,3 +1081,116 @@ def stratified_hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(100)
     )
     return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Decontamination + repetition filtering (round 3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decontaminate_ngrams",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+      FROM t WHERE len(toks) >= 5
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS n_contaminated_grams
+      FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 20 <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_contaminated_grams, 0) AS n_contaminated_grams,
+           COALESCE(h.n_contaminated_grams, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+    tags=("pipeline", "text", "decontaminate"),
+)
+def decontaminate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM protocol): flag every training
+    document sharing any distinct word-5-gram with the held-out benchmark
+    slice (here: docs with doc_id % 20 == 0 stand in for an eval set). The
+    benchmark gram set is broadcast — the training corpus is filtered
+    map-side and never shuffles on gram; the only exchange is the per-doc
+    hit count."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_decontaminate(train, bench, "doc_id", "text", ngram=5)
+
+
+@register(
+    "repetition_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+    f2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS f FROM c2 GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY doc_id, gram),
+    f3 AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS f
+      FROM c3 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(f2.f, 0.0) AS top_2gram_frac,
+           COALESCE(f3.f, 0.0) AS dup_3gram_frac,
+           (COALESCE(f2.f, 0.0) <= 0.20 AND COALESCE(f3.f, 0.0) <= 0.18) AS rep_keep
+    FROM documents d
+    LEFT JOIN f2 USING (doc_id)
+    LEFT JOIN f3 USING (doc_id)
+    """,
+    tags=("pipeline", "text", "repetition"),
+)
+def repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition gates: top-2-gram fraction and duplicated-3-gram
+    fraction per document, with the keep predicate (≤0.20 / ≤0.18). Every
+    occurrence counts (non-distinct grams); two grouped aggregates with
+    map-side partials — only (id, gram, count) rows shuffle."""
+    from funnel_report_etl_pipeline__spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_fast",
+    oracle=None,  # xxhash64 is Spark-native (no DuckDB twin); the md5-family
+    # dedup_minhash_lsh value-verifies the identical plan shape, and
+    # tests/test_dedup.py asserts this variant finds the same verified pairs
+    tags=("dedup", "lsh", "fast"),
+    bench=True,
+)
+def dedup_minhash_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash-LSH: identical pipeline to dedup_minhash_lsh but
+    with the xxhash64 hash family — one native-long hash per gram instead
+    of md5's hex-string materialization + base-conversion parse. The final
+    pair set is exact-Jaccard verified, so any candidate-set difference vs
+    the md5 family only affects recall, not precision; on the test corpus
+    the output pair sets are asserted identical (tests/test_dedup.py).
+    Registered past the driver window (rows-only locally) as the bench
+    headliner for the 100 TB dedup path."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, threshold=0.8, persist_grams=False, hash_family="xxhash64"
+    ).orderBy("id_a", "id_b")

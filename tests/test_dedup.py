@@ -189,3 +189,66 @@ def test_gram_freq_cap_noop_when_above_corpus_max(docs):
         for r in minhash_dedup_pairs(docs, threshold=0.5, max_gram_freq=1000).collect()
     }
     assert uncapped == capped
+
+
+def test_fast_hash_family_same_verified_pairs(spark):
+    """The xxhash64 production family and the md5 oracle family run the
+    identical pipeline; the exact-Jaccard verify step makes precision 1.0
+    for both, and on the test corpus their candidate recall coincides, so
+    the final (id_a, id_b, jaccard) sets must be identical."""
+    from funnel_report_etl_pipeline__spark.sources.readers import catalog_table
+
+    docs = catalog_table(spark, "/root/testdata/sf0.001", "documents")
+    md5_pairs = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(docs, threshold=0.8, hash_family="md5").collect()
+    }
+    fast_pairs = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(
+            docs, threshold=0.8, hash_family="xxhash64"
+        ).collect()
+    }
+    assert md5_pairs == fast_pairs and len(fast_pairs) > 0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A training doc that quotes a benchmark passage is flagged; an
+    unrelated doc is not; counts equal the number of shared 5-grams."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # quotes a 6-token benchmark span → two overlapping 5-grams
+            (1, "intro text the quick brown fox jumps over and more"),
+            (2, "completely unrelated content about spark query planning"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in ngram_decontaminate(train, bench).collect()}
+    assert out[1].contaminated and out[1].n_contaminated_grams == 2
+    assert not out[2].contaminated and out[2].n_contaminated_grams == 0
+
+
+def test_repetition_stats_detects_loops(spark):
+    """A degenerate repeated-token doc fails the gates; varied text passes;
+    a one-token doc (no 2-grams) defaults to 0.0 fractions and keeps."""
+    from funnel_report_etl_pipeline__spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["spam"] * 30)),
+            (2, "a varied sentence with no repeated phrases at all here"),
+            (3, "single"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert out[1].top_2gram_frac == 1.0 and out[1].dup_3gram_frac == 1.0
+    assert not out[1].rep_keep
+    assert out[2].rep_keep and out[2].dup_3gram_frac == 0.0
+    assert out[3].top_2gram_frac == 0.0 and out[3].rep_keep
