@@ -455,8 +455,48 @@ def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _union_find_labels(edges: DataFrame) -> DataFrame:
+    """(id, comp) via driver-side union-find over a SMALL edge list (the
+    caller has already bounded its size). comp = min id per component,
+    matching the distributed loop's labels exactly. Path-halving +
+    union-by-min keeps it near-linear."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()
+    for r in rows:
+        a, b = r.src, r.dst
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so every root is its component's min id
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    from pyspark.sql.types import StructField, StructType
+
+    dt = edges.schema["src"].dataType
+    labels = [(x, find(x)) for x in parent]
+    return edges.sparkSession.createDataFrame(
+        labels,
+        StructType([StructField("id", dt), StructField("comp", dt)]),
+    )
+
+
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(id, comp) for every node in `pairs`, where comp is the minimum id
     in the node's connected component — the step that turns a near-dup
@@ -478,12 +518,23 @@ def connected_components(
     intermediate labels would silently split true components, making a
     dedup pass keep duplicates. Raise ``max_iter`` for pathological chain
     topologies.
+
+    Adaptive small-graph path: after banding/verification a dedup pair
+    graph is often tiny even when the corpus is huge; if the (already
+    deduplicated, undirected) edge count is ≤ ``driver_threshold``, labels
+    are computed with a driver-side union-find in one pass instead of N
+    distributed rounds — the same labels, none of the per-round job
+    overhead. The distributed loop remains the path for graphs above the
+    threshold (at 100 TB a near-dup graph can be billions of edges; set
+    ``driver_threshold=0`` to force the distributed loop).
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.localCheckpoint()  # reused every round: materialize once
+    if driver_threshold and edges.count() <= driver_threshold:
+        return _union_find_labels(edges)
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     )

@@ -1192,5 +1192,5 @@ def dedup_minhash_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_dedup_pairs(
-        docs, threshold=0.8, persist_grams=False, hash_family="xxhash64"
+        docs, threshold=0.8, persist_grams=True, hash_family="xxhash64"
     ).orderBy("id_a", "id_b")

@@ -108,12 +108,19 @@ def test_simhash_hamming_zero_for_exact_dup(docs):
 
 def test_connected_components_chain_and_island(spark):
     # chain 1-2-3-4 (diameter 3 — needs >1 propagation round), pair (10,11),
-    # and 20 never appears → not labeled
+    # and 20 never appears → not labeled. Both the driver union-find fast
+    # path (default threshold) and the distributed loop (threshold=0) must
+    # produce identical labels.
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
     )
-    labels = {r.id: r.comp for r in connected_components(pairs).collect()}
-    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    fast = {r.id: r.comp for r in connected_components(pairs).collect()}
+    dist = {
+        r.id: r.comp
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == expected and dist == expected
 
 
 def test_dedup_assign_clusters_singletons_are_canonical(spark):
@@ -130,12 +137,14 @@ def test_connected_components_empty_pairs(spark):
 
 
 def test_connected_components_raises_on_non_convergence(spark):
-    # a 6-node chain has diameter 5; max_iter=2 cannot reach the fixpoint
+    # a 6-node chain has diameter 5; max_iter=2 cannot reach the fixpoint.
+    # driver_threshold=0 forces the distributed loop (union-find has no
+    # iteration limit to hit).
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=2)
+        connected_components(pairs, max_iter=2, driver_threshold=0)
 
 
 def test_persist_grams_keeps_single_live_cache(spark, docs):
