@@ -378,6 +378,70 @@ def ngram_decontaminate(
     )
 
 
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """C4-style chunk-level dedup: split every document into fixed-size
+    token chunks, drop every chunk whose exact text already appeared
+    earlier in the corpus (earlier = lower (doc_id, chunk_idx)), and
+    reassemble the survivors in order — the sub-document analogue of
+    `exact_dedup`, which removes boilerplate passages shared across
+    otherwise-distinct pages without dropping whole documents.
+
+    Returns (id_col, n_chunks, n_kept, text_clean) — one row per input
+    document, text_clean = '' when every chunk was a repeat.
+
+    Scale shape: tokens explode once; chunk assembly is a grouped sort of
+    ≤ chunk_tokens elements per (doc, chunk); the dedup window partitions
+    on md5(chunk_text), so the global comparison shuffles uniform 128-bit
+    keys with per-group size bounded by a chunk's corpus frequency — never
+    an all-pairs comparison, and whole-document text never shuffles as one
+    value, only chunk-sized pieces."""
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    chunks = (
+        tok.withColumn("chunk_idx", F.floor(F.col("pos") / chunk_tokens).cast("int"))
+        .groupBy("id", "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk_text"))).orderBy("id", "chunk_idx")
+    kept = (
+        chunks.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    totals = chunks.groupBy("id").agg(F.count("*").alias("n_chunks"))
+    return totals.join(kept, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("n_chunks"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -39,6 +39,7 @@ __all__ = [
     "cosine_near_dup_pairs",
     "train_ivf_centroids",
     "cosine_topk_ivf",
+    "quantize_int8",
 ]
 
 
@@ -333,4 +334,51 @@ def cosine_topk_lsh(
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving format
+    for embedding tables at scale (4× smaller than float32, SIMD-friendly
+    dot products downstream). scale = max|x| / 127 per vector; q_i =
+    round_half_even(x_i / scale), so every q fits [-127, 127].
+
+    Returns (id_col, scale, q_sum, q_min, q_max, max_abs_err) where
+    max_abs_err = max_i |x_i − q_i·scale| is the reconstruction error —
+    the quantization-quality audit column.
+
+    Shape: posexplode the dimensions once, take the per-vector max with a
+    WINDOW over the same partition key (one shuffle total — no
+    groupBy-then-rejoin second exchange), re-aggregate. All integer/double
+    arithmetic on codegen'd built-ins; max is order-independent, and the
+    only sum is over exact integers — bit-identical on any engine or
+    partitioning (dsum-style determinism without the decimal detour).
+    """
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    w = Window.partitionBy("id")
+    amax = F.max(F.abs(F.col("x"))).over(w)
+    scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / 127.0)
+    q = F.bround(F.col("x") / scale).cast("long")
+    return (
+        e.select("id", "x", scale.alias("scale"), q.alias("q"))
+        .groupBy("id", "scale")
+        .agg(
+            F.sum("q").alias("q_sum"),
+            F.min("q").alias("q_min"),
+            F.max("q").alias("q_max"),
+            F.max(F.abs(F.col("x") - F.col("q") * F.col("scale"))).alias("max_abs_err"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "scale",
+            "q_sum",
+            "q_min",
+            "q_max",
+            "max_abs_err",
+        )
     )

@@ -1194,3 +1194,154 @@ def dedup_minhash_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(
         docs, threshold=0.8, persist_grams=True, hash_family="xxhash64"
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Round 3: chunk-level dedup, PII redaction, quantization, shard shuffle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS chunk_idx,
+             unnest(list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                    i -> array_to_string(toks[i*8+1 : i*8+8], ' '))) AS chunk_text
+      FROM t
+    ), d AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM c
+    ), k AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_clean
+      FROM d WHERE rn = 1 GROUP BY doc_id
+    ), tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.n_chunks AS BIGINT) AS n_chunks,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(k.text_clean, '') AS text_clean
+    FROM tot t LEFT JOIN k USING (doc_id)
+    """,
+    tags=("pipeline", "dedup", "chunk"),
+)
+def chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup: drop every 8-token chunk whose exact
+    text already appeared at a lower (doc_id, chunk_idx) anywhere in the
+    corpus, reassemble the survivors. Removes cross-page boilerplate
+    without discarding whole documents — the step between exact and
+    near-dup dedup in a training-data pipeline."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import chunk_dedup
+
+    return chunk_dedup(_t(spark, sf_dir, "documents"), chunk_tokens=8)
+
+
+@register(
+    "pii_redaction",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact ' || source || '@example.com at 10.0.' ||
+             CAST(doc_id % 256 AS VARCHAR) || '.7 tel +49-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(payload,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(payload,
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(payload,
+             '\\+[0-9]{1,3}(?:-[0-9]{3,4}){2,3}')) AS BIGINT) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(payload,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\+[0-9]{1,3}(?:-[0-9]{3,4}){2,3}', '<PHONE>', 'g') AS redacted
+    FROM p
+    """,
+    tags=("pipeline", "text", "pii"),
+)
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a deterministically PII-seeded payload column
+    (the synthetic corpus carries no organic PII, so the query grafts an
+    email/IP/phone per doc from (doc_id, source) — both engines build the
+    identical payload, then redact it). Counts + typed-token replacement,
+    all map-side regexp built-ins."""
+    from funnel_report_etl_pipeline__spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel +49-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return redact_pii(d.select("doc_id", payload.alias("payload")), "payload", "doc_id")
+
+
+@register(
+    "quantize_embeddings",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+    ), s AS (
+      SELECT vec_id, x,
+             CASE WHEN MAX(ABS(x)) OVER (PARTITION BY vec_id) = 0 THEN 1.0
+                  ELSE MAX(ABS(x)) OVER (PARTITION BY vec_id) / 127.0 END AS scale
+      FROM e
+    ), q AS (
+      SELECT vec_id, x, scale, round_even(x / scale, 0) AS qv FROM s
+    )
+    SELECT vec_id, scale, CAST(SUM(qv) AS BIGINT) AS q_sum,
+           CAST(MIN(qv) AS BIGINT) AS q_min, CAST(MAX(qv) AS BIGINT) AS q_max,
+           MAX(ABS(x - qv * scale)) AS max_abs_err
+    FROM q GROUP BY vec_id, scale
+    """,
+    tags=("pipeline", "similarity", "quantize"),
+)
+def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with reconstruction-error
+    audit — one posexplode, one window shuffle, integer-exact checksums
+    (see operators/similarity.quantize_int8)."""
+    from funnel_report_etl_pipeline__spark.operators.similarity import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "shard_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8
+             AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8
+             ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 5), doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+    tags=("pipeline", "sampling", "shuffle"),
+)
+def shard_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    content-addressed (shard, pos) — shard from its md5 prefix, pos by
+    sorting the md5 remainder WITHIN the shard. Reproducible on any
+    engine/cluster/partitioning (unlike df.orderBy(rand())), and the sort
+    is per-shard, so at 100 TB it is N independent partition-local sorts
+    of corpus/N rows each, never a global order-by."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(key, 1, 4), 16, 10).cast("int") % 8
+    w = Window.partitionBy("shard").orderBy(F.substring(F.col("__key"), 5, 28), "doc_id")
+    return (
+        d.select("doc_id", key.alias("__key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
