@@ -1228,6 +1228,7 @@ def dedup_minhash_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tot t LEFT JOIN k USING (doc_id)
     """,
     tags=("pipeline", "dedup", "chunk"),
+    bench=True,  # the explode-heavy sub-document shape
 )
 def chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style sub-document dedup: drop every 8-token chunk whose exact

@@ -102,7 +102,12 @@ def ordered_specs() -> dict[str, QuerySpec]:
         if spec.fn.__module__.endswith(".parity"):
             ordered[name] = spec
     for name, spec in specs.items():
-        if "pipeline" in spec.tags and name not in ordered:
+        # rows-only (no-oracle) entries produce "err: no_oracle" rows on
+        # the driver scoreboard; keep the checked window 100% value-hash
+        # verified and let the no-oracle variants (engine-hash MinHash,
+        # k-means IVF) sit past it — each has an exact-verified twin
+        # in-window and recall/equivalence tests in pytest.
+        if "pipeline" in spec.tags and spec.oracle is not None and name not in ordered:
             ordered[name] = spec
     for name in _RELATIONAL_HEADLINERS:
         if name in specs and name not in ordered:

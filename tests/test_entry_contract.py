@@ -51,8 +51,15 @@ def test_driver_window_leads_with_required_surface():
     window = list(mod.queries())[:DRIVER_WINDOW]
     specs = load_all()
     parity = [n for n, s in specs.items() if s.fn.__module__.endswith(".parity")]
-    pipeline = [n for n, s in specs.items() if "pipeline" in s.tags]
+    pipeline = [
+        n for n, s in specs.items() if "pipeline" in s.tags and s.oracle is not None
+    ]
     missing = (set(parity) | set(pipeline)) - set(window)
     assert not missing, f"required queries outside the driver window: {sorted(missing)}"
     # parity must come first (driver smoke-checks the reference surface first)
     assert window[: len(parity)] == parity
+    # every checked row must be value-hash verified: rows-only (no-oracle)
+    # variants sit past the window, and each must still be REGISTERED so the
+    # driver's weaker rows-only check and pytest cover them
+    oracles = mod.oracle_sql()
+    assert all(n in oracles for n in window), "no-oracle query inside the window"
