@@ -904,17 +904,46 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE
     t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    g AS (
+    g0 AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, len(toks) - 1),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
       FROM t WHERE len(toks) >= 3
     ),
+    g AS (  -- stop-gram guard: matches max_gram_freq=1000
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g0
+      ) WHERE df <= 1000
+    ),
+    h AS (
+      SELECT doc_id, gram,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h1,
+             (CAST(('0x' || substr(md5(gram), 16, 12)) AS BIGINT) | 1) AS h2
+      FROM g
+    ),
+    m AS (  -- minhash i = min over grams of h1 + i*h2 (Kirsch-Mitzenmacher)
+      SELECT doc_id, i, MIN(h1 + i * h2) AS mh
+      FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i) perms
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band_idx,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
+      FROM m GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
     inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.id_a
+      JOIN g gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+      GROUP BY c.id_a, c.id_b
     ),
     p AS (
       SELECT id_a, id_b
@@ -940,16 +969,22 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,  # the iterative-algorithm headliner
 )
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → connected components → per-document cluster
-    assignment (component = min doc_id in the cluster; is_canonical marks
-    the keeper). The iterative min-label-propagation operator, value-
-    verified against a DuckDB recursive-CTE transitive closure — the only
-    iterative-algorithm entry in the registry, and the step that makes the
-    pair-emitting dedup queries an actual deduplicator."""
-    from funnel_report_etl_pipeline__spark.operators.dedup import dedup_assign_clusters
+    """The end-to-end deduplicator on its 100 TB path: banded MinHash-LSH
+    pair generation (never all-pairs — candidates come from band-bucket
+    joins, verified by exact Jaccard) → connected components → per-document
+    cluster assignment (component = min doc_id; is_canonical marks the
+    keeper). Value-verified against a DuckDB replica of the FULL pipeline:
+    md5 double-hash minhash signatures, banding, verify, then a
+    recursive-CTE transitive closure for the component labels."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import (
+        dedup_assign_clusters,
+        minhash_dedup_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs_q(spark, sf_dir).select("id_a", "id_b")
+    pairs = minhash_dedup_pairs(docs, threshold=0.8, persist_grams=True).select(
+        "id_a", "id_b"
+    )
     return dedup_assign_clusters(docs, pairs)
 
 
