@@ -41,6 +41,11 @@ def get_spark(
         # TIMESTAMP(NANOS) parquet (events.ts) is illegal for Spark's reader
         # by default; read as nanos-since-epoch long, converted in the catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet micros with isAdjustedToUTC=false would otherwise infer as
+        # TIMESTAMP_NTZ (Spark 4 default), breaking unix_micros()/LTZ plans;
+        # with the session TZ pinned to UTC the LTZ reading is identical to
+        # DuckDB's naive-timestamp reading of the same file
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Arrow for the pandas-UDF slow path and toPandas at sinks
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # ---- local-mode only knobs ----

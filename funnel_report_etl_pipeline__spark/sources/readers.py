@@ -52,6 +52,10 @@ class TestDataCatalog:
             # UTC, so pin the session TZ — parity must not depend on the
             # container's TZ being UTC
             self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # events.ts as parquet micros with isAdjustedToUTC=false must
+            # read as LTZ (== DuckDB's naive read under a UTC session), not
+            # TIMESTAMP_NTZ — NTZ breaks unix_micros() and the funnel plans
+            self.spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
             path = os.path.join(self.sf_dir, f"{name}.parquet")
             df = self.spark.read.parquet(path)
             if name == "events" and dict(df.dtypes).get("ts") == "bigint":
