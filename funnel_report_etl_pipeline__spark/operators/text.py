@@ -272,3 +272,41 @@ def redact_pii(
     for _, pat, token in PII_PATTERNS:
         redacted = F.regexp_replace(redacted, pat, token)
     return df.select(F.col(id_col), *counts, redacted.alias("redacted"))
+
+
+def novelty_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 5
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    word n-grams whose FIRST corpus occurrence (lowest id) is this
+    document. Repeated boilerplate scores near 0, fresh prose near 1 — a
+    standard curation signal for ranking near-duplicate-heavy crawl data
+    before the harder MinHash pass (reference has no text ops; this is
+    part of the brief's training-data surface).
+
+    Returns (id_col, n_grams, n_novel, novelty) for every document with at
+    least one n-gram.
+
+    Scale shape: two gram-keyed hash aggregations (min-id and the per-doc
+    count), both with map-side partial aggregation — a viral gram shared by
+    k documents contributes one partial row per map task, never a k-row
+    group — then a doc-cardinality left join of two tiny per-doc frames.
+    Nothing joins at gram grain. The division is a single IEEE-754 op on
+    two exact integers, so the score is bit-identical on any engine.
+    """
+    from funnel_report_etl_pipeline__spark.operators.dedup import gram_rows
+
+    grams = gram_rows(df, id_col=id_col, text_col=text_col, ngram=ngram)
+    totals = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    first = grams.groupBy("gram").agg(F.min("id").alias("first_id"))
+    novel = first.groupBy("first_id").agg(F.count(F.lit(1)).alias("n_novel"))
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint"))
+    return (
+        totals.join(novel, totals["id"] == novel["first_id"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams"),
+            n_novel.alias("n_novel"),
+            (n_novel.cast("double") / F.col("n_grams").cast("double")).alias("novelty"),
+        )
+    )

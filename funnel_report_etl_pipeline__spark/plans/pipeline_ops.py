@@ -1381,3 +1381,37 @@ def shard_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+@register(
+    "gram_novelty",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+      FROM t WHERE len(toks) >= 5
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+    first AS (SELECT gram, MIN(doc_id) AS first_id FROM g GROUP BY gram),
+    nov AS (SELECT first_id AS doc_id, COUNT(*) AS n_novel FROM first GROUP BY first_id)
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(nov.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(COALESCE(nov.n_novel, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
+             AS novelty
+    FROM tot t LEFT JOIN nov USING (doc_id)
+    """,
+    tags=("pipeline", "text", "novelty"),
+)
+def gram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-5-gram novelty (fraction of the doc's distinct
+    grams first seen in this doc, by lowest doc_id) — the cheap
+    boilerplate-vs-fresh-prose ranking signal that runs before MinHash in
+    a crawl curation pipeline. Exact integer counts + one IEEE division;
+    see operators/text.novelty_scores for the scale shape."""
+    from funnel_report_etl_pipeline__spark.operators.text import novelty_scores
+
+    return novelty_scores(_t(spark, sf_dir, "documents"), ngram=5)

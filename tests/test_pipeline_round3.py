@@ -84,3 +84,25 @@ def test_quantize_int8_bounds_and_reconstruction(spark):
     assert r1.max_abs_err <= r1.scale / 2 + 1e-12
     r2 = out[2]
     assert (r2.scale, r2.q_sum, r2.q_min, r2.q_max, r2.max_abs_err) == (1.0, 0, 0, 0, 0.0)
+
+
+def test_novelty_scores_planted(spark):
+    from funnel_report_etl_pipeline__spark.operators.text import novelty_scores
+
+    a = "a1 a2 a3 a4 a5 a6"          # 2 distinct 5-grams, all first here
+    docs = spark.createDataFrame(
+        [
+            (1, a),
+            (2, a),                   # verbatim copy → novelty 0
+            (3, "b1 b2 b3 b4 b5 " + a),  # own grams + doc 1's two grams
+            (4, "too short"),         # < 5 tokens → no output row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in novelty_scores(docs, ngram=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_grams == 2 and out[1].novelty == 1.0
+    assert out[2].n_grams == 2 and out[2].n_novel == 0 and out[2].novelty == 0.0
+    # doc 3: 7 distinct grams; doc 1's two grams are not novel here
+    assert out[3].n_grams == 7 and out[3].n_novel == 5
+    assert out[3].novelty == pytest.approx(5 / 7)
