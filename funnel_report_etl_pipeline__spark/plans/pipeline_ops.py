@@ -812,7 +812,8 @@ def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 AS (SELECT *, sha256(f0 || 'f1') AS f1 FROM f),
     c2 AS (SELECT *, sha256(f1 || 'f2') AS f2 FROM c1),
     c3 AS (SELECT *, sha256(f2 || 'f3') AS f3 FROM c2)
-    SELECT doc_id, width, height, resized_hex, [f0, f1, f2, f3] AS frames_hex
+    SELECT doc_id, width, height, resized_hex,
+           array_to_string([f0, f1, f2, f3], ',') AS frames_hex
     FROM c3
     """,
     tags=("pipeline", "multimodal", "features"),
@@ -822,7 +823,10 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stub codecs, real distribution plumbing). The stubs are deterministic
     sha256 fakes, so the oracle replays the whole Python path in SQL and
     the mapInPandas plumbing is value-hash verified end-to-end; binary
-    outputs are hex-rendered for the cross-engine compare."""
+    outputs are hex-rendered for the cross-engine compare. ``frames_hex``
+    is rendered as ONE comma-joined string (not array<string>): the
+    driver's pandas canonicalizer sorts rows with ``sort_values`` over all
+    columns, which raises ``unhashable type: 'list'`` on list cells."""
     docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
     feat = media_features(docs, "payload", "doc_id", resize_to=(224, 224), n_frames=4)
     return feat.select(
@@ -830,7 +834,9 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         F.lower(F.hex("resized")).alias("resized_hex"),
-        F.transform("frames", lambda x: F.lower(F.hex(x))).alias("frames_hex"),
+        F.concat_ws(
+            ",", F.transform("frames", lambda x: F.lower(F.hex(x)))
+        ).alias("frames_hex"),
     )
 
 

@@ -33,6 +33,18 @@ def load_entry():
     return mod
 
 
+def driver_canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Replicate the EXTERNAL driver's pandas canonicalization exactly:
+    columns sorted by name, then ``sort_values`` over all columns on the
+    RAW frame — no cell coercion. pandas' lexsort factorizes object
+    columns, so a list/dict/ndarray cell raises ``TypeError: unhashable
+    type`` here exactly as it does in the driver (the round-3
+    ``multimodal_features`` failure mode driver_sim previously masked by
+    tuple-mapping cells before sorting)."""
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
 def _hashable(v):
     # list/ndarray cells (array columns) are unsortable/uncomparable as-is
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
@@ -61,8 +73,14 @@ def cell_equal(a, b) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -79,6 +97,7 @@ def main() -> int:
 
     qs, oracles = mod.queries(), mod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name in sorted(qs):
         if only and name not in only:
             continue
@@ -86,20 +105,40 @@ def main() -> int:
             sdf = qs[name](spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "spark_error", "err": f"{type(e).__name__}: {str(e)[:200]}"}
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            continue
+        # The driver canonicalizes BOTH frames this way before hashing; a
+        # crash here is a red scoreboard row even when values are correct.
+        try:
+            driver_canon(sdf)
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            results[name] = {"status": "driver_canon_crash", "err": f"{type(e).__name__}: {str(e)[:200]}"}
+            print(f"FAIL {name}: driver-canon crash on SPARK frame {type(e).__name__}: {str(e)[:200]}")
             continue
         sql = oracles.get(name)
         if sql is None:
+            results[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             print(f"ok?  {name}: rows-only ({len(sdf)} rows, no oracle)")
             continue
         try:
             odf = con.execute(sql).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "oracle_error", "err": f"{type(e).__name__}: {str(e)[:200]}"}
             print(f"FAIL {name}: oracle error {type(e).__name__}: {str(e)[:300]}")
+            continue
+        try:
+            driver_canon(odf)
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            results[name] = {"status": "driver_canon_crash", "err": f"{type(e).__name__}: {str(e)[:200]}"}
+            print(f"FAIL {name}: driver-canon crash on ORACLE frame {type(e).__name__}: {str(e)[:200]}")
             continue
         if len(sdf) != len(odf) or sorted(sdf.columns) != sorted(odf.columns):
             failures.append(name)
+            results[name] = {"status": "shape_mismatch", "spark_rows": len(sdf), "oracle_rows": len(odf)}
             print(
                 f"FAIL {name}: shape spark=({len(sdf)},{sorted(sdf.columns)}) "
                 f"duckdb=({len(odf)},{sorted(odf.columns)})"
@@ -117,13 +156,33 @@ def main() -> int:
                 break
         if bad:
             failures.append(name)
+            results[name] = {
+                "status": "value_mismatch",
+                "err": f"col={bad[0]} row={bad[1]} spark={bad[2]!r} duckdb={bad[3]!r}"[:300],
+            }
             print(
                 f"FAIL {name}: value col={bad[0]} row={bad[1]} "
                 f"spark={bad[2]!r} duckdb={bad[3]!r}"
             )
         else:
+            results[name] = {"status": "pass", "rows": len(s)}
             print(f"PASS {name} ({len(s)} rows)")
     print(f"\n{len(failures)} failures: {failures}")
+    if json_path:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_pass": sum(1 for r in results.values() if r["status"] == "pass"),
+            "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),
+            "n_fail": len(failures),
+            "failures": failures,
+            "queries": results,
+        }
+        with open(json_path, "w") as fh:
+            json.dump(summary, fh, indent=1, default=str)
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 
