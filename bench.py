@@ -39,6 +39,7 @@ def main() -> int:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float | None] = {}
+    stats: dict[str, dict] = {}
     for name in sorted(specs):
         try:
             # one untimed warm-up run per query: bills one-time costs
@@ -47,15 +48,37 @@ def main() -> int:
             # the number that scales with data volume on a long-lived
             # cluster. Results stay collect()-verified every time.
             specs[name].fn(spark, sf_dir).collect()
-            samples = []
-            for _ in range(n_runs):
-                t0 = time.perf_counter()
-                specs[name].fn(spark, sf_dir).collect()
-                samples.append(time.perf_counter() - t0)
+
+            def timed_runs(k: int) -> list[float]:
+                out = []
+                for _ in range(k):
+                    t0 = time.perf_counter()
+                    specs[name].fn(spark, sf_dir).collect()
+                    out.append(time.perf_counter() - t0)
+                return out
+
+            samples = timed_runs(n_runs)
+            # A median more than 2x the min means at least half the samples
+            # were inflated by something other than the query (GC pause,
+            # bench-process contention) — the round-3 phantom 2.79 s
+            # asof_join_events. Take another batch so the combined median
+            # reflects the plan, not the machine's mood.
+            retried = False
+            if statistics.median(samples) > 2 * min(samples):
+                retried = True
+                samples += timed_runs(n_runs)
             timings[name] = round(statistics.median(samples), 3)
+            stats[name] = {
+                "median": timings[name],
+                "min": round(min(samples), 3),
+                "spread": round(max(samples) - min(samples), 3),
+                "n": len(samples),
+                **({"retried": True} if retried else {}),
+            }
         except Exception as e:  # one broken query must not zero the whole bench
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = None  # machine-readable failure marker
+            stats[name] = {"err": f"{type(e).__name__}: {e}"[:200]}
 
     failed = [n for n, t in timings.items() if t is None]
     total = round(sum(t for t in timings.values() if t is not None), 3)
@@ -66,6 +89,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stats": stats,
                 "sf": sf,
                 "stat": f"median_of_{n_runs}",
             }

@@ -20,6 +20,9 @@ class SmtpConfig:
     port: int = 587
     user: str = ""
     password: str = ""
+    # STARTTLS as the reference does (run_reports.py:158); switchable off
+    # so tests can drive the full send path against a plaintext local stub.
+    use_tls: bool = True
 
     @property
     def configured(self) -> bool:

@@ -271,6 +271,36 @@ def jaccard_verify(
 # stopped session (the plan hash alone would collide).
 _PERSISTED_GRAMS: list[tuple[tuple[int, int], DataFrame]] = []
 
+# same single-slot discipline for the verified-pairs frame: dedup_clusters
+# consumes exactly the pair list dedup_minhash_lsh just computed (identical
+# analyzed plan → identical semantic hash), so caching it turns the cluster
+# pass into pairs-scan + label propagation instead of re-deriving the whole
+# gram → signature → band → verify pipeline. The 100 TB analogue is a
+# parquet checkpoint of the pair list between pipeline stages.
+_PERSISTED_PAIRS: list[tuple[tuple[int, int], DataFrame]] = []
+
+
+def _cache_single_slot(
+    slot: list[tuple[tuple[int, int], DataFrame]], frame: DataFrame
+) -> DataFrame:
+    """Return the cached frame when its (session, semantic-hash) key matches
+    the slot; otherwise evict the old cache and persist this frame."""
+    key = (
+        id(frame.sparkSession),
+        frame._jdf.queryExecution().analyzed().semanticHash(),
+    )
+    if slot and slot[0][0] == key:
+        return slot[0][1]
+    while slot:
+        old = slot.pop()[1]
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — cache bound to a stopped
+            pass  # session: nothing left to release
+    frame = frame.persist()
+    slot.append((key, frame))
+    return frame
+
 
 def minhash_dedup_pairs(
     df: DataFrame,
@@ -282,6 +312,7 @@ def minhash_dedup_pairs(
     rows: int = 4,
     threshold: float = 0.8,
     persist_grams: bool = False,
+    persist_pairs: bool = False,
     max_gram_freq: int | None = 1000,
     hash_family: str = "md5",
 ) -> DataFrame:
@@ -322,21 +353,17 @@ def minhash_dedup_pairs(
         # (same session/input/params — e.g. bench warm-up then timed run)
         # REUSES the cached frame; a different input evicts the old cache
         # first, so caches never accumulate across scale factors
-        key = (id(grams.sparkSession), grams._jdf.queryExecution().analyzed().semanticHash())
-        if _PERSISTED_GRAMS and _PERSISTED_GRAMS[0][0] == key:
-            grams = _PERSISTED_GRAMS[0][1]
-        else:
-            while _PERSISTED_GRAMS:
-                old = _PERSISTED_GRAMS.pop()[1]
-                try:
-                    old.unpersist()
-                except Exception:  # noqa: BLE001 — cache bound to a stopped
-                    pass  # session: nothing left to release
-            grams = grams.persist()
-            _PERSISTED_GRAMS.append((key, grams))
+        grams = _cache_single_slot(_PERSISTED_GRAMS, grams)
     sigs = minhash_signatures(grams, num_perm, hash_family)
     cands = lsh_candidate_pairs(sigs, bands, rows)
-    return jaccard_verify(cands, grams, threshold)
+    verified = jaccard_verify(cands, grams, threshold)
+    if persist_pairs:
+        # ``persist_pairs=True`` additionally caches the verified pair list
+        # (single slot, same keying) so a downstream consumer with the same
+        # parameters — dedup_assign_clusters after a near-dup report —
+        # starts from materialized pairs instead of re-running the pipeline.
+        verified = _cache_single_slot(_PERSISTED_PAIRS, verified)
+    return verified
 
 
 def ngram_decontaminate(

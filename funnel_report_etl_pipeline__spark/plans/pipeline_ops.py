@@ -217,9 +217,9 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates → verify) is replicated in the DuckDB oracle and the result
     is value-hash verified, not merely rows-only."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, threshold=0.8, persist_grams=True).orderBy(
-        "id_a", "id_b"
-    )
+    return minhash_dedup_pairs(
+        docs, threshold=0.8, persist_grams=True, persist_pairs=True
+    ).orderBy("id_a", "id_b")
 
 
 def _simhash_oracle() -> str:
@@ -988,9 +988,9 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, threshold=0.8, persist_grams=True).select(
-        "id_a", "id_b"
-    )
+    pairs = minhash_dedup_pairs(
+        docs, threshold=0.8, persist_grams=True, persist_pairs=True
+    ).select("id_a", "id_b")
     return dedup_assign_clusters(docs, pairs)
 
 

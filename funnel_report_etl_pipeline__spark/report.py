@@ -7,9 +7,11 @@ The engine's source of truth is the typed funnel DataFrame
   (report_engine.py:293-319) built from one collected metrics row.
 * ``write_funnel_excel`` — the formatted one-sheet workbook
   (run_reports.py:64-125: column widths, merged stage cells, gray/green/
-  brown formats, spacer row). Requires ``xlsxwriter``; when absent (as in
-  this container) ``write_funnel_report`` degrades to a deterministic CSV
-  with identical cell values so the pipeline remains runnable and testable.
+  brown formats, spacer row). Uses ``xlsxwriter`` when installed, else
+  the stdlib zip+xml backend (xlsx_lite) — the formatted writer executes
+  either way. Without xlsxwriter ``write_funnel_report`` additionally
+  writes a deterministic CSV twin with identical cell values and returns
+  its path (the historical contract tests and downstream consumers parse).
 * ``send_report_mail`` — MIME multipart (plain+HTML) + base64 attachments
   over SMTP (run_reports.py:132-165); skips quietly when unconfigured.
 
@@ -29,6 +31,7 @@ from email.mime.base import MIMEBase
 from email.mime.multipart import MIMEMultipart
 from email.mime.text import MIMEText
 
+from funnel_report_etl_pipeline__spark import xlsx_lite
 from funnel_report_etl_pipeline__spark.config import SmtpConfig
 from funnel_report_etl_pipeline__spark.functions.core import pct_py
 
@@ -108,71 +111,110 @@ def presentation_table(metrics: dict) -> list[list[Cell]]:
     ]
 
 
-def write_funnel_excel(table: list[list[Cell]], filepath: str) -> None:
-    """K1: formatted one-sheet workbook — widths, merged cells, gray/green/
-    brown formats, 1 blank spacer row prepended (U2)
-    (reference run_reports.py:64-125). Requires xlsxwriter."""
-    if not HAS_XLSX:
-        raise NotImplementedError(
-            "xlsxwriter is not installed in this environment; "
-            "use write_funnel_report() for the CSV fallback"
-        )
+_LAYOUT_WIDTHS = [45, 45, 14, 15, 55, 14, 16]
+_LAYOUT_FORMATS: dict[str, dict] = {
+    "border": {},
+    "gray": {"bg_color": "#d9d9d9"},
+    "green": {"bg_color": "#aaecc6"},
+    "dark": {"bg_color": "#f5c8a7"},
+    "light": {"bg_color": "#fae4d3"},
+    "note_g": {"bg_color": "#d9d9d9", "wrap": True},
+    "note_w": {"wrap": True},
+    "stage": {"bg_color": "#d9d9d9", "wrap": True},
+}
+
+
+def funnel_layout(
+    table: list[list[Cell]],
+) -> tuple[dict[tuple[int, int], tuple[Cell, str]], list[tuple[int, int, int, int]]]:
+    """Backend-neutral workbook layout (reference run_reports.py:64-125):
+    {(row, col): (value, format_name)} plus merge ranges, replicating the
+    reference's write order (later writes win, merges style every covered
+    cell and carry the value in the top-left). Consumed by both the
+    xlsxwriter backend and the stdlib zip+xml one, so the formatted sink
+    executes — and is round-trip testable — without xlsxwriter."""
     out = [[""] * 7] + table  # U2: spacer row → reference row indices align
+    cells: dict[tuple[int, int], tuple[Cell, str]] = {}
+    merges: list[tuple[int, int, int, int]] = []
 
-    wb = xlsxwriter.Workbook(filepath)
-    sheet = wb.add_worksheet("Funnel Dashboard")
-    widths = [45, 45, 14, 15, 55, 14, 16]
-    for c, wdt in enumerate(widths):
-        sheet.set_column(c, c, wdt)
+    def merge(r1: int, c1: int, r2: int, c2: int, val: Cell, fmt: str) -> None:
+        merges.append((r1, c1, r2, c2))
+        for r in range(r1, r2 + 1):
+            for c in range(c1, c2 + 1):
+                cells[(r, c)] = ("", fmt)
+        cells[(r1, c1)] = (val, fmt)
 
-    base = {"border": 1, "align": "left", "valign": "vcenter"}
-    gray = wb.add_format({**base, "bg_color": "#d9d9d9"})
-    green = wb.add_format({**base, "bg_color": "#aaecc6"})
-    dark = wb.add_format({**base, "bg_color": "#f5c8a7"})
-    light = wb.add_format({**base, "bg_color": "#fae4d3"})
-    border = wb.add_format(base)
-    note_g = wb.add_format({**base, "text_wrap": True, "bg_color": "#d9d9d9"})
-    note_w = wb.add_format({**base, "text_wrap": True})
-    stage_fmt = wb.add_format({**base, "text_wrap": True, "bg_color": "#d9d9d9"})
-
-    sheet.merge_range(1, 3, 1, 4, out[1][3], note_g)
-    sheet.merge_range(2, 3, 2, 4, out[2][3], note_w)
-    sheet.merge_range(5, 2, 5, 3, out[5][2], gray)
-    sheet.merge_range(5, 5, 5, 6, out[5][5], gray)
+    merge(1, 3, 1, 4, out[1][3], "note_g")
+    merge(2, 3, 2, 4, out[2][3], "note_w")
+    merge(5, 2, 5, 3, out[5][2], "gray")
+    merge(5, 5, 5, 6, out[5][5], "gray")
 
     colored_main = {7, 8, 9, 13, 18, 19, 22, 23, 24}
     drop_sub = {10, 11, 12, 14, 15, 16, 17, 20, 21}
 
     for r in range(6, 25):
         for c in range(7):
-            fmt = border
+            fmt = "border"
             if r == 6 or c == 0:
-                fmt = gray
+                fmt = "gray"
             if c in (1, 2, 3) and r in colored_main:
-                fmt = green
+                fmt = "green"
             if c == 4:
-                fmt = dark if r in colored_main else (light if r in drop_sub else border)
+                fmt = "dark" if r in colored_main else ("light" if r in drop_sub else "border")
             if c in (5, 6) and r in colored_main:
-                fmt = dark
-            val = out[r][c]
-            if val is None or val == "":
-                sheet.write_blank(r, c, None, fmt)
-            else:
-                sheet.write(r, c, val, fmt)
+                fmt = "dark"
+            cells[(r, c)] = (out[r][c], fmt)
 
-    sheet.write(1, 0, out[1][0], gray)
-    sheet.write(1, 1, out[1][1], gray)
+    cells[(1, 0)] = (out[1][0], "gray")
+    cells[(1, 1)] = (out[1][1], "gray")
     for r in range(2, 4):
         for c in range(2):
-            val = out[r][c]
-            if val is None or val == "":
-                sheet.write_blank(r, c, None, border)
-            else:
-                sheet.write(r, c, val, border)
+            cells[(r, c)] = (out[r][c], "border")
 
-    sheet.merge_range("A10:A13", out[9][0], stage_fmt)
-    sheet.merge_range("A14:A18", out[13][0], stage_fmt)
-    sheet.merge_range("A20:A22", out[19][0], stage_fmt)
+    merge(9, 0, 12, 0, out[9][0], "stage")
+    merge(13, 0, 17, 0, out[13][0], "stage")
+    merge(19, 0, 21, 0, out[19][0], "stage")
+    return cells, merges
+
+
+def write_funnel_excel(table: list[list[Cell]], filepath: str) -> None:
+    """K1: formatted one-sheet workbook — widths, merged stage cells, gray/
+    green/brown formats, 1 blank spacer row prepended (U2)
+    (reference run_reports.py:64-125). Uses xlsxwriter when installed,
+    else the stdlib zip+xml writer (xlsx_lite) — same layout either way."""
+    cells, merges = funnel_layout(table)
+    if not HAS_XLSX:
+        xlsx_lite.write_xlsx(
+            filepath, cells, merges, _LAYOUT_WIDTHS, _LAYOUT_FORMATS,
+            sheet_name="Funnel Dashboard",
+        )
+        return
+
+    wb = xlsxwriter.Workbook(filepath)
+    sheet = wb.add_worksheet("Funnel Dashboard")
+    for c, wdt in enumerate(_LAYOUT_WIDTHS):
+        sheet.set_column(c, c, wdt)
+    base = {"border": 1, "align": "left", "valign": "vcenter"}
+    fmts = {
+        name: wb.add_format(
+            {**base}
+            | ({"bg_color": spec["bg_color"]} if spec.get("bg_color") else {})
+            | ({"text_wrap": True} if spec.get("wrap") else {})
+        )
+        for name, spec in _LAYOUT_FORMATS.items()
+    }
+    merged = {(r, c) for r1, c1, r2, c2 in merges
+              for r in range(r1, r2 + 1) for c in range(c1, c2 + 1)}
+    for (r1, c1, r2, c2) in merges:
+        val, fmt = cells[(r1, c1)]
+        sheet.merge_range(r1, c1, r2, c2, val, fmts[fmt])
+    for (r, c), (val, fmt) in sorted(cells.items()):
+        if (r, c) in merged:
+            continue
+        if val is None or val == "":
+            sheet.write_blank(r, c, None, fmts[fmt])
+        else:
+            sheet.write(r, c, val, fmts[fmt])
     wb.close()
 
 
@@ -187,10 +229,12 @@ def write_funnel_csv(table: list[list[Cell]], filepath: str) -> None:
 
 
 def write_funnel_report(table: list[list[Cell]], filepath: str) -> str:
-    """Write the report at ``filepath`` (xlsx when possible, else the CSV
-    twin next to it). Returns the path actually written."""
+    """Write the formatted workbook at ``filepath`` (xlsxwriter or the
+    stdlib backend — always executes). Without xlsxwriter, also write the
+    CSV twin and return its path (the historical contract downstream
+    consumers parse); with it, return the xlsx path."""
+    write_funnel_excel(table, filepath)
     if HAS_XLSX:
-        write_funnel_excel(table, filepath)
         return filepath
     csv_path = os.path.splitext(filepath)[0] + ".csv"
     write_funnel_csv(table, csv_path)
@@ -235,7 +279,8 @@ def send_report_mail(
                 )
                 msg.attach(part)
         with smtplib.SMTP(smtp.host, smtp.port) as srv:
-            srv.starttls()
+            if smtp.use_tls:
+                srv.starttls()
             srv.login(smtp.user, smtp.password)
             srv.send_message(msg)
         return True

@@ -161,6 +161,30 @@ def test_persist_grams_keeps_single_live_cache(spark, docs):
     assert len(D._PERSISTED_GRAMS) == 1 and D._PERSISTED_GRAMS[0][0] != k1
 
 
+def test_persist_pairs_reused_by_identical_call(spark, docs):
+    """persist_pairs caches the verified pair list (single slot) so a
+    downstream consumer with the same parameters — dedup_clusters after
+    dedup_minhash_lsh — starts from materialized pairs, and results are
+    identical to the uncached path."""
+    from funnel_report_etl_pipeline__spark.operators import dedup as D
+
+    plain = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    cached1 = D.minhash_dedup_pairs(docs, threshold=0.5, persist_pairs=True)
+    assert {(r.id_a, r.id_b, r.jaccard) for r in cached1.collect()} == plain
+    assert len(D._PERSISTED_PAIRS) == 1
+    k1 = D._PERSISTED_PAIRS[0][0]
+    cached2 = D.minhash_dedup_pairs(docs, threshold=0.5, persist_pairs=True)
+    # identical call returns the SAME cached frame, no new slot
+    assert cached2 is cached1
+    assert len(D._PERSISTED_PAIRS) == 1 and D._PERSISTED_PAIRS[0][0] == k1
+    # different parameters evict and install a fresh pair cache
+    D.minhash_dedup_pairs(docs, threshold=0.9, persist_pairs=True).collect()
+    assert len(D._PERSISTED_PAIRS) == 1 and D._PERSISTED_PAIRS[0][0] != k1
+
+
 def test_gram_freq_cap_bounds_viral_passage(spark):
     """A boilerplate passage shared by many docs must not reach the verify
     join's gram groups when the cap is on — and with the cap above the

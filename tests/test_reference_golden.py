@@ -51,6 +51,12 @@ def _read_xlsx_cells(path: Path) -> dict[tuple[int, int], str]:
     return cells
 
 
+def _read_xlsx_merges(path: Path) -> set[str]:
+    z = zipfile.ZipFile(path)
+    sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    return set(re.findall(r'<mergeCell ref="([^"]+)"', sheet))
+
+
 def _cells_equal(ours: str, ref: str | None) -> bool:
     if ref is None:
         return ours == ""
@@ -85,3 +91,46 @@ def test_demo_report_matches_reference_workbook(spark, tmp_path):
     data_cells = {k for k in ref if k[0] >= 2}
     covered = {(i + 1, c) for i in range(1, 25) for c in range(7)}
     assert data_cells <= covered
+
+
+@pytest.mark.skipif(not REFERENCE_XLSX.exists(), reason="reference artifact absent")
+def test_stdlib_xlsx_roundtrip_matches_reference_workbook(spark, tmp_path):
+    """The formatted Excel WRITER executes in-container (stdlib zip+xml
+    backend when xlsxwriter is absent) and its output, re-parsed with the
+    same stdlib reader, matches the reference's committed workbook cell
+    for cell — plus the exact same merged-cell ranges."""
+    from funnel_report_etl_pipeline__spark.cli import run
+    from funnel_report_etl_pipeline__spark.config import EngineConfig
+
+    cfg = EngineConfig(output_dir=str(tmp_path))
+    written = run(spark, demo=True, date_spec="15_02_2026", cfg=cfg)
+    ours_path = Path(written[0]).with_suffix(".xlsx")
+    assert ours_path.exists(), "write_funnel_excel did not execute"
+
+    ours = _read_xlsx_cells(ours_path)
+    ref = _read_xlsx_cells(REFERENCE_XLSX)
+    mismatches = []
+    for r in range(2, 26):  # workbook rows 2..25 (row 1 is the U2 spacer)
+        for c in range(7):
+            a, b = ours.get((r, c)), ref.get((r, c))
+            if a == b:
+                continue
+            if not _cells_equal(a or "", b):
+                mismatches.append((r, c, a, b))
+    assert not mismatches, f"cells differing from the reference workbook: {mismatches}"
+    assert _read_xlsx_merges(ours_path) == _read_xlsx_merges(REFERENCE_XLSX)
+
+
+def test_stdlib_xlsx_writer_is_deterministic(tmp_path):
+    """Byte-identical output for identical tables (fixed zip timestamps,
+    first-use shared-string interning) — the single-day == degenerate-range
+    guarantee the CSV twin gives must hold for the xlsx twin too."""
+    from funnel_report_etl_pipeline__spark.report import HAS_XLSX, write_funnel_excel
+
+    if HAS_XLSX:
+        pytest.skip("xlsxwriter present; stdlib backend not in play")
+    table = [[f"r{r}c{c}" if c else r * 10 for c in range(7)] for r in range(24)]
+    a, b = tmp_path / "a.xlsx", tmp_path / "b.xlsx"
+    write_funnel_excel(table, str(a))
+    write_funnel_excel(table, str(b))
+    assert a.read_bytes() == b.read_bytes()
