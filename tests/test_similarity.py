@@ -120,6 +120,62 @@ def test_rademacher_signs_are_pure():
                for t in range(2) for j in range(8) for i in range(8))
 
 
+# --- 10x probe scale -------------------------------------------------------
+# The recall>=0.9 contract above is asserted at testdata scale (160 vectors);
+# these re-assert it at the 50k-vector probe scale the operators advertise,
+# so the claim survives the corpus size where bucketing actually matters
+# (50k/2^8 ~ 195 vectors per LSH bucket; ~780 per IVF cell).
+
+N_CLUSTERS_10X = 500
+PER_CLUSTER_10X = 100  # 50_000 vectors
+
+
+def _planted_rows_10x():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((N_CLUSTERS_10X, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, PER_CLUSTER_10X, axis=0) + rng.normal(
+        0, NOISE, (N_CLUSTERS_10X * PER_CLUSTER_10X, DIM)
+    )
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    return [(i, row.tolist()) for i, row in enumerate(vecs)]
+
+
+@pytest.fixture(scope="module")
+def planted_10x(spark):
+    df = spark.createDataFrame(
+        _planted_rows_10x(), "vec_id long, embedding array<double>"
+    ).repartition(32).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.mark.scale
+def test_lsh_recall_at_5_scale_10x(planted_10x):
+    queries = planted_10x.filter(f"vec_id % {PER_CLUSTER_10X * 20} = 0")  # 25 queries
+    exact = cosine_topk_brute(planted_10x, queries, k=5)
+    approx = cosine_topk_lsh(
+        planted_10x, queries, k=5, n_tables=2, n_bits=8, dim=DIM
+    )
+    rec = _recall_at_k(approx, exact)
+    assert rec >= 0.9, f"LSH recall@5 at 50k vectors = {rec:.3f}"
+
+
+@pytest.mark.scale
+def test_ivf_recall_at_5_scale_10x(planted_10x):
+    queries = planted_10x.filter(f"vec_id % {PER_CLUSTER_10X * 20} = 0")
+    exact = cosine_topk_brute(planted_10x, queries, k=5)
+    cents = train_ivf_centroids(planted_10x, n_cells=64)
+    approx = cosine_topk_ivf(
+        planted_10x, queries, k=5, n_cells=64, n_probe=4, centroids=cents
+    )
+    rec = _recall_at_k(approx, exact)
+    assert rec >= 0.9, f"k-means IVF recall@5 at 50k vectors = {rec:.3f}"
+
+
 def test_all_pairs_guard_raises(planted):
     with pytest.raises(ValueError, match="max_rows"):
         cosine_near_dup_pairs(planted, max_rows=10)

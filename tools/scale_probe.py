@@ -17,11 +17,16 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from pyspark.sql import Window  # noqa: E402
+
 from funnel_report_etl_pipeline__spark.operators.curation import curation_summary  # noqa: E402
 from funnel_report_etl_pipeline__spark.operators.dedup import (  # noqa: E402
+    chunk_dedup,
     dedup_assign_clusters,
     minhash_dedup_pairs,
+    ngram_decontaminate,
 )
+from funnel_report_etl_pipeline__spark.operators.text import novelty_scores  # noqa: E402
 from funnel_report_etl_pipeline__spark.session import get_spark  # noqa: E402
 from funnel_report_etl_pipeline__spark.sources.readers import TestDataCatalog  # noqa: E402
 
@@ -136,6 +141,40 @@ def main() -> int:
         ).count()
         t_cluster = round(time.perf_counter() - t0, 2)
 
+        # round-3 operators — same corpus, same 1x/4x/10x ladder.
+        # chunk_dedup: aggregate over text_clean LENGTH so the reassembly
+        # string_agg payload is actually computed (a bare count() lets
+        # Catalyst prune the column and the probe would measure nothing).
+        t0 = time.perf_counter()
+        clean_chars = chunk_dedup(docs).agg(
+            F.sum(F.length("text_clean")).alias("s")
+        ).collect()[0]["s"]
+        t_chunk = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        novelty_scores(docs, ngram=5).agg(F.sum("n_novel")).collect()
+        t_novelty = round(time.perf_counter() - t0, 2)
+
+        # benchmark corpus stays FIXED while training data scales — the
+        # production shape (eval sets don't grow with the crawl)
+        bench_docs = TestDataCatalog(spark, BASE_SF).table("documents").limit(100)
+        t0 = time.perf_counter()
+        ngram_decontaminate(docs, bench_docs, ngram=5).count()
+        t_decon = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        key = F.md5(F.col("doc_id").cast("string"))
+        shard = F.conv(F.substring(key, 1, 4), 16, 10).cast("int") % 8
+        w = Window.partitionBy("shard").orderBy(
+            F.substring(F.col("__key"), 5, 28), "doc_id"
+        )
+        (
+            docs.select("doc_id", key.alias("__key"), shard.alias("shard"))
+            .withColumn("pos", F.row_number().over(w))
+            .groupBy("shard").agg(F.max("pos"))
+        ).collect()
+        t_shard = round(time.perf_counter() - t0, 2)
+
         print(
             json.dumps(
                 {
@@ -146,6 +185,11 @@ def main() -> int:
                     "curation_sec": t_curation,
                     "cluster_sec": t_cluster,
                     "n_dropped": n_clustered,
+                    "chunk_dedup_sec": t_chunk,
+                    "chunk_clean_chars": clean_chars,
+                    "novelty_sec": t_novelty,
+                    "decontaminate_sec": t_decon,
+                    "shard_shuffle_sec": t_shard,
                 }
             )
         )
