@@ -37,6 +37,7 @@ __all__ = [
     "hyperplane_buckets",
     "cosine_topk_lsh",
     "cosine_near_dup_pairs",
+    "embedding_dedup_pairs_lsh",
     "train_ivf_centroids",
     "cosine_topk_ivf",
     "quantize_int8",
@@ -335,6 +336,47 @@ def cosine_topk_lsh(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def embedding_dedup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 2,
+    n_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dup pairs at scale: hyperplane-LSH-blocked candidate
+    generation (corpus self-join on (table, bucket), id_a < id_b), exact
+    cosine verify at ``threshold``. The scale-path replacement for the
+    O(n²) ``cosine_near_dup_pairs`` — cost ∝ Σ bucket_size², never
+    corpus², and the signatures are integer-exact (md5-derived ±1 signs ×
+    quantized dims), so the whole pipeline is engine-deterministic and
+    oracle-verifiable. Recall < 1 by design (a pair split by every table's
+    hyperplanes is missed); tables trade cost for recall exactly as in
+    ``cosine_topk_lsh``."""
+    b = hyperplane_buckets(corpus, "id", n_tables, n_bits, dim, id_col, vec_col)
+    a = b.withColumnsRenamed({"id": "id_a"})
+    bb = b.withColumnsRenamed({"id": "id_b"})
+    cand = (
+        a.join(bb, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    scored = (
+        cand.join(v.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
+        .join(v.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
+        .withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 
 def quantize_int8(

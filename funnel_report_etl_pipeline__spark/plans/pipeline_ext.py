@@ -1,0 +1,266 @@
+"""Round-4 LLM-pipeline extensions: corpus-LM scoring, mixture-balanced
+sampling, sequence-length bucketing, semantic (embedding) dedup at scale.
+
+Registered AFTER the driver's 50-entry window (tag ``pipeline-ext``, which
+``ordered_specs`` deliberately does not pull forward): the window is full
+and 100% value-hash green; these queries carry the same DuckDB oracles and
+are verified by tools/driver_sim.py (committed as DRIVERSIM_r{N}.json) and
+pytest instead of the external scoreboard.
+
+Determinism: every ratio here is ONE division of two exact integers (or
+integer-exact LSH signatures), so results are bit-identical across engines
+and partitionings without decimal-sum workarounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.operators.similarity import (
+    embedding_dedup_pairs_lsh,
+    rademacher_sign,
+)
+from funnel_report_etl_pipeline__spark.plans.registry import register
+from funnel_report_etl_pipeline__spark.sources.readers import catalog_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog_table(spark, sf_dir, name)
+
+
+@register(
+    "bigram_lm_support",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+      WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c2.n2) AS BIGINT) AS sum_bigram_freq,
+           CAST(SUM(c1.n1) AS BIGINT) AS sum_context_freq,
+           CAST(SUM(c2.n2) AS DOUBLE) / CAST(SUM(c1.n1) AS DOUBLE) AS support_ratio
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY bg.doc_id
+    """,
+    tags=("pipeline-ext", "text", "lm"),
+)
+def bigram_lm_support_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram LM support scoring — the count-based stand-in for a
+    perplexity filter (CCNet/Gopher-style): per document, how strongly the
+    corpus's own bigram statistics support its word sequences. For each
+    bigram occurrence (w1,w2) the corpus-wide bigram count n2(w1,w2) and
+    context count n1(w1) are summed per doc; ``support_ratio`` =
+    Σn2 / Σn1 ∈ (0,1] is high for documents made of common word
+    transitions and low for novel/garbled sequences. All counts are exact
+    integers and the only division is one BIGINT/BIGINT at the end — no
+    float-sum ordering hazards. Scale shape: bigrams explode once; the two
+    count tables shuffle on (w1,w2)/(w1); per-doc aggregation is one more
+    key shuffle. No Python, no windows, whole-stage codegen throughout."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bg = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))))
+            .alias("i", "w1"),
+            toks.alias("__toks"),
+        )
+        .withColumn("w2", F.col("__toks")[F.col("i") + 1])
+        .select("doc_id", "w1", "w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("n2").alias("sum_bigram_freq"),
+            F.sum("n1").alias("sum_context_freq"),
+        )
+        .withColumn(
+            "support_ratio",
+            F.col("sum_bigram_freq").cast("double")
+            / F.col("sum_context_freq").cast("double"),
+        )
+    )
+
+
+@register(
+    "balanced_source_sample",
+    oracle="""
+    WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+    m AS (SELECT MIN(n_s) AS m FROM n),
+    r AS (SELECT source, CAST(m.m AS DOUBLE) / CAST(n_s AS DOUBLE) AS rate
+          FROM n, m)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < r.rate
+    """,
+    tags=("pipeline-ext", "sampling", "mixture"),
+)
+def balanced_source_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-balanced downsampling — the domain-reweighting step of a
+    training-data pipeline: each source is hash-sampled at rate
+    min_count/n_source, so every source contributes ≈ the smallest
+    source's share and no domain dominates the mix. The keep decision is
+    content-addressed (md5(doc_id) fraction < rate), hence reproducible
+    across engines, cluster sizes, and repartitioning — unlike
+    ``df.sampleBy``. Scale shape: the per-source rate table is tiny
+    (broadcast); the corpus is filtered map-side in one scan; the only
+    corpus-sized shuffle is... none."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    rates = n.crossJoin(n.agg(F.min("n_s").alias("m"))).select(
+        "source", (F.col("m").cast("double") / F.col("n_s").cast("double")).alias("rate")
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(frac < F.col("rate"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "length_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    )
+    SELECT CAST(length(bin(n_toks)) - 1 AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+           CAST(MIN(n_toks) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_toks) AS BIGINT) AS max_tokens
+    FROM t GROUP BY bucket
+    """,
+    tags=("pipeline-ext", "text", "batching"),
+)
+def length_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for training-batch assembly: docs grouped
+    into power-of-two token-length buckets (bucket = floor(log2(n)) via
+    binary-representation length — integer-exact, no float log), with
+    per-bucket doc/token tallies. This is the histogram a packing/batching
+    stage consumes to pick bucket boundaries that minimize padding waste.
+    One scan, one small-key shuffle (≤ ~40 buckets)."""
+    d = _t(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        d.select(n_toks.alias("n_toks"))
+        .withColumn("bucket", (F.length(F.bin(F.col("n_toks"))) - 1).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("sum_tokens"),
+            F.min("n_toks").alias("min_tokens"),
+            F.max("n_toks").alias("max_tokens"),
+        )
+    )
+
+
+_SEM_TABLES, _SEM_BITS, _SEM_DIM = 2, 8, 64
+
+
+def _semantic_dedup_oracle(threshold: float) -> str:
+    """DuckDB replica of the LSH-blocked semantic dedup: identical
+    Rademacher signatures (same md5-derived ±1 constants as
+    operators/similarity.rademacher_sign), bucket-equality candidates,
+    exact cosine verify, recursive-CTE connected components, per-vector
+    cluster assignment."""
+    sums = ", ".join(
+        "SUM(xq * (["
+        + ",".join(str(rademacher_sign(t, j, i)) for i in range(_SEM_DIM))
+        + f"])[dim + 1]) AS d{t}_{j}"
+        for t in range(_SEM_TABLES)
+        for j in range(_SEM_BITS)
+    )
+    bucket_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN d{t}_{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(_SEM_BITS)
+        )
+        + f") AS b{t}"
+        for t in range(_SEM_TABLES)
+    )
+    cb_union = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_idx, b{t} AS bucket FROM buck"
+        for t in range(_SEM_TABLES)
+    )
+    return f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (
+      SELECT vec_id, CAST(i AS INT) - 1 AS dim,
+             CAST(round(v[CAST(i AS INT)] * 1000000) AS BIGINT) AS xq
+      FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) g
+      WHERE CAST(i AS INT) - 1 < {_SEM_DIM}
+    ),
+    sums AS (SELECT vec_id, {sums} FROM d GROUP BY vec_id),
+    buck AS (SELECT vec_id, {bucket_cols} FROM sums),
+    cb AS ({cb_union}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cb a JOIN cb b
+        ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    ),
+    p AS (
+      SELECT id_a, id_b FROM cand
+      JOIN e ea ON ea.vec_id = cand.id_a
+      JOIN e eb ON eb.vec_id = cand.id_b
+      WHERE list_dot_product(ea.v, eb.v)
+              / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+            >= {threshold}
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+    walk(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e2.src, w.comp FROM edges e2 JOIN walk w ON e2.dst = w.id
+    ),
+    lbl AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+    SELECT emb.vec_id,
+           CAST(COALESCE(l.comp, emb.vec_id) AS BIGINT) AS component,
+           COALESCE(l.comp, emb.vec_id) = emb.vec_id AS is_canonical
+    FROM embeddings emb LEFT JOIN lbl l ON emb.vec_id = l.id
+    """
+
+
+@register(
+    "semantic_dedup_clusters",
+    oracle=_semantic_dedup_oracle(0.45),
+    tags=("pipeline-ext", "dedup", "embedding", "iterative"),
+)
+def semantic_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup on its 100 TB path: hyperplane-LSH-blocked candidate
+    pairs (never all-pairs — Σ bucket² cost), exact cosine verify, then
+    connected components and per-vector cluster assignment exactly like
+    the text-side ``dedup_clusters``. The 0.45 threshold sits where this
+    uniform-random synthetic corpus has pairs (max pairwise cosine ≈0.51;
+    a real corpus would use ≥0.9 — see ``dedup_embedding_cosine``). The
+    full pipeline — integer-exact signatures, buckets, verify, closure —
+    is value-hash verified against the DuckDB oracle."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import dedup_assign_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_dedup_pairs_lsh(
+        emb, threshold=0.45, n_tables=_SEM_TABLES, n_bits=_SEM_BITS, dim=_SEM_DIM
+    ).select("id_a", "id_b")
+    return dedup_assign_clusters(emb, pairs, id_col="vec_id")

@@ -64,6 +64,7 @@ def load_all() -> dict[str, QuerySpec]:
         parity,
         relational,
         pipeline_ops,
+        pipeline_ext,  # registers past the driver window (tag "pipeline-ext")
     )
 
     return REGISTRY

@@ -99,3 +99,27 @@ def test_range_join_broadcasts_band_dim(spark):
 def test_grouped_collect_one_shuffle(spark):
     p = plan_of(spark, "grouped_collect")
     assert p.count("Exchange hashpartitioning") == 1  # single agg shuffle
+
+
+def test_balanced_sample_broadcasts_rates_corpus_never_shuffles(spark):
+    p = plan_of(spark, "balanced_source_sample")
+    # the per-source rate table (tiny) is broadcast to the corpus scan side
+    assert "BroadcastHashJoin" in p
+    # corpus side reads only the two output columns
+    read = p.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in read and "source" in read and "text" not in read
+
+
+def test_length_buckets_single_agg_shuffle(spark):
+    p = plan_of(spark, "length_buckets")
+    assert p.count("Exchange hashpartitioning") == 1  # partial/final agg only
+    read = p.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read and "doc_id" not in read  # only the tokenized column
+
+
+def test_bigram_lm_no_window_no_python(spark):
+    """The LM-support pipeline is groupBys + joins only — no windows (a
+    window over the corpus would serialize per-partition) and no Python."""
+    p = plan_of(spark, "bigram_lm_support")
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
