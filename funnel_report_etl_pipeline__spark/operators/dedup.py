@@ -469,6 +469,92 @@ def chunk_dedup(
     )
 
 
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+    boundary_hex: str = "0",
+) -> DataFrame:
+    """Content-defined-chunking dedup: chunk boundaries are placed where
+    the md5 of the ``window_tokens``-token window ending at a position
+    starts with ``boundary_hex`` (1/16 of positions on average → mean
+    chunk ≈ 16 tokens), then exact-dedup the chunks corpus-wide and
+    reassemble survivors — ``chunk_dedup``'s shift-robust sibling. Fixed
+    8-token chunks miss a boilerplate passage that is offset by one token
+    in another document; CDC boundaries are functions of content alone, so
+    shared passages chunk identically wherever they sit (the rsync/LBFS
+    gear-hash idea, done with md5 so the oracle replays it exactly).
+
+    Returns (id_col, n_chunks, n_kept, text_clean), one row per document.
+
+    Scale shape: tokens explode once; the boundary flag is a map-side
+    expression over a token-array slice; chunk ids are ONE running-sum
+    window partitioned per document (state = one counter per doc); the
+    corpus-wide dedup window partitions on md5(chunk_text) exactly like
+    ``chunk_dedup`` — uniform 128-bit keys, chunk-sized payloads, never
+    all-pairs and never whole documents on the wire."""
+    toks = F.split(F.col(text_col), " ")
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(toks).alias("pos", "tok"),
+        toks.alias("__toks"),
+    )
+    # window ending at pos (0-based): tokens [pos-w+1 .. pos]; positions
+    # before the first full window are never boundaries
+    win_text = F.array_join(
+        F.slice(F.col("__toks"), F.col("pos") - window_tokens + 2, window_tokens), " "
+    )
+    boundary = (F.col("pos") >= window_tokens - 1) & (
+        F.substring(F.md5(win_text), 1, 1) == boundary_hex
+    )
+    w_run = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok.select(
+        "id",
+        "pos",
+        "tok",
+        F.coalesce(
+            F.sum(boundary.cast("int")).over(w_run), F.lit(0)
+        ).alias("chunk_idx"),
+    )
+    chunks = chunked.groupBy("id", "chunk_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk_text")
+    )
+    w_dedup = Window.partitionBy(F.md5(F.col("chunk_text"))).orderBy("id", "chunk_idx")
+    kept = (
+        chunks.withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    totals = chunks.groupBy("id").agg(F.count("*").alias("n_chunks"))
+    return totals.join(kept, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("n_chunks"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -11,7 +11,7 @@ LLM-data-pipeline extensions the brief requires as first-class operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from funnel_report_etl_pipeline__spark.operators.dedup import normalize_text
@@ -178,6 +178,62 @@ def rolling_fingerprints(
         pos.select("id", win_hash.alias("__h"))
         .groupBy("id")
         .agg(F.min("__h").alias("fp_rolling"))
+    )
+
+
+def winnow_fingerprint_set(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    window: int = 8,
+) -> DataFrame:
+    """Full winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
+    k-char window, then keep the MINIMUM hash of every ``window``
+    consecutive positions — the guaranteed-coverage fingerprint SET (any
+    shared run of k+window-1 chars yields at least one shared
+    fingerprint), upgrading ``rolling_fingerprints``'s single global min
+    to real containment detection.
+
+    Returns (id_col, n_fps, fp_min, fp_checksum): the distinct selected
+    fingerprints summarized as a count, the minimum, and an exact BIGINT
+    sum — order-independent integers, so the whole selection is
+    hash-comparable across engines.
+
+    Scale shape: positions explode once (chars × 1 row); the per-position
+    window-min partitions BY DOCUMENT ordered by position (bounded state:
+    ``window`` longs), then distinct + one grouped aggregate on (id, fp).
+    Text never shuffles — only (id, pos-hash) longs."""
+    text = F.col(text_col)
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        text.alias("__t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - k + 1, F.lit(1)))
+        ).alias("__p"),
+    )
+    # 32-bit integer hash of the k-gram: first 8 md5 hex digits (engine-exact)
+    h = (
+        F.conv(F.substring(F.md5(F.col("__t").substr(F.col("__p"), F.lit(k))), 1, 8), 16, 10)
+        .cast("long")
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("__p")
+        .rowsBetween(0, window - 1)
+    )
+    fps = (
+        pos.select("id", h.alias("__h"), F.col("__p"))
+        .withColumn("__fp", F.min("__h").over(w))
+        .select("id", "__fp")
+        .distinct()
+    )
+    return fps.groupBy("id").agg(
+        F.count("*").alias("n_fps"),
+        F.min("__fp").alias("fp_min"),
+        F.sum("__fp").alias("fp_checksum"),
+    ).select(
+        F.col("id").alias(id_col), "n_fps", "fp_min", "fp_checksum"
     )
 
 

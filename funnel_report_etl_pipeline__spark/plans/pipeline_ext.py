@@ -173,6 +173,150 @@ def length_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "temperature_source_sample",
+    oracle="""
+    WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+    m AS (SELECT MIN(n_s) AS mn FROM n),
+    r AS (SELECT source, sqrt(CAST(m.mn AS DOUBLE) / CAST(n_s AS DOUBLE)) AS rate
+          FROM n, m)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < r.rate
+    """,
+    tags=("pipeline-ext", "sampling", "mixture"),
+)
+def temperature_source_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture sampling (α = 0.5): source s keeps
+    docs at rate (n_min/n_s)^(1-α) = sqrt(n_min/n_s), so expected kept
+    counts ∝ n_s^α — the standard multinomial temperature reweighting
+    between fully-balanced (α=0, `balanced_source_sample`) and natural
+    (α=1, no-op). sqrt is IEEE correctly-rounded, so the rate — and hence
+    the md5-thresholded keep set — is bit-identical across engines
+    (`pow` would not be). Same plan shape as the balanced sampler:
+    broadcast rate table, one map-side-filtered corpus scan."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    rates = n.crossJoin(n.agg(F.min("n_s").alias("mn"))).select(
+        "source",
+        F.sqrt(F.col("mn").cast("double") / F.col("n_s").cast("double")).alias("rate"),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(frac < F.col("rate"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "winnow_fingerprints",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 16)), 1, 8))
+                  AS BIGINT) AS h
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, greatest(length(text) - 16 + 1, 1) + 1))
+                    AS i) g
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fps,
+           CAST(MIN(fp) AS BIGINT) AS fp_min,
+           CAST(SUM(fp) AS BIGINT) AS fp_checksum
+    FROM fp GROUP BY doc_id
+    """,
+    tags=("pipeline-ext", "text", "fingerprint"),
+)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full winnowing fingerprint SETS (16-char grams, window 8 — the
+    SIGMOD'03 guaranteed-coverage selection): any shared run of 23+ chars
+    between two documents yields a shared fingerprint, the containment-
+    detection upgrade over ``rolling_fingerprint``'s single global min.
+    The distinct selected hashes are summarized per doc as exact integers
+    (count / min / BIGINT checksum), so the entire selection — hashes,
+    window minima, dedup — is value-hash verified against the oracle."""
+    from funnel_report_etl_pipeline__spark.operators.text import winnow_fingerprint_set
+
+    return winnow_fingerprint_set(
+        _t(spark, sf_dir, "documents"), k=16, window=8
+    )
+
+
+_CDC_W = 8  # boundary window tokens; boundary when md5 hex digit 1 == '0'
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, CAST(i AS INT) AS i, toks[CAST(i AS INT)] AS tok,
+             CASE WHEN CAST(i AS INT) >= {_CDC_W}
+                  AND substr(md5(array_to_string(
+                        toks[CAST(i AS INT) - {_CDC_W} + 1 : CAST(i AS INT)], ' ')),
+                      1, 1) = '0'
+                  THEN 1 ELSE 0 END AS b
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) g
+    ),
+    ch AS (
+      SELECT doc_id, i, tok,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_idx
+      FROM tok
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             string_agg(tok, ' ' ORDER BY i) AS chunk_text
+      FROM ch GROUP BY doc_id, chunk_idx
+    ),
+    kept AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_clean
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                     ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+      ) WHERE rn = 1 GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id)
+    SELECT tot.doc_id,
+           CAST(tot.n_chunks AS BIGINT) AS n_chunks,
+           CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(kept.text_clean, '') AS text_clean
+    FROM tot LEFT JOIN kept USING (doc_id)
+    """,
+    tags=("pipeline-ext", "dedup", "chunking"),
+    bench=True,  # the shift-robust chunking headliner
+)
+def cdc_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup: boundaries where the md5 of the
+    8-token window starts with '0' (mean chunk ≈ 16 tokens), corpus-wide
+    first-occurrence chunk dedup, survivor reassembly — the shift-robust
+    sibling of the fixed-width ``chunk_dedup`` (a shared passage offset by
+    one token still chunks identically, because boundaries are functions
+    of content alone). Full value-hash oracle replays the identical
+    boundary condition, running-sum chunk ids, and dedup window."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import cdc_chunk_dedup
+
+    return cdc_chunk_dedup(
+        _t(spark, sf_dir, "documents"), window_tokens=_CDC_W, boundary_hex="0"
+    )
+
+
 _SEM_TABLES, _SEM_BITS, _SEM_DIM = 2, 8, 64
 
 
@@ -247,6 +391,7 @@ def _semantic_dedup_oracle(threshold: float) -> str:
     "semantic_dedup_clusters",
     oracle=_semantic_dedup_oracle(0.45),
     tags=("pipeline-ext", "dedup", "embedding", "iterative"),
+    bench=True,  # the semantic-dedup scale-path headliner
 )
 def semantic_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup on its 100 TB path: hyperplane-LSH-blocked candidate

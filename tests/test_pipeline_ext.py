@@ -100,6 +100,108 @@ def test_semantic_dedup_recovers_planted_clusters(spark):
         assert r.component // PER_CLUSTER == r.vec_id // PER_CLUSTER
 
 
+def test_temperature_sample_sits_between_balanced_and_natural(spark):
+    """α=0.5 keeps the smallest source whole (rate 1), and every larger
+    source keeps at least as much as the α=0 balanced sampler and at most
+    everything — the flattening is monotone in temperature."""
+    d = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    totals = {r.source: r.n for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    min_src = min(totals, key=totals.get)
+    bal = SPECS["balanced_source_sample"].fn(spark, SF_MED).collect()
+    temp = SPECS["temperature_source_sample"].fn(spark, SF_MED).collect()
+
+    def by_src(rows):
+        out: dict[str, int] = {}
+        for r in rows:
+            out[r.source] = out.get(r.source, 0) + 1
+        return out
+
+    b, t = by_src(bal), by_src(temp)
+    assert t.get(min_src, 0) == totals[min_src]  # rate 1 for the smallest
+    for src, n in totals.items():
+        assert b.get(src, 0) <= t.get(src, 0) <= n
+    # the md5 keep decision is per-doc: the balanced keep set is a subset
+    # of the temperature keep set (same hash, higher threshold)
+    assert {r.doc_id for r in bal} <= {r.doc_id for r in temp}
+
+
+def test_cdc_chunking_is_shift_robust(spark):
+    """The CDC selling point: a passage shared at DIFFERENT token offsets
+    still deduplicates, because boundaries depend on content, not
+    position. Fixed-width chunking (chunk_dedup) misses this by design."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import (
+        cdc_chunk_dedup,
+        chunk_dedup,
+    )
+
+    passage = " ".join(f"w{i}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(1, passage), (2, "off1 off2 off3 " + passage)],
+        "doc_id long, text string",
+    )
+    cdc = {r.doc_id: r for r in cdc_chunk_dedup(docs).collect()}
+    # doc 2's copy of the passage chunks identically past the first
+    # boundary, so most of its chunks are dropped as repeats
+    assert cdc[2].n_kept < cdc[2].n_chunks
+    assert cdc[2].n_kept <= cdc[2].n_chunks // 2
+    # fixed-width chunking sees every doc-2 chunk as novel (offset by 3)
+    fixed = {r.doc_id: r for r in chunk_dedup(docs).collect()}
+    assert fixed[2].n_kept == fixed[2].n_chunks
+    # and doc 1 (first occurrence) keeps everything under both schemes
+    assert cdc[1].n_kept == cdc[1].n_chunks
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The SIGMOD'03 winnowing guarantee: documents sharing a run of at
+    least k + window - 1 = 23 chars share at least one fingerprint, while
+    unrelated documents (here: disjoint alphabets) share none."""
+    from funnel_report_etl_pipeline__spark.operators.text import winnow_fingerprint_set
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 44 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "cccc dddd " + shared),
+            (3, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss"),
+        ],
+        "doc_id long, text string",
+    )
+    # recover the actual fingerprint sets (not just the checksums)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    k, window = 16, 8
+    pos = docs.select(
+        "doc_id",
+        SF.col("text").alias("__t"),
+        SF.explode(
+            SF.sequence(SF.lit(1), SF.greatest(SF.length("text") - k + 1, SF.lit(1)))
+        ).alias("__p"),
+    )
+    h = SF.conv(
+        SF.substring(SF.md5(SF.col("__t").substr(SF.col("__p"), SF.lit(k))), 1, 8), 16, 10
+    ).cast("long")
+    fps = (
+        pos.select("doc_id", h.alias("__h"), "__p")
+        .withColumn(
+            "fp", SF.min("__h").over(W.partitionBy("doc_id").orderBy("__p").rowsBetween(0, window - 1))
+        )
+        .select("doc_id", "fp")
+        .distinct()
+        .collect()
+    )
+    sets: dict[int, set] = {}
+    for r in fps:
+        sets.setdefault(r.doc_id, set()).add(r.fp)
+    assert sets[1] & sets[2], "shared 44-char run must share a fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+    # and the summary op agrees with the recovered sets
+    summary = {r.doc_id: r for r in winnow_fingerprint_set(docs).collect()}
+    for did, s in sets.items():
+        assert summary[did].n_fps == len(s)
+        assert summary[did].fp_checksum == sum(s)
+
+
 def test_semantic_clusters_labels_consistent(spark):
     rows = SPECS["semantic_dedup_clusters"].fn(spark, SF_MED).collect()
     assert len(rows) == 500  # one row per vector, singletons included
