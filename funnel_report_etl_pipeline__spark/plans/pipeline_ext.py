@@ -17,10 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
+from funnel_report_etl_pipeline__spark.functions.core import pct_of
 from funnel_report_etl_pipeline__spark.operators.similarity import (
     embedding_dedup_pairs_lsh,
     rademacher_sign,
 )
+from funnel_report_etl_pipeline__spark.operators.text import STOPWORDS
 from funnel_report_etl_pipeline__spark.plans.registry import register
 from funnel_report_etl_pipeline__spark.sources.readers import catalog_table
 
@@ -212,6 +216,184 @@ def temperature_source_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(rates), "source")
         .filter(frac < F.col("rate"))
         .select("doc_id", "source")
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+      FROM events
+    ),
+    joined AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS INT)
+               AS week_offset,
+             a.user_id
+      FROM activity a JOIN firsts f USING (user_id)
+    ),
+    sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts
+              GROUP BY cohort_week)
+    SELECT strftime(j.cohort_week, '%Y-%m-%d') AS cohort_week,
+           j.week_offset,
+           CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           round_even(CAST(COUNT(DISTINCT j.user_id) AS DOUBLE)
+             / s.cohort_size * 100, 1) AS retention_pct
+    FROM joined j JOIN sizes s USING (cohort_week)
+    GROUP BY j.cohort_week, j.week_offset, s.cohort_size
+    """,
+    tags=("pipeline-ext", "analytics", "cohort"),
+)
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the classic companion report to
+    the reference's funnel: users cohorted by first-activity week, one
+    row per (cohort, week offset) with distinct active users and the
+    percent of the cohort retained (HALF_EVEN, like the reference's
+    _pct). Two shuffles on user_id (first-seen min + distinct activity,
+    co-partitioned so the join is exchange-free), then one small
+    aggregation on (cohort, offset). Weeks are Monday-truncated DATEs
+    emitted as ISO strings (DATE columns compare as different types
+    across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("WEEK", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("WEEK", F.col("ts"))).alias("act_week")
+    ).distinct()
+    joined = activity.join(firsts, "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+        "user_id",
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        joined.join(sizes, "cohort_week")
+        .groupBy("cohort_week", "week_offset", "cohort_size")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            pct_of(F.col("n_active"), F.col("cohort_size")).alias("retention_pct"),
+        )
+    )
+
+
+@register(
+    "curation_funnel",
+    oracle=f"""
+    WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+    stats AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                 {list(STOPWORDS)!r})) AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM train
+    ),
+    qual AS (
+      SELECT doc_id, text FROM stats
+      WHERE n_tokens BETWEEN 10 AND 1000 AND CAST(n_stop AS DOUBLE) / n_distinct > 0
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM train),
+    g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS gram
+           FROM t WHERE len(toks) >= 2),
+    c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+    f2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS f FROM c2 GROUP BY doc_id),
+    g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+           FROM t WHERE len(toks) >= 3),
+    c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY doc_id, gram),
+    f3 AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS f
+           FROM c3 GROUP BY doc_id),
+    s2 AS (
+      SELECT q.doc_id, q.text FROM qual q
+      LEFT JOIN f2 ON f2.doc_id = q.doc_id
+      LEFT JOIN f3 ON f3.doc_id = q.doc_id
+      WHERE COALESCE(f2.f, 0.0) <= 0.20 AND COALESCE(f3.f, 0.0) <= 0.18
+    ),
+    g5all AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 5
+    ),
+    bench AS (SELECT DISTINCT gram FROM g5all WHERE doc_id % 20 = 0),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id FROM g5all g JOIN bench USING (gram)
+      WHERE g.doc_id % 20 <> 0
+    ),
+    s3 AS (SELECT s2.* FROM s2 WHERE s2.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    canon AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM s3
+      ) WHERE rn = 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_total,
+           CAST((SELECT COUNT(*) FROM train) AS BIGINT) AS n_after_holdout,
+           CAST((SELECT COUNT(*) FROM qual) AS BIGINT) AS n_quality,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_repetition,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_clean,
+           CAST((SELECT COUNT(*) FROM canon) AS BIGINT) AS n_canonical,
+           round_even(CAST((SELECT COUNT(*) FROM canon) AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents) * 100, 1) AS pct_survived
+    """,
+    tags=("pipeline-ext", "curation", "composition"),
+)
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's funnel-waterfall semantics (report_engine.py:233-319:
+    staged counts, percent-of-initial, HALF_EVEN rounding) applied to
+    corpus curation — the training-data pipeline AS a funnel report:
+    total → eval-holdout removal → quality gate → Gopher repetition gates
+    → benchmark decontamination → exact-dedup canonical survivors, with
+    the survivor percentage computed exactly like the reference's _pct.
+    Each gate is the already-verified standalone operator; this composes
+    them into one scalar row. Scale shape: the gates are scan-side
+    expressions or broadcast-joined per-doc flags; the only corpus-keyed
+    shuffles are the gram aggregations and the final md5 dedup window."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import ngram_decontaminate
+    from funnel_report_etl_pipeline__spark.operators.text import (
+        quality_keep_expr,
+        repetition_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+
+    qual = train.filter(quality_keep_expr())
+    rep = repetition_stats(train).select("doc_id", "rep_keep")
+    dec = ngram_decontaminate(train, bench).select("doc_id", "contaminated")
+    s2 = qual.join(rep, "doc_id").filter(F.col("rep_keep")).select("doc_id", "text")
+    s3 = s2.join(dec, "doc_id").filter(~F.col("contaminated")).select("doc_id", "text")
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    canon = s3.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+
+    n_total = docs.agg(F.count("*").alias("n_total"))
+    n_hold = train.agg(F.count("*").alias("n_after_holdout"))
+    n_qual = qual.agg(F.count("*").alias("n_quality"))
+    n_rep = s2.agg(F.count("*").alias("n_repetition"))
+    n_clean = s3.agg(F.count("*").alias("n_clean"))
+    n_canon = canon.agg(F.count("*").alias("n_canonical"))
+    return (
+        n_total.crossJoin(n_hold).crossJoin(n_qual).crossJoin(n_rep)
+        .crossJoin(n_clean).crossJoin(n_canon)
+        .withColumn("pct_survived", pct_of(F.col("n_canonical"), F.col("n_total")))
     )
 
 

@@ -147,8 +147,35 @@ def test_cdc_chunking_is_shift_robust(spark):
     # fixed-width chunking sees every doc-2 chunk as novel (offset by 3)
     fixed = {r.doc_id: r for r in chunk_dedup(docs).collect()}
     assert fixed[2].n_kept == fixed[2].n_chunks
-    # and doc 1 (first occurrence) keeps everything under both schemes
+    # and doc 1 (first occurrence, no internal repeats) keeps everything
+    # under both schemes — reassembly is the identity on it
     assert cdc[1].n_kept == cdc[1].n_chunks
+    assert cdc[1].text_clean == passage
+
+
+def test_retention_cohort_week_zero_is_total(spark):
+    """Offset 0 retains 100% of every cohort by construction (a user is
+    active in their own first week), n_active never exceeds cohort_size,
+    and offsets are non-negative."""
+    rows = SPECS["retention_cohorts"].fn(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 0 < r.n_active <= r.cohort_size
+        if r.week_offset == 0:
+            assert r.n_active == r.cohort_size and r.retention_pct == 100.0
+
+
+def test_curation_funnel_is_monotone_waterfall(spark):
+    """Every gate only drops documents (staged counts weakly decrease —
+    the defining funnel invariant), and the survivor pct matches Python's
+    HALF_EVEN rounding exactly as the reference's _pct does."""
+    r = SPECS["curation_funnel"].fn(spark, SF_MED).collect()[0]
+    stages = [r.n_total, r.n_after_holdout, r.n_quality, r.n_repetition,
+              r.n_clean, r.n_canonical]
+    assert all(a >= b for a, b in zip(stages, stages[1:])), stages
+    assert r.n_total == 500 and r.n_canonical > 0
+    assert r.pct_survived == round(r.n_canonical / r.n_total * 100, 1)
 
 
 def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
