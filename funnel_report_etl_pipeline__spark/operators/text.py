@@ -181,29 +181,23 @@ def rolling_fingerprints(
     )
 
 
-def winnow_fingerprint_set(
+def winnow_fingerprint_rows(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 16,
     window: int = 8,
 ) -> DataFrame:
-    """Full winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
-    k-char window, then keep the MINIMUM hash of every ``window``
-    consecutive positions — the guaranteed-coverage fingerprint SET (any
-    shared run of k+window-1 chars yields at least one shared
-    fingerprint), upgrading ``rolling_fingerprints``'s single global min
-    to real containment detection.
-
-    Returns (id_col, n_fps, fp_min, fp_checksum): the distinct selected
-    fingerprints summarized as a count, the minimum, and an exact BIGINT
-    sum — order-independent integers, so the whole selection is
-    hash-comparable across engines.
+    """Distinct (id, __fp) winnowing fingerprint rows (SIGMOD'03): hash
+    every k-char window, keep the MINIMUM hash of every ``window``
+    consecutive positions. Any shared run of k+window-1 chars between two
+    documents yields at least one shared fingerprint — the selection the
+    set-summary and containment-pair operators both consume.
 
     Scale shape: positions explode once (chars × 1 row); the per-position
     window-min partitions BY DOCUMENT ordered by position (bounded state:
-    ``window`` longs), then distinct + one grouped aggregate on (id, fp).
-    Text never shuffles — only (id, pos-hash) longs."""
+    ``window`` longs), then a distinct on (id, fp) that reuses the same
+    partitioning. Text never shuffles — only (id, pos-hash) longs."""
     text = F.col(text_col)
     pos = df.select(
         F.col(id_col).alias("id"),
@@ -222,18 +216,72 @@ def winnow_fingerprint_set(
         .orderBy("__p")
         .rowsBetween(0, window - 1)
     )
-    fps = (
+    return (
         pos.select("id", h.alias("__h"), F.col("__p"))
         .withColumn("__fp", F.min("__h").over(w))
         .select("id", "__fp")
         .distinct()
     )
+
+
+def winnow_fingerprint_set(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    window: int = 8,
+) -> DataFrame:
+    """Per-document summary of the winnowing selection: (id_col, n_fps,
+    fp_min, fp_checksum) — count, minimum, and exact BIGINT sum of the
+    distinct fingerprints, order-independent integers hash-comparable
+    across engines."""
+    fps = winnow_fingerprint_rows(df, text_col, id_col, k, window)
     return fps.groupBy("id").agg(
         F.count("*").alias("n_fps"),
         F.min("__fp").alias("fp_min"),
         F.sum("__fp").alias("fp_checksum"),
     ).select(
         F.col("id").alias(id_col), "n_fps", "fp_min", "fp_checksum"
+    )
+
+
+def winnow_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    window: int = 8,
+    min_shared: int = 2,
+    max_fp_freq: int = 100,
+) -> DataFrame:
+    """Containment-candidate pairs via shared winnowing fingerprints: two
+    documents sharing ≥ ``min_shared`` selected fingerprints very likely
+    share passages of ≥ k+window-1 chars — the MOSS pairing step, and the
+    passage-level sibling of the MinHash near-dup join (MinHash finds
+    globally-similar documents; this finds documents CONTAINING common
+    passages even when globally dissimilar).
+
+    Returns (id_a, id_b, n_shared_fps), id_a < id_b.
+
+    ``max_fp_freq`` drops fingerprints selected by more than that many
+    documents before the join (stop-fingerprints — boilerplate shared
+    corpus-wide carries no pairing signal and would contribute freq² join
+    rows each, exactly the gram-frequency-cap argument from the Jaccard
+    verifier). Cost is Σ df² over surviving fingerprints — bucket-join
+    shaped, never corpus²."""
+    fps = winnow_fingerprint_rows(df, text_col, id_col, k, window)
+    freq = fps.groupBy("__fp").agg(F.count("*").alias("__df"))
+    fps = fps.join(
+        freq.filter(F.col("__df") <= max_fp_freq).select("__fp"), "__fp"
+    )
+    a = fps.withColumnRenamed("id", "id_a")
+    b = fps.withColumnRenamed("id", "id_b")
+    return (
+        a.join(b, "__fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
     )
 
 

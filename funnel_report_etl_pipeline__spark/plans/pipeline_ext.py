@@ -63,9 +63,12 @@ def bigram_lm_support_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σn2 / Σn1 ∈ (0,1] is high for documents made of common word
     transitions and low for novel/garbled sequences. All counts are exact
     integers and the only division is one BIGINT/BIGINT at the end — no
-    float-sum ordering hazards. Scale shape: bigrams explode once; the two
-    count tables shuffle on (w1,w2)/(w1); per-doc aggregation is one more
-    key shuffle. No Python, no windows, whole-stage codegen throughout."""
+    float-sum ordering hazards. Scale shape: the bigram stream is re-derived
+    per consumer branch (count tables partition on different keys, so no
+    exchange reuse — at 100 TB checkpoint the gram frame once, as the dedup
+    family's persist_grams does); the two count tables shuffle on
+    (w1,w2)/(w1); per-doc aggregation is one more key shuffle. No Python,
+    no windows, whole-stage codegen throughout."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     bg = (
@@ -434,6 +437,90 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return winnow_fingerprint_set(
         _t(spark, sf_dir, "documents"), k=16, window=8
+    )
+
+
+@register(
+    "winnow_containment_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 16)), 1, 8))
+                  AS BIGINT) AS h
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, greatest(length(text) - 16 + 1, 1) + 1))
+                    AS i) g
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+      FROM p
+    ),
+    keepfp AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 100),
+    fpk AS (SELECT fp.* FROM fp JOIN keepfp USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+    FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("pipeline-ext", "dedup", "containment"),
+)
+def winnow_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style containment candidates: document pairs sharing ≥2
+    winnowed fingerprints (k=16, w=8 — any shared ≥23-char run leaves a
+    shared fingerprint). The passage-level sibling of the MinHash join:
+    MinHash finds globally-similar documents, this finds documents that
+    CONTAIN common passages even when globally dissimilar. Fingerprints
+    selected by >100 docs are dropped first (stop-fingerprint cap — the
+    gram-frequency-cap argument), keeping the join Σ df², never corpus²."""
+    from funnel_report_etl_pipeline__spark.operators.text import (
+        winnow_containment_pairs,
+    )
+
+    return winnow_containment_pairs(
+        _t(spark, sf_dir, "documents"), k=16, window=8, min_shared=2, max_fp_freq=100
+    )
+
+
+@register(
+    "boilerplate_passages",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 6),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                    toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                    toks[i+6] || ' ' || toks[i+7]))) AS gram
+      FROM t WHERE len(toks) >= 8
+    ),
+    c AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram)
+    SELECT gram, CAST(n_docs AS BIGINT) AS n_docs
+    FROM c WHERE n_docs >= 2
+    ORDER BY n_docs DESC, gram ASC
+    LIMIT 20
+    """,
+    tags=("pipeline-ext", "text", "boilerplate"),
+)
+def boilerplate_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: the 20 word-8-grams present in the most
+    documents (distinct per doc, ≥2 docs) — the passages a curation pass
+    reviews for templated headers/footers and feeds to the stop-gram caps
+    of the dedup family. TopK with a deterministic (count desc, gram asc)
+    tiebreak → TakeOrderedAndProject, no global sort. At 100 TB the gram
+    count table is the only corpus-keyed shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    from funnel_report_etl_pipeline__spark.operators.dedup import gram_rows
+
+    g = gram_rows(docs, "doc_id", "text", 8)
+    return (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("gram").asc())
+        .limit(20)
     )
 
 

@@ -229,6 +229,34 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
         assert summary[did].fp_checksum == sum(s)
 
 
+def test_winnow_containment_pairs_find_planted_passage(spark):
+    """Docs sharing a long passage at different offsets pair up; docs with
+    disjoint content do not; the stop-fingerprint cap removes corpus-wide
+    boilerplate from the pairing signal."""
+    from funnel_report_etl_pipeline__spark.operators.text import (
+        winnow_containment_pairs,
+    )
+
+    passage = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (1, "alpha beta " + passage),
+        (2, passage + " gamma delta"),
+        (3, "completely unrelated words " + " ".join(f"z{i}" for i in range(40))),
+    ]
+    # corpus-wide boilerplate shared by EVERY doc — must be capped away
+    boiler = " ".join(f"b{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(i, t + " " + boiler) for i, t in rows], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared_fps
+        for r in winnow_containment_pairs(docs, max_fp_freq=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    # doc 3 shares only the capped boilerplate → no pair involving it
+    assert not any(3 in p for p in pairs)
+
+
 def test_semantic_clusters_labels_consistent(spark):
     rows = SPECS["semantic_dedup_clusters"].fn(spark, SF_MED).collect()
     assert len(rows) == 500  # one row per vector, singletons included

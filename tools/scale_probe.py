@@ -21,12 +21,17 @@ from pyspark.sql import Window  # noqa: E402
 
 from funnel_report_etl_pipeline__spark.operators.curation import curation_summary  # noqa: E402
 from funnel_report_etl_pipeline__spark.operators.dedup import (  # noqa: E402
+    cdc_chunk_dedup,
     chunk_dedup,
     dedup_assign_clusters,
     minhash_dedup_pairs,
     ngram_decontaminate,
 )
-from funnel_report_etl_pipeline__spark.operators.text import novelty_scores  # noqa: E402
+from funnel_report_etl_pipeline__spark.operators.text import (  # noqa: E402
+    novelty_scores,
+    winnow_containment_pairs,
+    winnow_fingerprint_set,
+)
 from funnel_report_etl_pipeline__spark.session import get_spark  # noqa: E402
 from funnel_report_etl_pipeline__spark.sources.readers import TestDataCatalog  # noqa: E402
 
@@ -162,6 +167,19 @@ def main() -> int:
         ngram_decontaminate(docs, bench_docs, ngram=5).count()
         t_decon = round(time.perf_counter() - t0, 2)
 
+        # round-4 operators
+        t0 = time.perf_counter()
+        cdc_chunk_dedup(docs).agg(F.sum(F.length("text_clean"))).collect()
+        t_cdc = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        winnow_fingerprint_set(docs).agg(F.sum("n_fps")).collect()
+        t_winnow = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        n_contain = winnow_containment_pairs(docs).count()
+        t_contain = round(time.perf_counter() - t0, 2)
+
         t0 = time.perf_counter()
         key = F.md5(F.col("doc_id").cast("string"))
         shard = F.conv(F.substring(key, 1, 4), 16, 10).cast("int") % 8
@@ -190,6 +208,10 @@ def main() -> int:
                     "novelty_sec": t_novelty,
                     "decontaminate_sec": t_decon,
                     "shard_shuffle_sec": t_shard,
+                    "cdc_chunk_sec": t_cdc,
+                    "winnow_sec": t_winnow,
+                    "containment_sec": t_contain,
+                    "containment_pairs": n_contain,
                 }
             )
         )
