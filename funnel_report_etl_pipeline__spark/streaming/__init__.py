@@ -7,9 +7,11 @@ semantics over an unbounded stream with watermarks for late data.
 """
 
 from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+    curation_gate_stream,
     daily_rollup_stream,
     dedup_stream,
     funnel_depth_stream,
+    read_document_stream,
     read_event_stream,
     run_to_memory,
     session_stream,
@@ -18,7 +20,9 @@ from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
 
 __all__ = [
     "read_event_stream",
+    "read_document_stream",
     "daily_rollup_stream",
+    "curation_gate_stream",
     "dedup_stream",
     "session_stream",
     "funnel_depth_stream",

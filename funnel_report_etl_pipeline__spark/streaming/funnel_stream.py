@@ -141,6 +141,55 @@ _DEPTH_STATE = T.StructType(
 
 
 
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, schema: T.StructType = DOC_STREAM_SCHEMA
+) -> DataFrame:
+    """File-source document stream: new parquet files in ``path`` become
+    micro-batches of crawl documents — the streaming ingest front of the
+    curation pipeline."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def curation_gate_stream(docs: DataFrame) -> DataFrame:
+    """Streaming curation gate: quality filter + PII redaction applied to
+    a document stream AT INGEST, before anything lands in the lake — so
+    downstream batch dedup never sees junk or raw PII. Both gates are
+    stateless map-side expressions (the same ``quality_keep_expr`` /
+    ``redact_pii`` the batch queries verify), so this streams with ZERO
+    state store: every micro-batch is a pure projection, no watermark
+    needed, and semantics are bit-identical to running the batch operator
+    on the same rows — which is exactly what the parity test asserts.
+    Stateful stages (dedup, clustering) stay downstream where the
+    watermark machinery lives (``dedup_stream``)."""
+    from funnel_report_etl_pipeline__spark.operators.text import (
+        PII_PATTERNS,
+        quality_keep_expr,
+    )
+
+    kept = docs.filter(quality_keep_expr("text"))
+    # inline the redact_pii projection KEEPING the event-time column (a
+    # join back to the stream would be a stream-stream self-join needing
+    # watermark state for what is really a per-row projection)
+    text = F.col("text")
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{label}")
+        for label, pat, _ in PII_PATTERNS
+    ]
+    redacted = text
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return kept.select("doc_id", "ts", *counts, redacted.alias("redacted"))
+
+
 def dedup_stream(
     events: DataFrame, watermark: str = "1 hour", keys: Iterable[str] = ("event_id",)
 ) -> DataFrame:

@@ -164,3 +164,46 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path_factory):
     # batch twin agrees on the surviving key set
     batch = spark.read.parquet(path).dropDuplicates(["event_id"])
     assert sorted(r.event_id for r in batch.collect()) == ids
+
+
+def test_curation_gate_stream_matches_batch(spark, tmp_path_factory):
+    """The streaming ingest gate (quality filter + PII redaction) is
+    stateless, so its output on a drained stream must be row-identical to
+    the batch operators on the same data — including the redacted text
+    and per-type PII counts."""
+    from funnel_report_etl_pipeline__spark.operators.text import (
+        quality_keep_expr,
+        redact_pii,
+    )
+    from funnel_report_etl_pipeline__spark.streaming import (
+        curation_gate_stream,
+        read_document_stream,
+    )
+
+    path = str(tmp_path_factory.mktemp("doc_stream"))
+    good = "the quick brown fox jumps over the lazy dog and then some more words here"
+    docs = [
+        (1, good + " mail me at a.b@example.com now", T0),
+        (2, "short junk", T0 + timedelta(minutes=1)),  # fails quality (<10 tokens)
+        (3, good + " from 10.0.0.1 and +91-800-555-0100 thanks", T0 + timedelta(minutes=2)),
+        (4, good, T0 + timedelta(minutes=3)),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, ts timestamp").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+    out = run_to_memory(
+        curation_gate_stream(read_document_stream(spark, path)), "curation_t", "append"
+    ).collect()
+    stream_rows = {r.doc_id: r for r in out}
+    assert set(stream_rows) == {1, 3, 4}  # doc 2 dropped at the gate
+
+    batch_kept = spark.read.parquet(path).filter(quality_keep_expr("text"))
+    batch_rows = {r.doc_id: r for r in redact_pii(batch_kept).collect()}
+    assert set(batch_rows) == set(stream_rows)
+    for did, b in batch_rows.items():
+        s = stream_rows[did]
+        assert (s.n_email, s.n_ipv4, s.n_phone) == (b.n_email, b.n_ipv4, b.n_phone)
+        assert s.redacted == b.redacted
+    assert stream_rows[1].n_email == 1 and "<EMAIL>" in stream_rows[1].redacted
+    assert stream_rows[3].n_ipv4 == 1 and stream_rows[3].n_phone == 1
