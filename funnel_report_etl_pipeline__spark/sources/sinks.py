@@ -129,6 +129,88 @@ def materialize_daily_rollup(
     return _read_existing()
 
 
+DOCUMENT_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: T.StructType = DOCUMENT_JSONL_SCHEMA,
+) -> DataFrame:
+    """JSONL document ingestion — the wire format crawl dumps and
+    training-data releases actually arrive in (one JSON object per line).
+    The schema is EXPLICIT: schema inference would scan the corpus twice
+    and silently widen types per shard; corrupt lines land in
+    ``_corrupt_record`` (PERMISSIVE mode) instead of killing a 100 TB
+    ingest, and the caller decides whether to count or quarantine them.
+    JSON text is a row format — convert to parquet (``write_training_shards``
+    or ``write_partitioned``) before analytical reads. Note Spark disallows
+    queries referencing ONLY ``_corrupt_record`` on a raw JSON scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — persist or
+    convert first, then audit the quarantine column."""
+    reader = (
+        spark.read.schema(
+            schema.add(T.StructField("_corrupt_record", T.StringType()))
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    return reader.json(paths)
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Training-data export: content-addressed sharding + manifest.
+
+    Every row goes to shard md5(id) % n_shards — the deterministic
+    assignment ``shard_shuffle`` uses, so the same corpus shards
+    identically on any engine/cluster/partitioning — written as one
+    parquet directory per shard (`shard=K/`), one file per shard
+    (each shard repartitioned to 1 — shard count, not file count, is the
+    parallelism knob here). Returns the MANIFEST: per-shard row counts
+    and an order-independent content checksum (BIGINT sum of the 32-bit
+    md5 prefix of each id), the artifact a training job verifies before
+    touching the data. The manifest is recomputed FROM THE WRITTEN FILES,
+    not from the input lineage — it attests what landed on disk."""
+    key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    shard = (key % n_shards).cast("int")
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(out_path)
+    )
+    spark = df.sparkSession
+    spark.catalog.refreshByPath(out_path)
+    written = spark.read.parquet(out_path)
+    wkey = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        written.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(wkey).alias("content_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
 def convert_landing_zone(
     spark: SparkSession,
     base: str,

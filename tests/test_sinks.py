@@ -110,3 +110,51 @@ def test_write_partitioned_caps_file_rows(spark, tmp_path):
         if f.endswith(".parquet")
     ]
     assert len(files) >= 5  # 50 rows / 10 per file
+
+
+def test_jsonl_ingest_roundtrip_and_corrupt_lines(spark, tmp_path):
+    from funnel_report_etl_pipeline__spark.sources.sinks import read_documents_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web"}\n'
+        "this line is not json at all\n"
+        '{"doc_id": 3, "text": "ok", "lang": "en", "source": "books"}\n'
+    )
+    # Spark disallows querying only _corrupt_record straight off a raw
+    # JSON scan — persist the parsed batch first (what a real ingest does
+    # before auditing its quarantine column)
+    df = read_documents_jsonl(spark, str(p)).cache()
+    df.count()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2, 3]
+    assert bad.count() == 1  # quarantined, not fatal, not silently dropped
+    assert {r.lang for r in good.collect()} == {"en", "fr"}
+
+
+def test_training_shards_manifest_and_determinism(spark, tmp_path):
+    from funnel_report_etl_pipeline__spark.sources.sinks import write_training_shards
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = {r.shard: (r.n_rows, r.content_checksum)
+          for r in write_training_shards(docs, out1, n_shards=4).collect()}
+    # identical corpus, different partitioning → identical shards + manifest
+    m2 = {r.shard: (r.n_rows, r.content_checksum)
+          for r in write_training_shards(docs.repartition(13), out2, n_shards=4).collect()}
+    assert m1 == m2
+    assert set(m1) == {0, 1, 2, 3}
+    assert sum(n for n, _ in m1.values()) == 500
+    # manifest counts match what actually landed in each shard directory
+    for s, (n, _) in m1.items():
+        assert spark.read.parquet(f"{out1}/shard={s}").count() == n
+    # one data file per shard (the repartition(n, shard) contract)
+    import glob
+
+    for s in m1:
+        files = [f for f in glob.glob(f"{out1}/shard={s}/*.parquet")]
+        assert len(files) == 1, files
