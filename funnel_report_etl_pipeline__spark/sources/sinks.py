@@ -155,10 +155,13 @@ def read_documents_jsonl(
     queries referencing ONLY ``_corrupt_record`` on a raw JSON scan
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — persist or
     convert first, then audit the quarantine column."""
+    # StructType.add MUTATES the receiver (and returns it) — copy the field
+    # list instead, or the shared module-level schema grows a duplicate
+    # _corrupt_record on the second call
+    fields = [f for f in schema.fields if f.name != "_corrupt_record"]
+    full = T.StructType(fields + [T.StructField("_corrupt_record", T.StringType())])
     reader = (
-        spark.read.schema(
-            schema.add(T.StructField("_corrupt_record", T.StringType()))
-        )
+        spark.read.schema(full)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
     )
