@@ -441,6 +441,42 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_dedup",
+    oracle="""
+    WITH seen AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+    ),
+    new_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)
+    SELECT n.doc_id
+    FROM new_docs n LEFT JOIN seen s ON md5(n.text) = s.h
+    WHERE s.h IS NULL
+    """,
+    tags=("pipeline-ext", "dedup", "incremental"),
+)
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup: drop every NEW document whose exact text
+    was already in the previous snapshot — the anti-join a recurring
+    ingest runs before the expensive near-dup pass (here docs with
+    doc_id % 3 == 0 stand in for the prior snapshot). LEFT ANTI join on
+    md5(text): only (id, 128-bit hash) pairs shuffle, the text stays in
+    the scan, and the seen-hash side is exactly what a production
+    pipeline checkpoints between crawls (or folds into a bloom filter
+    for a map-side pre-filter when the snapshot outgrows a shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(F.md5("text").alias("__h"))
+        .distinct()
+    )
+    new_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    return (
+        new_docs.withColumn("__h", F.md5("text"))
+        .join(seen, "__h", "left_anti")
+        .select("doc_id")
+    )
+
+
+@register(
     "winnow_containment_pairs",
     oracle="""
     WITH p AS (
