@@ -293,6 +293,58 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_to_convert",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    d AS (
+      SELECT e.user_id,
+             MIN(epoch_us(e.ts) - epoch_us(s.s_ts)) AS delta_us
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signed,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           quantile_cont(delta_us, 0.5) AS median_us,
+           quantile_cont(delta_us, 0.9) AS p90_us
+    FROM d
+    """,
+    tags=("pipeline-ext", "analytics", "funnel"),
+)
+def time_to_convert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — the funnel's latency companion: per
+    user, microseconds from first signup to the first purchase AFTER it;
+    reported as converter count plus exact continuous median/p90 (Spark
+    ``percentile`` ≙ DuckDB ``quantile_cont``, the same (1-g)·lo + g·hi
+    interpolation over integer microsecond deltas, so the doubles are
+    engine-identical). Two user-keyed aggregations plus one co-partitioned
+    join — the purchase stream shuffles once on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts") - F.unix_micros("s_ts")).alias("delta_us")
+        )
+    )
+    n_signed = s.agg(F.count("*").alias("n_signed"))
+    conv = d.agg(
+        F.count("*").alias("n_converted"),
+        F.percentile("delta_us", F.lit(0.5)).alias("median_us"),
+        F.percentile("delta_us", F.lit(0.9)).alias("p90_us"),
+    )
+    return n_signed.crossJoin(conv)
+
+
+@register(
     "curation_funnel",
     oracle=f"""
     WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
