@@ -293,6 +293,45 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "latest_state_compaction",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_iso, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("pipeline-ext", "compaction", "upsert"),
+)
+def latest_state_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert compaction — the latest row per key (here: each user's
+    most recent event, event_id as the deterministic tiebreak), the
+    materialization every lakehouse runs to turn an append-only change
+    stream into current state. ROW_NUMBER over a key-partitioned
+    descending sort: one shuffle on the key, WindowGroupLimit keeps one
+    row per key per partition before the exchange, so the shuffle carries
+    ~|keys| rows, not |events|. Timestamps emitted as ISO strings for the
+    cross-engine compare."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_iso"),
+            "value",
+        )
+    )
+
+
+@register(
     "time_to_convert",
     oracle="""
     WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events
