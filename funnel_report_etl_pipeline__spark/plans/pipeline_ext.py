@@ -293,6 +293,76 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_history",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+    FROM events
+    """,
+    tags=("pipeline-ext", "scd", "history"),
+)
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history staging: each change event becomes a validity
+    interval [valid_from, valid_to) via LEAD over the key's timeline
+    (NULL valid_to = current row) — the warehouse pattern that turns a
+    change log into point-in-time-joinable history. One key shuffle, one
+    ordered window, deterministic (ts, event_id) tiebreak; timestamps as
+    ISO strings for the cross-engine compare."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iso = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", iso).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), iso).alias("valid_to"),
+    )
+
+
+@register(
+    "price_histogram",
+    oracle="""
+    SELECT CASE WHEN l_extendedprice < 0 THEN 0
+                WHEN l_extendedprice >= 100000 THEN 21
+                ELSE CAST(FLOOR(l_extendedprice / 5000) AS INT) + 1 END AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY bin
+    """,
+    tags=("pipeline-ext", "histogram", "stats"),
+)
+def price_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram over line-item prices (width_bucket
+    semantics spelled out as the explicit under/overflow + floor formula,
+    identical text in both engines — DuckDB has no width_bucket), with
+    min/max per bin for the bin-edge audit. The single-scan
+    single-shuffle profile query a data-quality dashboard runs per
+    column; for quantile-style summaries see ``value_percentiles`` /
+    ``approx_percentiles``."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    bin_ = (
+        F.when(price < 0, F.lit(0))
+        .when(price >= 100000, F.lit(21))
+        .otherwise(F.floor(price / 5000).cast("int") + 1)
+    )
+    return (
+        li.select(bin_.alias("bin"), "l_extendedprice")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+@register(
     "latest_state_compaction",
     oracle="""
     SELECT user_id, event_id, event_type,
