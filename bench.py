@@ -82,6 +82,12 @@ def main() -> int:
 
     failed = [n for n, t in timings.items() if t is None]
     total = round(sum(t for t in timings.values() if t is not None), 3)
+    # per-query sample counts differ when the noisy-sample retry fires;
+    # label the statistic from what actually ran, not the configured n
+    ns = sorted({s["n"] for s in stats.values() if "n" in s})
+    stat_label = f"median_of_{ns[0]}" if len(ns) == 1 else (
+        f"median_of_{ns[0]}_to_{ns[-1]}" if ns else "median"
+    )
     print(
         json.dumps(
             {
@@ -91,7 +97,7 @@ def main() -> int:
                 "queries": timings,
                 "stats": stats,
                 "sf": sf,
-                "stat": f"median_of_{n_runs}",
+                "stat": stat_label,
             }
         )
     )

@@ -357,11 +357,16 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 
 
 def redact_pii(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """PII redaction for training corpora: replace emails / IPv4 addresses /
     phone numbers with typed placeholder tokens and report per-type match
-    counts. Returns (id_col, n_email, n_ipv4, n_phone, redacted).
+    counts. Returns (id_col, *keep_cols, n_email, n_ipv4, n_phone,
+    redacted) — ``keep_cols`` carries metadata (lang, source, ...) through
+    the redaction so downstream mixture-balancing keeps its labels.
 
     Pure regexp_replace/regexp_count chains — map-side, codegen'd, zero
     shuffle: the shape that runs at scan speed over 100 TB. Counts are
@@ -375,7 +380,8 @@ def redact_pii(
     redacted = text
     for _, pat, token in PII_PATTERNS:
         redacted = F.regexp_replace(redacted, pat, token)
-    return df.select(F.col(id_col), *counts, redacted.alias("redacted"))
+    keep = [F.col(c) for c in keep_cols]
+    return df.select(F.col(id_col), *keep, *counts, redacted.alias("redacted"))
 
 
 def novelty_scores(

@@ -52,7 +52,12 @@ def run_pipeline(
         docs = spark.read.parquet(input_path)
 
     kept = docs.filter(quality_keep_expr("text"))
-    red = redact_pii(kept, "text", "doc_id").withColumnRenamed("redacted", "text")
+    # carry every metadata column (lang, source, ...) through redaction —
+    # downstream mixture balancing needs the source labels on the shards
+    meta_cols = tuple(c for c in docs.columns if c not in ("doc_id", "text"))
+    red = redact_pii(kept, "text", "doc_id", keep_cols=meta_cols).withColumnRenamed(
+        "redacted", "text"
+    )
     deduped = exact_dedup(red, "text", "doc_id")
     manifest_df = write_training_shards(deduped, out_path, n_shards=n_shards)
     shards = {

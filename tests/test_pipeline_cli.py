@@ -46,6 +46,10 @@ def test_pipeline_parquet_end_to_end(spark, tmp_path):
     }
     # redaction really ran before the write
     assert written.filter(F.col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")).count() == 0
+    # metadata columns survive the redaction hop — mixture balancing
+    # downstream needs the source labels on the shards (round-4 review)
+    assert {"lang", "source"} <= set(written.columns)
+    assert written.filter(F.col("source").isNull()).count() == 0
 
 
 def test_pipeline_jsonl_end_to_end(spark, tmp_path):
@@ -65,3 +69,4 @@ def test_pipeline_jsonl_end_to_end(spark, tmp_path):
     assert manifest["n_rows"] == 20
     written = spark.read.parquet(out)
     assert sorted(r.doc_id for r in written.collect()) == list(range(20))
+    assert {"lang", "source"} <= set(written.columns)

@@ -77,6 +77,9 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: driver_sim.py [--json OUT.json] [sf_dir] [query ...]", file=sys.stderr)
+            return 2
         json_path = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
