@@ -40,6 +40,8 @@ __all__ = [
     "embedding_dedup_pairs_lsh",
     "train_ivf_centroids",
     "cosine_topk_ivf",
+    "medoid_cells",
+    "cosine_topk_ivf_medoid",
     "quantize_int8",
 ]
 
@@ -215,6 +217,113 @@ def cosine_topk_ivf(
                 "cosine"
             ),
         )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def medoid_cells(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic hash-seeded medoid "centroids": the ``n_cells`` corpus
+    vectors with the smallest md5(id) — coarse cells derived purely from
+    content, no trained model, so cell assignment is replicable in plain
+    SQL (the k-means quantizer in ``train_ivf_centroids`` remains the
+    recall-tuned production path; this is its oracle-friendly twin).
+
+    Returns (cell, mid, mv) with cell = 0..n_cells-1 in md5 order. The
+    md5 keys are uniform, so the medoids are an unbiased sample of the
+    corpus — the same justification as hash-sampling. orderBy+limit
+    compiles to TakeOrderedAndProject (distributed top-k, no full sort);
+    the row_number window runs over the already-limited n_cells rows."""
+    med = (
+        corpus.select(
+            F.col(id_col).alias("mid"),
+            F.col(vec_col).cast("array<double>").alias("mv"),
+        )
+        .withColumn("__mk", F.md5(F.col("mid").cast("string")))
+        .orderBy("__mk", "mid")
+        .limit(n_cells)
+    )
+    w = Window.orderBy("__mk", "mid")
+    return (
+        med.withColumn("cell", (F.row_number().over(w) - 1).cast("int"))
+        .drop("__mk")
+    )
+
+
+def _nearest_medoid_cells(
+    vframe: DataFrame, med: DataFrame, id_name: str, n: int
+) -> DataFrame:
+    """(id, cell) — the ``n`` medoid cells nearest by cosine, cell-asc
+    tiebreak. The medoid frame is tiny and broadcast; the cosine doubles
+    are sequential left-fold sums, bit-identical across engines (the
+    similarity_topk_brute-verified property), so the argmin is too."""
+    sims = vframe.crossJoin(F.broadcast(med)).select(
+        id_name,
+        "cell",
+        (_dot(F.col("__v"), F.col("mv")) / (_norm(F.col("__v")) * _norm(F.col("mv")))).alias(
+            "__csim"
+        ),
+    )
+    w = Window.partitionBy(id_name).orderBy(F.col("__csim").desc(), F.col("cell").asc())
+    return (
+        sims.withColumn("__crnk", F.row_number().over(w))
+        .filter(F.col("__crnk") <= n)
+        .select(id_name, "cell")
+    )
+
+
+def cosine_topk_ivf_medoid(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with deterministic hash-seeded medoid cells (round 5): the
+    same inverted-file shape as ``cosine_topk_ivf`` — coarse-assign the
+    corpus to its nearest cell, probe each query's ``n_probe`` nearest
+    cells, exact re-rank inside them — but with ``medoid_cells`` as the
+    quantizer, so every step (cell choice, assignment, ranking) is a pure
+    function of the data and the plan carries a full DuckDB value-hash
+    oracle. Returns (qid, cid, cosine, rnk).
+
+    Scale shape is unchanged: the cell table is broadcast, assignment is a
+    scan-side computation, and the only wide join is corpus⋈queries on
+    cell id — cost ∝ corpus·n_probe/n_cells per query."""
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    med = medoid_cells(corpus, n_cells, id_col, vec_col)
+    c_cell = _nearest_medoid_cells(c, med, "cid", 1)
+    q_cell = _nearest_medoid_cells(q, med, "qid", n_probe)
+    cand = (
+        c.withColumnRenamed("__v", "cv")
+        .join(c_cell, "cid")
+        .join(
+            F.broadcast(q.withColumnRenamed("__v", "qv").join(q_cell, "qid")),
+            "cell",
+        )
+        .filter(F.col("qid") != F.col("cid"))
+    )
+    scored = cand.select(
+        "qid",
+        "cid",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (

@@ -30,7 +30,6 @@ from funnel_report_etl_pipeline__spark.operators.multimodal import (
 from funnel_report_etl_pipeline__spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_topk_brute,
-    cosine_topk_ivf,
     cosine_topk_lsh,
 )
 from funnel_report_etl_pipeline__spark.operators.text import (
@@ -629,18 +628,66 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ann_ivf",
-    oracle=None,  # the k-means coarse quantizer is a trained model (not
-    # SQL-replicable); exact twin: similarity_topk_brute; recall@5 on
-    # cluster-structured data is pytest-asserted (test_similarity_recall)
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    med AS (  -- hash-seeded medoid cells: the 16 vectors with smallest md5(id)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS INT) AS cell,
+             v AS mv
+      FROM (SELECT vec_id, v FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+    ),
+    csims AS (
+      SELECT e.vec_id AS id, m.cell,
+             list_dot_product(v, mv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(mv, mv)))
+               AS csim
+      FROM e, med m
+    ),
+    ranked AS (
+      SELECT id, cell,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cell ASC) AS r
+      FROM csims
+    ),
+    c_cell AS (SELECT id AS cid, cell FROM ranked WHERE r = 1),
+    q_cell AS (SELECT id AS qid, cell FROM ranked WHERE r <= 2 AND id < 10),
+    scored AS (
+      SELECT q.qid, c.cid,
+             list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))
+               AS cosine
+      FROM q_cell q
+      JOIN c_cell c USING (cell)
+      JOIN e qe ON qe.vec_id = q.qid
+      JOIN e ce ON ce.vec_id = c.cid
+      WHERE q.qid <> c.cid
+    )
+    SELECT qid, cid, cosine, rnk FROM (
+      SELECT qid, cid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 5
+    ORDER BY qid, rnk
+    """,
     tags=("pipeline", "similarity", "ann", "ivf"),
 )
 def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5: 16 k-means-trained coarse cells (spherical quantizer,
-    fixed seed), 2-probe, exact re-rank inside probed cells — the
-    inverted-file scale path."""
+    """IVF ANN top-5 over deterministic hash-seeded medoid cells (16 cells,
+    2-probe, exact re-rank inside probed cells) — the inverted-file scale
+    shape with a content-derived quantizer, so the full pipeline carries a
+    DuckDB value-hash oracle (round-4 review ask). The k-means-trained
+    quantizer (`cosine_topk_ivf`) stays the recall-tuned production path,
+    equivalence- and recall-asserted in tests/test_similarity.py and the
+    scale probes."""
+    from funnel_report_etl_pipeline__spark.operators.similarity import (
+        cosine_topk_ivf_medoid,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=2).orderBy("qid", "rnk")
+    return cosine_topk_ivf_medoid(emb, queries, k=5, n_cells=16, n_probe=2).orderBy(
+        "qid", "rnk"
+    )
 
 
 @register(
@@ -1214,26 +1261,74 @@ def repetition_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_fast",
-    oracle=None,  # xxhash64 is Spark-native (no DuckDB twin); the md5-family
-    # dedup_minhash_lsh value-verifies the identical plan shape, and
-    # tests/test_dedup.py asserts this variant finds the same verified pairs
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g0 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    g AS (  -- stop-gram guard: drop grams in > 1000 docs (matches max_gram_freq)
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g0
+      ) WHERE df <= 1000
+    ),
+    h AS (  -- md5w family: ONE hex parse; h2 = low 47 bits of h1, forced odd
+      SELECT doc_id, gram, h1, (h1 % 140737488355328) | 1 AS h2
+      FROM (SELECT doc_id, gram,
+                   CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h1
+            FROM g)
+    ),
+    m AS (  -- minhash i = min over grams of h1 + i*h2 (Kirsch-Mitzenmacher)
+      SELECT doc_id, i, MIN(h1 + i * h2) AS mh
+      FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i) perms
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band_idx,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
+      FROM m GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.id_a
+      JOIN g gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+    ORDER BY id_a, id_b
+    """,
     tags=("dedup", "lsh", "fast"),
     bench=True,
 )
 def dedup_minhash_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production MinHash-LSH: identical pipeline to dedup_minhash_lsh but
-    with the xxhash64 hash family — one native-long hash per gram instead
-    of md5's hex-string materialization + base-conversion parse. The final
-    pair set is exact-Jaccard verified, so any candidate-set difference vs
-    the md5 family only affects recall, not precision; on the test corpus
-    the output pair sets are asserted identical (tests/test_dedup.py).
-    Registered past the driver window (rows-only locally) as the bench
-    headliner for the 100 TB dedup path."""
+    """Fast MinHash-LSH: identical pipeline to dedup_minhash_lsh but with
+    the single-parse ``md5w`` hash family — one `conv(substring(md5))`
+    base-conversion per gram instead of two, h2 derived from h1 with two
+    integer ops (see minhash_signatures). Round 5 moved this query off the
+    engine-native xxhash64 family so it carries a full DuckDB value-hash
+    oracle (round-4 review ask); xxhash64 stays available in the operator
+    API and tests/test_dedup.py asserts all three families produce the
+    same verified pair set on the test corpus."""
     from funnel_report_etl_pipeline__spark.operators.dedup import minhash_dedup_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_dedup_pairs(
-        docs, threshold=0.8, persist_grams=True, hash_family="xxhash64"
+        docs, threshold=0.8, persist_grams=True, hash_family="md5w"
     ).orderBy("id_a", "id_b")
 
 

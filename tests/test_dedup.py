@@ -225,24 +225,23 @@ def test_gram_freq_cap_noop_when_above_corpus_max(docs):
 
 
 def test_fast_hash_family_same_verified_pairs(spark):
-    """The xxhash64 production family and the md5 oracle family run the
-    identical pipeline; the exact-Jaccard verify step makes precision 1.0
-    for both, and on the test corpus their candidate recall coincides, so
-    the final (id_a, id_b, jaccard) sets must be identical."""
+    """All three hash families (md5 two-parse, md5w single-parse, xxhash64
+    engine-native) run the identical pipeline; the exact-Jaccard verify
+    step makes precision 1.0 for each, and on the test corpus their
+    candidate recall coincides, so the final (id_a, id_b, jaccard) sets
+    must be identical."""
     from funnel_report_etl_pipeline__spark.sources.readers import catalog_table
 
     docs = catalog_table(spark, "/root/testdata/sf0.001", "documents")
-    md5_pairs = {
-        (r.id_a, r.id_b, r.jaccard)
-        for r in minhash_dedup_pairs(docs, threshold=0.8, hash_family="md5").collect()
+    by_family = {
+        fam: {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_dedup_pairs(docs, threshold=0.8, hash_family=fam).collect()
+        }
+        for fam in ("md5", "md5w", "xxhash64")
     }
-    fast_pairs = {
-        (r.id_a, r.id_b, r.jaccard)
-        for r in minhash_dedup_pairs(
-            docs, threshold=0.8, hash_family="xxhash64"
-        ).collect()
-    }
-    assert md5_pairs == fast_pairs and len(fast_pairs) > 0
+    assert by_family["md5"] == by_family["md5w"] == by_family["xxhash64"]
+    assert len(by_family["md5"]) > 0
 
 
 def test_decontaminate_flags_planted_overlap(spark):
