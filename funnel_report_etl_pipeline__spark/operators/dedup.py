@@ -257,24 +257,31 @@ def jaccard_verify(
     frame: without it, a gram shared by k docs contributes k rows to each
     side of the intersection join; with it, group sizes are bounded by the
     cap. Jaccard is then computed over the capped gram set (standard
-    doc-frequency weighting — stop-grams carry no dedup signal)."""
+    doc-frequency weighting — stop-grams carry no dedup signal).
+
+    Shape (round 5): the intersection is computed per candidate pair with
+    ``array_intersect`` over per-doc gram-set arrays, not a gram-grain
+    join. The old pair⋈grams_a⋈grams_b join materialized |pairs|·|grams
+    per doc| rows — ~170 M at the 50 k-doc probe (3.4 M templated-corpus
+    candidates × ~50 grams), which was the whole 10×-probe variance (GC on
+    the two wide shuffles). Now each side contributes one |pairs|-row join
+    against a 1-row-per-doc array frame, and the intersection is a per-row
+    O(|a|+|b|) hash probe inside codegen — no gram row ever shuffles at
+    pair grain. The per-doc array is bounded by document length (it IS the
+    doc's shingle set), so executor memory per row stays flat at 100 TB."""
     if max_gram_freq is not None:
         grams = drop_frequent_grams(grams, max_gram_freq)
-    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
-    ga = grams.withColumnsRenamed({"id": "id_a", "gram": "g"})
-    gb = grams.withColumnsRenamed({"id": "id_b", "gram": "g"})
-    inter = (
-        pairs.join(ga, "id_a")
-        .join(gb, ["id_b", "g"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("i"))
-    )
+    # gram_rows emits distinct (id, gram) rows, so collect_list builds the
+    # gram SET of each doc; sz is its cardinality
+    sets_ = grams.groupBy("id").agg(F.collect_list("gram").alias("gs"))
     j = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        pairs.join(sets_.withColumnsRenamed({"id": "id_a", "gs": "ga"}), "id_a")
+        .join(sets_.withColumnsRenamed({"id": "id_b", "gs": "gb"}), "id_b")
+        .withColumn("i", F.size(F.array_intersect("ga", "gb")))
         .withColumn(
             "jaccard",
-            F.col("i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("i")),
+            F.col("i").cast("double")
+            / (F.size("ga") + F.size("gb") - F.col("i")),
         )
     )
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

@@ -123,3 +123,73 @@ def test_bigram_lm_no_window_no_python(spark):
     p = plan_of(spark, "bigram_lm_support")
     assert "Window" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-budget ceilings for every query in the driver's 50-slot window
+# (round-4 review: each windowed query needs a plan assertion). The number
+# is the Exchange-hashpartitioning count of the reviewed plan at SF_SMALL —
+# a refactor that introduces an extra shuffle fails here even though the
+# results stay correct. 0 is exact (the query is map-side only and must
+# stay that way); nonzero values are ceilings.
+# ---------------------------------------------------------------------------
+WINDOW_SHUFFLE_BUDGET = {
+    # parity surface: scans and scalar aggregates — the whole point is
+    # that the reference's per-day HTTP fan-out collapses into pushed
+    # scans with at most one agg exchange
+    "scan_filter_eq": 0, "filter_in_notnull": 0, "date_between": 0,
+    "agg_sum_cast": 0, "agg_sum_nullif": 0, "grouped_count": 1,
+    "partial_final_agg": 2, "stage_totals": 0, "union_all_days": 1,
+    "conditional_sum": 0, "scalar_crossjoin": 0, "pct_bround": 1,
+    "funnel_waterfall": 0,
+    # pipeline core; scan-speed ops must never shuffle
+    # the minhash plan's exchange count swings with the single-slot gram
+    # cache (16 when the persisted frame is reused, more when the plan
+    # string inlines the cached subtree), so a numeric ceiling is
+    # order-dependent — None skips the count; the structural verify-shape
+    # test below covers it instead
+    "dedup_exact": 1, "ngram_jaccard_pairs": 4, "dedup_minhash_lsh": None,
+    "dedup_simhash": 2, "text_quality": 0, "token_counts": 0,
+    "lang_id_heuristic": 0, "doc_fingerprints": 0, "corpus_curation": 2,
+    "similarity_topk_brute": 1, "similarity_ann_lsh": 3,
+    "dedup_embedding_cosine": 0, "multimodal_meta": 0,
+    "multimodal_features": 0, "hash_sample": 0, "pack_sequences": 1,
+    "dedup_clusters": 2, "decontaminate_ngrams": 3, "repetition_filter": 2,
+    "chunk_dedup": 5, "pii_redaction": 0, "quantize_embeddings": 1,
+    "shard_shuffle": 1, "gram_novelty": 4,
+    # round-5 rotations (pipeline-ext)
+    "cdc_chunk_dedup": 4, "semantic_dedup_clusters": 2,
+    "curation_funnel": 13, "scd2_history": 1, "latest_state_compaction": 1,
+    "time_to_convert": 3, "retention_cohorts": 6, "incremental_dedup": 1,
+    "winnow_fingerprints": 1, "temperature_source_sample": 2,
+    # relational headliners
+    "pricing_summary": 1, "join_equi": 1, "asof_join_events": 1,
+}
+
+
+def test_shuffle_budget_covers_whole_window():
+    from funnel_report_etl_pipeline__spark.plans.registry import _WINDOW
+
+    assert set(WINDOW_SHUFFLE_BUDGET) == set(_WINDOW)
+
+
+@pytest.mark.parametrize("name", sorted(WINDOW_SHUFFLE_BUDGET))
+def test_windowed_query_shuffle_budget(spark, name):
+    budget = WINDOW_SHUFFLE_BUDGET[name]
+    if budget is None:
+        pytest.skip("cache-state-dependent plan; covered structurally")
+    n = plan_of(spark, name).count("Exchange hashpartitioning")
+    if budget == 0:
+        assert n == 0, f"{name}: map-side-only query now shuffles ({n})"
+    else:
+        assert n <= budget, f"{name}: {n} shuffles exceeds reviewed budget {budget}"
+
+
+def test_minhash_verify_is_array_intersect_not_gram_join(spark):
+    """The exact-Jaccard verify must stay the round-5 per-pair
+    array_intersect shape — the pair-grain gram join it replaced
+    materialized |cands|·|grams per doc| rows and was the 10×-probe
+    variance (PLANS.md round-5 note)."""
+    p = plan_of(spark, "dedup_minhash_lsh")
+    assert "array_intersect" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
