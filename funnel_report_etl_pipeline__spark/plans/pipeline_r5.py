@@ -1,0 +1,419 @@
+"""Round-5 LLM-pipeline extensions: model-based quality filtering,
+cross-source priority dedup, ExactSubstr-style duplicated-span coverage,
+DSIR-style importance weighting, mixture/epoch planning, TF-IDF term
+profiling.
+
+Registered AFTER the driver's 50-entry window (tag ``pipeline-ext``);
+every query carries a full DuckDB value-hash oracle and is verified by
+tools/driver_sim.py + pytest, same as the round-4 batch.
+
+Cross-engine determinism notes (same rules as pipeline_ext):
+
+* ratios are ONE division of two exact integers;
+* the only transcendental (tf-idf's ln) is rounded to integer
+  micro-units in BOTH engines before any ranking — the nearest distinct
+  ln value sits 0.015 micro-units from a rounding boundary (verified for
+  every reachable df), so a 1-ulp libm-vs-JVM difference cannot flip it;
+* linear-model arithmetic is a fixed parenthesized expression over
+  per-row doubles (no float SUM aggregation), identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.operators.text import STOPWORDS
+from funnel_report_etl_pipeline__spark.plans.registry import register
+from funnel_report_etl_pipeline__spark.sources.readers import catalog_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog_table(spark, sf_dir, name)
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+# fixed linear-model weights (a stand-in for a trained fasttext/logreg
+# quality classifier's final layer): bias, stopword-rate, unique-token
+# rate, mean word length. Chosen so the testdata splits non-trivially.
+_QC_BIAS, _QC_W_STOP, _QC_W_UNIQ, _QC_W_WLEN = -2.0, 4.0, 2.5, -0.05
+
+
+@register(
+    "quality_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks,
+             length(replace(text, ' ', '')) AS n_letters
+      FROM documents
+    ), f AS (
+      SELECT doc_id, source,
+             len(toks) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stop_rate,
+             CAST(len(list_distinct(toks)) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS uniq_rate,
+             CAST(n_letters AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_wlen
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           stop_rate, uniq_rate, mean_wlen,
+           {_QC_BIAS} + {_QC_W_STOP} * stop_rate + {_QC_W_UNIQ} * uniq_rate
+             + {_QC_W_WLEN} * mean_wlen AS quality_logit,
+           ({_QC_BIAS} + {_QC_W_STOP} * stop_rate + {_QC_W_UNIQ} * uniq_rate
+             + {_QC_W_WLEN} * mean_wlen) > 0.0 AS keep
+    FROM f
+    """,
+    tags=("pipeline-ext", "text", "quality"),
+    bench=False,
+)
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: a fixed-weight linear classifier over
+    cheap lexical features (stopword rate, unique-token rate, mean word
+    length) — the Spark-side shape of the fasttext/logreg quality scorers
+    used by CCNet/C4-style curation (the learned weights are a config
+    input; the engine contributes the feature extraction + scoring plan).
+    Everything is per-row JVM arithmetic inside whole-stage codegen: no
+    shuffle at all, no UDF, and the feature→logit expression is a fixed
+    parenthesized tree so the double result is bit-identical across
+    engines and partitionings. At 100 TB this is a pure map-side pass —
+    the cheapest possible corpus operation, which is why quality scoring
+    is the FIRST stage of the curation funnel (drop early, drop cheap)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    f = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.filter(toks, lambda x: F.array_contains(stops, x))).alias("n_stop"),
+            F.size(F.array_distinct(toks)).alias("n_uniq"),
+            F.length(F.regexp_replace(F.col("text"), " ", "")).alias("n_letters"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "stop_rate"
+            ),
+            (F.col("n_uniq").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "uniq_rate"
+            ),
+            (F.col("n_letters").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "mean_wlen"
+            ),
+        )
+    )
+    logit = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W_STOP) * F.col("stop_rate")
+        + F.lit(_QC_W_UNIQ) * F.col("uniq_rate")
+        + F.lit(_QC_W_WLEN) * F.col("mean_wlen")
+    )
+    return f.select(
+        "doc_id", "source", "n_tokens", "stop_rate", "uniq_rate", "mean_wlen",
+        logit.alias("quality_logit"),
+        (logit > F.lit(0.0)).alias("keep"),
+    )
+
+
+@register(
+    "priority_source_dedup",
+    oracle="""
+    SELECT doc_id, source, n_copies FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(text)
+               ORDER BY CAST(substr(source, 4) AS INTEGER), doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies
+      FROM documents
+    ) t WHERE rn = 1
+    """,
+    tags=("pipeline-ext", "dedup"),
+)
+def priority_source_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source priority dedup: when the same text appears in several
+    sources, keep the copy from the most-trusted source (curated wiki
+    beats crawl beats scrape — here the numeric suffix of ``source`` is
+    the trust rank) instead of exact_dedup's arbitrary lowest-id winner.
+    This is how production corpora (The Pile, Dolma) resolve
+    cross-registry duplicates without losing the curated copy. Plan: one
+    shuffle keyed on md5(text) — the text column itself is projected away
+    before the exchange, so only (128-bit key, id, priority) crosses the
+    wire; winner + copy count come from one window over that key."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.col("text"))
+    prio = F.substring(F.col("source"), 4, 10).cast("int")
+    slim = docs.select("doc_id", "source", key.alias("__k"), prio.alias("__p"))
+    w = Window.partitionBy("__k")
+    return (
+        slim.withColumn("rn", F.row_number().over(w.orderBy("__p", "doc_id")))
+        .withColumn("n_copies", F.count("*").over(w).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_copies")
+    )
+
+
+@register(
+    "dup_ngram_coverage",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS h
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) s
+      WHERE len(toks) >= 8
+    ),
+    df AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY h)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_positions,
+           CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+    FROM g JOIN df USING (h)
+    GROUP BY g.doc_id
+    """,
+    tags=("pipeline-ext", "dedup", "text"),
+    bench=True,
+)
+def dup_ngram_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, the fraction of 8-gram positions whose gram also occurs in
+    ANOTHER document. The suffix-array formulation the paper uses is a
+    global sort over the corpus; the Spark-first shape is gram-hash
+    aggregation — every 8-gram position becomes an md5 key (16 bytes on
+    the wire, never the gram text), document frequency is one groupBy,
+    and per-doc coverage is one join + re-agg on doc_id. Exact integer
+    counts; one final division. At 100 TB the gram frame is the big
+    intermediate (≈ tokens × 16 B) — it shuffles twice (df count, then
+    doc re-agg); both shuffles are on uniform hash keys, so no skew, and
+    the df table could be Bloom-compacted for the join at extreme scale."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 7),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 8))),
+            )
+        ).alias("h"),
+    ).filter(F.size(toks) >= 8)
+    df_tbl = grams.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
+    dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        grams.join(df_tbl, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(dup).cast("long").alias("n_dup_positions"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.col("n_dup_positions").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+@register(
+    "dsir_importance",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    bg AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 4))
+                  AS INTEGER) % 1024 AS b
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) s
+      WHERE len(toks) >= 2
+    ),
+    corpus_c AS (SELECT b, COUNT(*) AS c_n FROM bg GROUP BY b),
+    target_c AS (SELECT b, COUNT(*) AS t_n FROM bg WHERE source = 'src0'
+                 GROUP BY b)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(COALESCE(target_c.t_n, 0)) AS BIGINT) AS sum_target,
+           CAST(SUM(corpus_c.c_n) AS BIGINT) AS sum_corpus,
+           CAST(SUM(COALESCE(target_c.t_n, 0)) AS DOUBLE)
+             / CAST(SUM(corpus_c.c_n) AS DOUBLE) AS importance
+    FROM bg
+    JOIN corpus_c USING (b)
+    LEFT JOIN target_c USING (b)
+    GROUP BY bg.doc_id
+    """,
+    tags=("pipeline-ext", "sampling", "quality"),
+)
+def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much its hashed-bigram profile looks like a trusted
+    target distribution (here: source 'src0' stands in for the curated
+    target corpus). Bigrams hash into 1024 buckets; per doc, importance =
+    Σ target-bucket-count / Σ corpus-bucket-count over its bigram
+    occurrences — the count-ratio variant of DSIR's log-likelihood ratio,
+    chosen because it stays in exact integer arithmetic (one final
+    division). Plan: the two bucket-count tables are ≤1024 rows —
+    broadcast to the gram stream, so the only real shuffle is the per-doc
+    re-agg; at 100 TB the n-gram feature hash is the classic
+    fixed-dimension sketch that makes importance reweighting feasible
+    without a vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bg = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode(F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))))
+            .alias("i", "w1"),
+            toks.alias("__toks"),
+        )
+        .withColumn("w2", F.col("__toks")[F.col("i") + 1])
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(" ", "w1", "w2")), 1, 4), 16, 10
+                ).cast("int")
+                % 1024
+            ).alias("b"),
+        )
+    )
+    corpus_c = bg.groupBy("b").agg(F.count("*").alias("c_n"))
+    target_c = (
+        bg.filter(F.col("source") == "src0").groupBy("b").agg(F.count("*").alias("t_n"))
+    )
+    return (
+        bg.join(F.broadcast(corpus_c), "b")
+        .join(F.broadcast(target_c), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("t_n"), F.lit(0))).cast("long").alias("sum_target"),
+            F.sum("c_n").cast("long").alias("sum_corpus"),
+        )
+        .withColumn(
+            "importance",
+            F.col("sum_target").cast("double") / F.col("sum_corpus").cast("double"),
+        )
+    )
+
+
+@register(
+    "mixture_epochs",
+    oracle="""
+    WITH n AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(n_tokens) AS total FROM n)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(tot.total AS DOUBLE) AS natural_share,
+           sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot.total AS DOUBLE))
+             AS temp_weight,
+           sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot.total AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) / CAST(tot.total AS DOUBLE)) AS epochs
+    FROM n, tot
+    """,
+    tags=("pipeline-ext", "sampling", "mixture"),
+)
+def mixture_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture epoch planner: per source, the repeat factor
+    ("epochs") that turns the natural token distribution into the
+    α = 0.5 temperature-flattened mixture — the planning table behind
+    `temperature_source_sample` (which applies rates to rows; this emits
+    the plan itself, the artifact a training job consumes to set per-source
+    sampling weights, à la GPT-3/PaLM mixture tables). epochs_s =
+    w_s / share_s with w_s = sqrt(share_s), i.e. rare sources are repeated
+    (epochs > 1), dominant sources are subsampled (epochs < 1). Every
+    share is one division of exact integer token counts; sqrt is IEEE
+    correctly-rounded — no float summation anywhere, so the doubles are
+    bit-identical across engines. Plan: one groupBy(source) over a
+    2-column scan + a 1-row broadcast total."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    tot = n.agg(F.sum("n_tokens").alias("total"))
+    share = F.col("n_tokens").cast("double") / F.col("total").cast("double")
+    return n.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("natural_share"),
+        F.sqrt(share).alias("temp_weight"),
+        (F.sqrt(share) / share).alias("epochs"),
+    )
+
+
+@register(
+    "tfidf_topterms",
+    oracle="""
+    WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM t GROUP BY source, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT source) AS df FROM t GROUP BY term),
+    ns AS (SELECT COUNT(DISTINCT source) AS n_src FROM t),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf, dfreq.df,
+             tf.tf * CAST(ROUND(ln(CAST(ns.n_src AS DOUBLE)
+                                   / CAST(dfreq.df AS DOUBLE)) * 1000000.0)
+                          AS BIGINT) AS score_micro
+      FROM tf JOIN dfreq USING (term), ns
+    )
+    SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY score_micro DESC, term) AS rnk
+      FROM scored
+    ) r WHERE rnk <= 5
+    """,
+    tags=("pipeline-ext", "text"),
+)
+def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF term profile: the top-5 most characteristic
+    terms of each source — the standard corpus-inspection op for spotting
+    a source gone bad (boilerplate floods, spam vocabularies) before it
+    trains. idf = ln(n_sources/df) is the one transcendental in the whole
+    registry; it is rounded to integer MICRO-units in both engines before
+    the tf multiply and the ranking, and every reachable ln value sits
+    ≥ 0.015 micro-units from a rounding boundary (module docstring), so
+    JVM-vs-libm last-ulp differences cannot flip anything. Plan: two
+    grouped counts (term-grain), a broadcast 1-row n_src, and a
+    WindowGroupLimit top-5 per source — rank pruning happens below the
+    final shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = t.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    dfreq = t.groupBy("term").agg(F.count_distinct("source").alias("df"))
+    ns = t.agg(F.count_distinct("source").alias("n_src"))
+    idf_micro = F.round(
+        F.log(F.col("n_src").cast("double") / F.col("df").cast("double"))
+        * F.lit(1000000.0)
+    ).cast("long")
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            (F.col("tf") * idf_micro).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score_micro").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )

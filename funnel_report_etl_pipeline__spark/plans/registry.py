@@ -65,6 +65,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         pipeline_ops,
         pipeline_ext,  # registers past the driver window (tag "pipeline-ext")
+        pipeline_r5,  # round-5 batch, same post-window placement
     )
 
     return REGISTRY

@@ -1,0 +1,133 @@
+"""Behavioral invariants for the round-5 pipeline extensions (oracle
+parity itself is covered query-by-query in test_registry_parity /
+driver_sim)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.plans.registry import load_all
+
+from .conftest import SF_MED, SF_SMALL
+
+SPECS = load_all()
+
+
+def test_quality_classifier_features_bounded(spark):
+    rows = SPECS["quality_classifier"].fn(spark, SF_MED).collect()
+    assert len(rows) == 500
+    n_keep = 0
+    for r in rows:
+        assert 0.0 <= r.stop_rate <= 1.0
+        assert 0.0 < r.uniq_rate <= 1.0
+        assert r.mean_wlen > 0
+        # keep is exactly the sign of the logit (same expression)
+        assert r.keep == (r.quality_logit > 0.0)
+        n_keep += int(r.keep)
+    # the fixed weights must actually split the corpus, not rubber-stamp it
+    assert 0 < n_keep < 500
+
+
+def test_priority_dedup_prefers_trusted_source(spark):
+    """On a corpus with planted cross-source duplicates, the winner of
+    every duplicate group is the copy with the lowest source rank."""
+    docs = spark.createDataFrame(
+        [
+            (1, "same text here", "src5"),
+            (2, "same text here", "src2"),  # winner: lowest rank
+            (3, "same text here", "src12"),
+            (4, "unique text", "src9"),
+        ],
+        "doc_id long, text string, lang string",
+    ).withColumnRenamed("lang", "source")
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = {r.doc_id: r for r in SPECS["priority_source_dedup"].fn(spark, tmp).collect()}
+    assert set(out) == {2, 4}
+    assert out[2].n_copies == 3 and out[2].source == "src2"
+    assert out[4].n_copies == 1
+
+
+def test_priority_dedup_total_coverage(spark):
+    """Winners' copy counts add back up to the corpus size."""
+    rows = SPECS["priority_source_dedup"].fn(spark, SF_MED).collect()
+    assert sum(r.n_copies for r in rows) == 500
+
+
+def test_dup_ngram_coverage_detects_planted_duplicate(spark):
+    """A doc duplicated verbatim has dup_ratio 1.0; a doc sharing no
+    8-gram has dup_ratio 0.0."""
+    words = [f"w{i}" for i in range(40)]
+    a = " ".join(words)
+    b = " ".join(f"x{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, b)], "doc_id long, text string"
+    )
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = {r.doc_id: r for r in SPECS["dup_ngram_coverage"].fn(spark, tmp).collect()}
+    assert out[1].dup_ratio == 1.0 and out[2].dup_ratio == 1.0
+    assert out[3].dup_ratio == 0.0
+    assert out[1].n_grams == 40 - 7
+
+
+def test_dsir_importance_favors_target_lookalikes(spark):
+    """src0 documents (the target itself) must on average score higher
+    than the rest of the corpus — the defining property of an importance
+    weight."""
+    rows = SPECS["dsir_importance"].fn(spark, SF_MED).collect()
+    assert len(rows) == 500
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    tgt = [r.importance for r in rows if src[r.doc_id] == "src0"]
+    rest = [r.importance for r in rows if src[r.doc_id] != "src0"]
+    assert tgt and rest
+    for r in rows:
+        assert 0.0 <= r.importance <= 1.0
+        assert r.sum_target <= r.sum_corpus
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_mixture_epochs_flattens_toward_uniform(spark):
+    rows = SPECS["mixture_epochs"].fn(spark, SF_MED).collect()
+    assert len(rows) == 20  # one per source
+    total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        assert math.isclose(r.natural_share, r.n_tokens / total)
+        assert math.isclose(r.temp_weight, math.sqrt(r.natural_share))
+        assert math.isclose(r.epochs, r.temp_weight / r.natural_share)
+    # temperature flattening: below-average sources get epochs > above-avg
+    small = min(rows, key=lambda r: r.n_tokens)
+    big = max(rows, key=lambda r: r.n_tokens)
+    assert small.epochs > big.epochs
+
+
+def test_tfidf_topterms_shape_and_idf(spark):
+    rows = SPECS["tfidf_topterms"].fn(spark, SF_MED).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src) == 20
+    for src, terms in by_src.items():
+        assert len(terms) == 5
+        assert sorted(r.rnk for r in terms) == [1, 2, 3, 4, 5]
+        ordered = sorted(terms, key=lambda r: r.rnk)
+        for hi, lo in zip(ordered, ordered[1:]):
+            assert (hi.score_micro, ) >= (lo.score_micro, )
+        for r in terms:
+            # score = tf * round(ln(n_src/df) * 1e6) with n_src = 20
+            assert r.score_micro == r.tf * round(math.log(20 / r.df) * 1e6)
+
+
+def test_tfidf_no_python_in_plan(spark):
+    plan = (
+        SPECS["tfidf_topterms"].fn(spark, SF_MED)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -182,3 +182,71 @@ def test_all_pairs_guard_raises(planted):
     # explicit raise of the cap is the sanctioned escape hatch
     out = cosine_near_dup_pairs(planted, threshold=0.99, max_rows=10_000)
     assert out.columns == ["id_a", "id_b", "cosine"]
+
+
+# --- realistic dimensionality (384-dim, 50k vectors) -----------------------
+# Production embedding models emit 384-1024 dims; hyperplane-LSH bit
+# statistics and IVF cell geometry both change with dimension, so the
+# recall contract is re-asserted at dim=384. Noise is scaled to keep the
+# PLANTED angular structure identical to the 64-dim tests (noise norm
+# ~0.16 -> in-cluster cosine ~0.97, which is what real near-dup
+# embeddings look like at any dim).
+
+DIM_HI = 384
+NOISE_HI = 0.008  # 0.008 * sqrt(384) ~ 0.157 noise norm, matches 64-dim tests
+
+
+def _planted_rows_384():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((N_CLUSTERS_10X, DIM_HI))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, PER_CLUSTER_10X, axis=0) + rng.normal(
+        0, NOISE_HI, (N_CLUSTERS_10X * PER_CLUSTER_10X, DIM_HI)
+    )
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    return [(i, row.tolist()) for i, row in enumerate(vecs)]
+
+
+@pytest.fixture(scope="module")
+def planted_384(spark):
+    df = spark.createDataFrame(
+        _planted_rows_384(), "vec_id long, embedding array<double>"
+    ).repartition(32).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.mark.scale
+def test_lsh_recall_at_5_dim384(planted_384):
+    import time
+
+    queries = planted_384.filter(f"vec_id % {PER_CLUSTER_10X * 20} = 0")  # 25 queries
+    exact = cosine_topk_brute(planted_384, queries, k=5)
+    t0 = time.perf_counter()
+    approx = cosine_topk_lsh(
+        planted_384, queries, k=5, n_tables=2, n_bits=8, dim=DIM_HI
+    )
+    rec = _recall_at_k(approx, exact)
+    wall = time.perf_counter() - t0
+    assert rec >= 0.9, f"LSH recall@5 at 50k x 384-dim = {rec:.3f}"
+    print(f"\nlsh_384: recall@5={rec:.3f} wall={wall:.2f}s")
+
+
+@pytest.mark.scale
+def test_ivf_recall_at_5_dim384(planted_384):
+    import time
+
+    queries = planted_384.filter(f"vec_id % {PER_CLUSTER_10X * 20} = 0")
+    exact = cosine_topk_brute(planted_384, queries, k=5)
+    t0 = time.perf_counter()
+    cents = train_ivf_centroids(planted_384, n_cells=64)
+    approx = cosine_topk_ivf(
+        planted_384, queries, k=5, n_cells=64, n_probe=4, centroids=cents
+    )
+    rec = _recall_at_k(approx, exact)
+    wall = time.perf_counter() - t0
+    assert rec >= 0.9, f"k-means IVF recall@5 at 50k x 384-dim = {rec:.3f}"
+    print(f"\nivf_384: recall@5={rec:.3f} wall={wall:.2f}s (incl. training)")
