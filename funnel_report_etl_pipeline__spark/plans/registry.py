@@ -105,20 +105,14 @@ _WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",
-    "token_counts",
-    "lang_id_heuristic",
-    "doc_fingerprints",
     "corpus_curation",
     "similarity_topk_brute",
     "similarity_ann_lsh",
     "dedup_embedding_cosine",
     "multimodal_meta",
     "multimodal_features",
-    "hash_sample",
-    "pack_sequences",
     "dedup_clusters",
     "decontaminate_ngrams",
-    "repetition_filter",
     "chunk_dedup",
     "pii_redaction",
     "quantize_embeddings",
@@ -135,6 +129,16 @@ _WINDOW: tuple[str, ...] = (
     "incremental_dedup",
     "winnow_fingerprints",
     "temperature_source_sample",
+    # round-5 surface (rotated in round 5; the rotated-out six —
+    # token_counts, lang_id_heuristic, hash_sample, pack_sequences,
+    # repetition_filter, doc_fingerprints — hold external green rows in
+    # CORRECTNESS_r0{2,3,4}.json and stay driver_sim/pytest-verified)
+    "quality_classifier",
+    "priority_source_dedup",
+    "dup_ngram_coverage",
+    "dsir_importance",
+    "mixture_epochs",
+    "tfidf_topterms",
     # relational headliners
     "pricing_summary",
     "join_equi",

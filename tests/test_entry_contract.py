@@ -72,5 +72,9 @@ def test_driver_window_composition_pinned():
         "embedding_dim_stats", "array_funcs", "embedding_label_stats",
         "arrow_udf_normalize", "vocab_topk", "grouped_arrow_stats",
         "stratified_hash_sample",
+        # rotated out in round 5 for the pipeline_r5 batch (external green
+        # rows stand in CORRECTNESS_r0{2,3,4}.json)
+        "token_counts", "lang_id_heuristic", "doc_fingerprints",
+        "hash_sample", "pack_sequences", "repetition_filter",
     }
     assert rotated_out <= set(mod.queries()) - set(window)

@@ -149,12 +149,11 @@ WINDOW_SHUFFLE_BUDGET = {
     # order-dependent — None skips the count; the structural verify-shape
     # test below covers it instead
     "dedup_exact": 1, "ngram_jaccard_pairs": 4, "dedup_minhash_lsh": None,
-    "dedup_simhash": 2, "text_quality": 0, "token_counts": 0,
-    "lang_id_heuristic": 0, "doc_fingerprints": 0, "corpus_curation": 2,
+    "dedup_simhash": 2, "text_quality": 0, "corpus_curation": 2,
     "similarity_topk_brute": 1, "similarity_ann_lsh": 3,
     "dedup_embedding_cosine": 0, "multimodal_meta": 0,
-    "multimodal_features": 0, "hash_sample": 0, "pack_sequences": 1,
-    "dedup_clusters": 2, "decontaminate_ngrams": 3, "repetition_filter": 2,
+    "multimodal_features": 0,
+    "dedup_clusters": 2, "decontaminate_ngrams": 3,
     "chunk_dedup": 5, "pii_redaction": 0, "quantize_embeddings": 1,
     "shard_shuffle": 1, "gram_novelty": 4,
     # round-5 rotations (pipeline-ext)
@@ -162,6 +161,11 @@ WINDOW_SHUFFLE_BUDGET = {
     "curation_funnel": 13, "scd2_history": 1, "latest_state_compaction": 1,
     "time_to_convert": 3, "retention_cohorts": 6, "incremental_dedup": 1,
     "winnow_fingerprints": 1, "temperature_source_sample": 2,
+    # round-5 surface: quality scoring must stay map-side-only; the
+    # dedup/coverage/importance ops are gram-hash groupBys + doc re-aggs
+    "quality_classifier": 0, "priority_source_dedup": 1,
+    "dup_ngram_coverage": 3, "dsir_importance": 3,
+    "mixture_epochs": 2, "tfidf_topterms": 5,
     # relational headliners
     "pricing_summary": 1, "join_equi": 1, "asof_join_events": 1,
 }
