@@ -424,3 +424,110 @@ def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@register(
+    "source_drift_l1",
+    oracle="""
+    WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+    st AS (SELECT source, term, COUNT(*) AS c_st FROM t GROUP BY source, term),
+    ct AS (SELECT term, COUNT(*) AS c_t FROM t GROUP BY term),
+    ns AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+    tot AS (SELECT SUM(c_t) AS n FROM ct),
+    present AS (
+      SELECT st.source,
+             SUM(abs(st.c_st * tot.n - ct.c_t * ns.n_s)) AS present_abs,
+             SUM(ct.c_t) AS present_ct
+      FROM st JOIN ct USING (term) JOIN ns USING (source), tot
+      GROUP BY st.source
+    )
+    SELECT p.source, CAST(ns.n_s AS BIGINT) AS n_tokens,
+           CAST(p.present_abs + (tot.n - p.present_ct) * ns.n_s AS BIGINT)
+             AS drift_num,
+           CAST(tot.n AS BIGINT) * CAST(ns.n_s AS BIGINT) AS drift_den,
+           CAST(p.present_abs + (tot.n - p.present_ct) * ns.n_s AS DOUBLE)
+             / (CAST(tot.n AS DOUBLE) * CAST(ns.n_s AS DOUBLE)) AS l1_drift
+    FROM present p JOIN ns USING (source), tot
+    """,
+    tags=("pipeline-ext", "text", "quality"),
+)
+def source_drift_l1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift monitor: the L1 (total-variation x 2)
+    distance between each source's unigram distribution and the corpus
+    distribution — the quantity a production pipeline alerts on when one
+    crawl source suddenly floods with boilerplate or spam vocabulary.
+    Computed EXACTLY in integers by clearing denominators:
+    Σ_t |p_s(t) − p(t)| = ( Σ_{t∈s} |c_st·N − c_t·N_s|
+                            + (N − Σ_{t∈s} c_t)·N_s ) / (N·N_s),
+    where the second term closes the sum over terms ABSENT from the
+    source without materializing the source × vocabulary outer join —
+    the algebra that keeps this term-grain, not (term × source)-grain, at
+    100 TB. One gram shuffle feeds both count tables; everything after is
+    source-grain (broadcast-sized)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    st = t.groupBy("source", "term").agg(F.count("*").alias("c_st"))
+    ct = t.groupBy("term").agg(F.count("*").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    tot = ct.agg(F.sum("c_t").alias("n"))
+    present = (
+        st.join(ct, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum(F.abs(F.col("c_st") * F.col("n") - F.col("c_t") * F.col("n_s")))
+            .alias("present_abs"),
+            F.sum("c_t").alias("present_ct"),
+        )
+    )
+    num = F.col("present_abs") + (F.col("n") - F.col("present_ct")) * F.col("n_s")
+    return (
+        present.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            num.cast("long").alias("drift_num"),
+            (F.col("n").cast("long") * F.col("n_s").cast("long")).alias("drift_den"),
+            (
+                num.cast("double")
+                / (F.col("n").cast("double") * F.col("n_s").cast("double"))
+            ).alias("l1_drift"),
+        )
+    )
+
+
+@register(
+    "per_source_holdout",
+    oracle="""
+    SELECT doc_id, source, rnk FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+      FROM documents
+    ) t WHERE rnk <= 5
+    """,
+    tags=("pipeline-ext", "sampling"),
+)
+def per_source_holdout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-source eval holdout: exactly K=5 documents per
+    source, selected by md5(doc_id) order — the deterministic,
+    partition-independent analogue of per-group reservoir sampling. Every
+    engine, cluster size, and rerun picks the SAME K docs (the property an
+    eval split must have), and adding new docs to a source only swaps
+    members when a new doc hashes below the current K-th — bounded eval
+    churn on corpus growth. Plan: one shuffle on source with
+    WindowGroupLimit pushing the top-K below the exchange, so only ~K
+    rows per source survive to the final filter."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )

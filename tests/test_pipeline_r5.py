@@ -131,3 +131,47 @@ def test_tfidf_no_python_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_drift_l1_exact_on_planted_corpus(spark):
+    """Two identically-distributed sources have drift 0; a divergent one
+    matches the hand-computed L1 distance."""
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "src1"),
+            (2, "a b", "src2"),
+            (3, "c c", "src3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    tmp = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = {r.source: r for r in SPECS["source_drift_l1"].fn(spark, tmp).collect()}
+    # corpus: a=2/6 b=2/6 c=2/6. src1 = {a:1/2, b:1/2}:
+    # |1/2-1/3|*2 + 1/3 = 1/3 + 1/3 = 2/3
+    assert abs(out["src1"].l1_drift - 2 / 3) < 1e-12
+    assert abs(out["src2"].l1_drift - 2 / 3) < 1e-12
+    # src3 = {c:1}: |1-1/3| + 2/3 = 4/3
+    assert abs(out["src3"].l1_drift - 4 / 3) < 1e-12
+    for r in out.values():
+        assert 0.0 <= r.l1_drift <= 2.0
+        assert r.drift_num <= 2 * r.drift_den
+
+
+def test_source_drift_l1_bounds_on_testdata(spark):
+    rows = SPECS["source_drift_l1"].fn(spark, SF_MED).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 < r.l1_drift < 2.0
+
+
+def test_per_source_holdout_fixed_size_and_stable(spark):
+    a = SPECS["per_source_holdout"].fn(spark, SF_MED).collect()
+    b = SPECS["per_source_holdout"].fn(spark, SF_MED).collect()
+    assert {(r.doc_id, r.rnk) for r in a} == {(r.doc_id, r.rnk) for r in b}
+    by_src: dict[str, int] = {}
+    for r in a:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert set(by_src.values()) == {5} and len(by_src) == 20
