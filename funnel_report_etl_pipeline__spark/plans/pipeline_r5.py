@@ -531,3 +531,88 @@ def per_source_holdout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@register(
+    "column_stats_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_non_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+    tags=("pipeline-ext", "profiling"),
+)
+def column_stats_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style exact column profile of a table — row counts, null
+    counts, exact NDV, min/max per column — the statistics a catalog
+    (or a human auditing a 100 TB delivery) wants per ingest. One pass
+    per column group over a column-pruned scan; numeric and string
+    min/max are typed separately (casting numerics to strings is NOT
+    engine-portable: JVM and DuckDB render doubles differently). At real
+    scale the exact NDVs become `approx_count_distinct` and all columns
+    share ONE scan via grouping-set-style aggregation; here each branch's
+    scan is column-pruned and the union is 5 one-row frames."""
+    o = _t(spark, sf_dir, "orders")
+
+    def num(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_non_null"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            F.min(col).cast("double").alias("min_num"),
+            F.max(col).cast("double").alias("max_num"),
+            F.lit(None).cast("string").alias("min_str"),
+            F.lit(None).cast("string").alias("max_str"),
+        )
+
+    def txt(col: str) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_non_null"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            F.lit(None).cast("double").alias("min_num"),
+            F.lit(None).cast("double").alias("max_num"),
+            F.min(col).alias("min_str"),
+            F.max(col).alias("max_str"),
+        )
+
+    parts = [
+        num("o_orderkey"),
+        num("o_custkey"),
+        num("o_totalprice"),
+        txt("o_orderstatus"),
+        txt("o_orderpriority"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -240,3 +240,32 @@ def convert_landing_zone(
     )
     write_partitioned(stamped, out_path, ["event_date"], target_file_rows=target_file_rows)
     return spark.read.parquet(out_path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory into
+    ceil(total_bytes / target) evenly-sized files. The chronic landing-zone
+    disease at scale — streaming jobs and per-day ingests leave thousands
+    of KB-sized files whose per-file open/footer/task overhead dominates
+    scans and whose row groups are too small for effective predicate
+    pushdown. Sizing comes from the actual file listing (driver-side
+    metadata, not data); the rewrite is one scan + one round-robin
+    repartition. Returns the target file count."""
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(_os.path.join(r, f))
+        for r, _, fs in _os.walk(in_path)
+        for f in fs
+        if f.endswith(".parquet") or f.startswith("part-")
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(in_path)
+    df.repartition(n_files).write.mode(mode).parquet(out_path)
+    return n_files

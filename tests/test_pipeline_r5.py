@@ -175,3 +175,18 @@ def test_per_source_holdout_fixed_size_and_stable(spark):
     for r in a:
         by_src[r.source] = by_src.get(r.source, 0) + 1
     assert set(by_src.values()) == {5} and len(by_src) == 20
+
+
+def test_column_stats_profile(spark):
+    rows = {r.col: r for r in SPECS["column_stats_orders"].fn(spark, SF_MED).collect()}
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority",
+    }
+    n = rows["o_orderkey"].n_rows
+    for r in rows.values():
+        assert r.n_rows == n
+        assert r.n_non_null <= r.n_rows
+        assert 1 <= r.n_distinct <= r.n_non_null
+    assert rows["o_orderkey"].n_distinct == n  # primary key
+    assert rows["o_orderkey"].min_num is not None and rows["o_orderkey"].min_str is None
+    assert rows["o_orderstatus"].min_str is not None and rows["o_orderstatus"].min_num is None

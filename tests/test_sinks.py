@@ -158,3 +158,26 @@ def test_training_shards_manifest_and_determinism(spark, tmp_path):
     for s in m1:
         files = [f for f in glob.glob(f"{out1}/shard={s}/*.parquet")]
         assert len(files) == 1, files
+
+
+def test_compact_small_files(spark, tmp_path):
+    from funnel_report_etl_pipeline__spark.sources.sinks import compact_small_files
+
+    frag = str(tmp_path / "frag")
+    compacted = str(tmp_path / "compacted")
+    spark.range(50_000).withColumn("v", F.col("id") * 3).repartition(
+        64
+    ).write.parquet(frag)
+    import glob
+
+    n_before = len(glob.glob(f"{frag}/part-*.parquet"))
+    assert n_before == 64
+    # target sized so the 50k rows fit in a couple of files
+    n_target = compact_small_files(spark, frag, compacted, target_file_bytes=256 * 1024)
+    n_after = len(glob.glob(f"{compacted}/part-*.parquet"))
+    assert n_after == n_target < n_before
+    # pure rewrite: same data
+    assert (
+        spark.read.parquet(compacted).agg(F.sum("v")).collect()[0][0]
+        == spark.read.parquet(frag).agg(F.sum("v")).collect()[0][0]
+    )

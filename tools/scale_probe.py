@@ -198,6 +198,36 @@ def main() -> int:
         ).collect()
         t_shard = round(time.perf_counter() - t0, 2)
 
+        # round-5 operators: the registered query fns read a catalog dir,
+        # so expose the synthetic corpus in sf-dir shape
+        import os
+        import shutil
+
+        r5_dir = f"{tmp}/r5_x{mult}"
+        os.makedirs(r5_dir, exist_ok=True)
+        if not os.path.exists(f"{r5_dir}/documents.parquet"):
+            shutil.copytree(f"{tmp}/docs_x{mult}", f"{r5_dir}/documents.parquet")
+        from funnel_report_etl_pipeline__spark.plans.registry import load_all
+
+        r5 = load_all()
+        t0 = time.perf_counter()
+        r5["dup_ngram_coverage"].fn(spark, r5_dir).agg(
+            F.sum("n_dup_positions")
+        ).collect()
+        t_dupcov = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        r5["dsir_importance"].fn(spark, r5_dir).agg(F.sum("sum_target")).collect()
+        t_dsir = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        r5["source_drift_l1"].fn(spark, r5_dir).collect()
+        t_drift = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        n_prio = r5["priority_source_dedup"].fn(spark, r5_dir).count()
+        t_prio = round(time.perf_counter() - t0, 2)
+
         print(
             json.dumps(
                 {
@@ -217,6 +247,11 @@ def main() -> int:
                     "winnow_sec": t_winnow,
                     "containment_sec": t_contain,
                     "containment_pairs": n_contain,
+                    "dup_ngram_coverage_sec": t_dupcov,
+                    "dsir_sec": t_dsir,
+                    "source_drift_sec": t_drift,
+                    "priority_dedup_sec": t_prio,
+                    "priority_survivors": n_prio,
                 }
             )
         )
