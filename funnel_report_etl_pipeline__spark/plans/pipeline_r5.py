@@ -616,3 +616,114 @@ def column_stats_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "last_touch_attribution",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM (
+        SELECT user_id, ts, props,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+      ) d WHERE rn = 1
+    ),
+    p AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT k AS campaign,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS total_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    GROUP BY k
+    """,
+    tags=("pipeline-ext", "attribution", "asof"),
+)
+def last_touch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch campaign attribution: every purchase is credited to the
+    most recent prior view's campaign (``props.k``), then revenue rolls up
+    per campaign — the composition of the as-of join, JSON extraction, and
+    exact-decimal revenue sums into marketing's canonical report. Views
+    sharing a (user, ts) are pre-deduped to the highest event_id so the
+    as-of winner is deterministic in both engines (DuckDB's ASOF JOIN and
+    the engine's union+window asof_join otherwise tie-break arbitrarily).
+    Purchases with no prior view credit campaign NULL (organic). Plan: the
+    as-of join is ONE shuffle on user_id over the union frame — never a
+    per-row range probe; the campaign rollup is grouped on ≤100 keys."""
+    from funnel_report_etl_pipeline__spark.functions.core import dsum
+    from funnel_report_etl_pipeline__spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(p, v, on=["user_id"], right_cols=["k"])
+    return joined.groupBy(F.col("asof_k").alias("campaign")).agg(
+        F.count("*").alias("n_purchases"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register(
+    "length_outliers",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, quantile_cont(n_tokens, 0.5) AS med FROM t GROUP BY lang
+    ),
+    d AS (
+      SELECT t.doc_id, t.lang, t.n_tokens, s.med,
+             abs(CAST(t.n_tokens AS DOUBLE) - s.med) AS adev
+      FROM t JOIN s USING (lang)
+    ),
+    m AS (SELECT lang, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_tokens, d.med, m.mad
+    FROM d JOIN m USING (lang)
+    WHERE d.adev > 2.0 * m.mad AND m.mad > 0.0
+    """,
+    tags=("pipeline-ext", "quality", "robust-stats"),
+)
+def length_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length-outlier detection: documents whose token
+    count sits more than 2 MADs (median absolute deviations) from their
+    language's median — the robust-statistics gate that survives the
+    heavy-tailed length distributions where mean±kσ is itself dragged by
+    the outliers it should catch. Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the (1−g)·lo + g·hi interpolation, so median
+    and MAD are engine-identical doubles; the deviation comparison is
+    per-row arithmetic. Plan: two lang-grain aggregations (broadcast-sized
+    results joined back), one corpus scan per stage — no window over the
+    corpus, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    s = t.groupBy("lang").agg(F.percentile("n_tokens", F.lit(0.5)).alias("med"))
+    d = t.join(F.broadcast(s), "lang").withColumn(
+        "adev", F.abs(F.col("n_tokens").cast("double") - F.col("med"))
+    )
+    m = d.groupBy("lang").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        d.join(F.broadcast(m), "lang")
+        .filter((F.col("adev") > 2.0 * F.col("mad")) & (F.col("mad") > 0.0))
+        .select("doc_id", "lang", "n_tokens", "med", "mad")
+    )

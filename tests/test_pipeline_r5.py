@@ -190,3 +190,51 @@ def test_column_stats_profile(spark):
     assert rows["o_orderkey"].n_distinct == n  # primary key
     assert rows["o_orderkey"].min_num is not None and rows["o_orderkey"].min_str is None
     assert rows["o_orderstatus"].min_str is not None and rows["o_orderstatus"].min_num is None
+
+
+def test_last_touch_attribution_conserves_purchases(spark):
+    rows = SPECS["last_touch_attribution"].fn(spark, SF_MED).collect()
+    ev = spark.read.parquet(f"{SF_MED}/events.parquet")
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r.n_purchases for r in rows) == n_purchases
+    # organic bucket (no prior view) may exist but must not dominate
+    organic = [r for r in rows if r.campaign is None]
+    assert len(organic) <= 1
+    if organic:
+        assert organic[0].n_purchases < n_purchases / 2
+
+
+def test_last_touch_attribution_planted(spark):
+    """Purchase credits the most recent PRIOR view; later views never."""
+    import tempfile
+    from datetime import datetime
+
+    t0 = datetime(2026, 3, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0.replace(minute=m)
+
+    ev = spark.createDataFrame(
+        [
+            (1, ts(0), 7, "view", 0.0, '{"k": 11}'),
+            (2, ts(5), 7, "view", 0.0, '{"k": 22}'),   # last touch
+            (3, ts(10), 7, "purchase", 50.0, "{}"),
+            (4, ts(15), 7, "view", 0.0, '{"k": 33}'),  # after purchase: no credit
+            (5, ts(20), 8, "purchase", 10.0, "{}"),    # organic
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    tmp = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    out = {r.campaign: r for r in SPECS["last_touch_attribution"].fn(spark, tmp).collect()}
+    assert out[22].n_purchases == 1 and out[22].total_value == 50.0
+    assert out[None].n_purchases == 1 and out[None].total_value == 10.0
+    assert 11 not in out and 33 not in out
+
+
+def test_length_outliers_are_extreme(spark):
+    rows = SPECS["length_outliers"].fn(spark, SF_MED).collect()
+    assert rows, "threshold should select some docs on testdata"
+    for r in rows:
+        assert abs(r.n_tokens - r.med) > 2.0 * r.mad
+        assert r.mad > 0

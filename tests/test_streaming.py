@@ -207,3 +207,24 @@ def test_curation_gate_stream_matches_batch(spark, tmp_path_factory):
         assert s.redacted == b.redacted
     assert stream_rows[1].n_email == 1 and "<EMAIL>" in stream_rows[1].redacted
     assert stream_rows[3].n_ipv4 == 1 and stream_rows[3].n_phone == 1
+
+
+def test_stream_static_broadcast_enrichment(spark, stream_dir):
+    """Stream-static join: a broadcast dim enriches the stream with NO
+    state (stateless per-batch hash join) — the standard pattern for
+    attaching slowly-changing reference data to a live feed."""
+    dim = spark.createDataFrame(
+        [("signup", "acquisition"), ("view", "engagement"),
+         ("purchase", "revenue"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    enriched = read_event_stream(spark, stream_dir).join(
+        F.broadcast(dim), "event_type"
+    )
+    out = run_to_memory(enriched, "enriched_t", "append")
+    rows = out.collect()
+    batch = spark.read.parquet(stream_dir)
+    assert len(rows) == batch.join(dim, "event_type").count()
+    cats = {r.event_type: r.category for r in rows}
+    assert cats.get("purchase") == "revenue"
+    assert all(r.category is not None for r in rows)
