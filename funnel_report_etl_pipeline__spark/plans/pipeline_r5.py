@@ -727,3 +727,140 @@ def length_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("adev") > 2.0 * F.col("mad")) & (F.col("mad") > 0.0))
         .select("doc_id", "lang", "n_tokens", "med", "mad")
     )
+
+
+@register(
+    "user_rfm_segments",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MAX(ts) AS last_purchase,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT user_id, last_purchase, frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY last_purchase, user_id) AS BIGINT) AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_quartile
+    FROM u
+    """,
+    tags=("pipeline-ext", "analytics"),
+)
+def user_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    classic customer-value grid, as one grouped pass plus three NTILE
+    windows. Every ordering carries user_id as the tie-break so quartile
+    boundaries are deterministic across engines and partitionings (bare
+    NTILE over a tied metric is not). Monetary sums are exact decimal.
+    Scale note: NTILE over the full user set is a single-partition window
+    — fine at user-grain (one row per purchasing user), and the quartile
+    boundaries could equally come from `percentile_approx` + a broadcast
+    join at 10^9 users; the windowed form is the exact-oracle variant."""
+    from funnel_report_etl_pipeline__spark.functions.core import dsum
+
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_purchase"),
+            F.count("*").alias("frequency"),
+            dsum("value").alias("monetary"),
+        )
+    )
+    return u.select(
+        "user_id",
+        "last_purchase",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("last_purchase", "user_id"))
+        .cast("long")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy("frequency", "user_id"))
+        .cast("long")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary", "user_id"))
+        .cast("long")
+        .alias("m_quartile"),
+    )
+
+
+@register(
+    "bounce_rate_daily",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - COALESCE(epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)), -4000000000000000000)
+               > 1800 * 1000000 THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, sess_key, MIN(ts) AS session_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM (
+        SELECT user_id, ts,
+               MAX(CASE WHEN is_start = 1 THEN ts END) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_key
+        FROM e
+      ) g GROUP BY user_id, sess_key
+    )
+    SELECT strftime(date_trunc('day', session_start), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+    FROM sess
+    GROUP BY 1
+    """,
+    tags=("pipeline-ext", "analytics", "session"),
+)
+def bounce_rate_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: gap-based sessionization (30-minute inactivity
+    boundary, same construction as the `sessionize` query) rolled up to
+    the fraction of single-event sessions per day — the engagement-health
+    metric every funnel report sits next to. Session keys are the running
+    MAX of boundary timestamps per user (one user-partitioned window, no
+    corpus-wide window); the daily rollup is an integer ratio. Day is
+    emitted as an ISO string (DATE-typed columns are not portable through
+    the gate's pandas compare)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    is_start = (
+        F.unix_micros("ts") - F.coalesce(prev_us, F.lit(-(4 * 10**18)))
+        > 1800 * 1_000_000
+    ).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess_key = F.max(F.when(F.col("is_start") == 1, F.col("ts"))).over(run)
+    sess = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("is_start", is_start)
+        .withColumn("sess_key", sess_key)
+        .groupBy("user_id", "sess_key")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return (
+        sess.groupBy(
+            F.date_format(F.date_trunc("day", "session_start"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(bounce).cast("long").alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_rate",
+            F.col("n_bounces").cast("double") / F.col("n_sessions").cast("double"),
+        )
+    )
