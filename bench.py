@@ -58,13 +58,13 @@ def main() -> int:
                 return out
 
             samples = timed_runs(n_runs)
-            # A median more than 2x the min means at least half the samples
+            # A median well above the min means at least half the samples
             # were inflated by something other than the query (GC pause,
             # bench-process contention) — the round-3 phantom 2.79 s
-            # asof_join_events. Take another batch so the combined median
-            # reflects the plan, not the machine's mood.
+            # asof_join_events; round-5's 4.4 s cdc_chunk_dedup sat at
+            # 1.8x min and slipped the old 2x trigger, so retry at 1.5x.
             retried = False
-            if statistics.median(samples) > 2 * min(samples):
+            if statistics.median(samples) > 1.5 * min(samples):
                 retried = True
                 samples += timed_runs(n_runs)
             timings[name] = round(statistics.median(samples), 3)
