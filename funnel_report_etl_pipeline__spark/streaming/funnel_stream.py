@@ -277,3 +277,42 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream.sparkSession.table(name)
+
+
+def write_stream_parquet_idempotent(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    query_name: str = "parquet_sink",
+):
+    """Exactly-once parquet sink via ``foreachBatch``: each micro-batch is
+    written to ``out_path/batch_id=N`` with dynamic overwrite, so a batch
+    REPLAYED after a crash (Structured Streaming re-runs the last
+    uncommitted batch id) overwrites its own partition instead of
+    appending duplicates — idempotence comes from the deterministic
+    (batch_id → partition) mapping, the standard recipe for sinks without
+    transactional commit. Downstream readers see
+    ``spark.read.parquet(out_path)`` with ``batch_id`` as an ordinary
+    partition column. Returns the started StreamingQuery."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        stream.writeStream.foreachBatch(_write)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
