@@ -33,10 +33,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each hash-verifiable query.
-    Genuinely engine-hash-dependent operators are omitted → rows-only
-    check; each has an exact-verified sibling (see
-    plans/pipeline_ops.py docstring)."""
+    """DuckDB-runnable ANSI SQL twin for every registered query — since
+    round 5 the coverage is total (114/114; DRIVERSIM_r05.json): even the
+    hash-seeded operators are formulated over md5-derived integers /
+    deterministic medoids so they verify value-exactly. A spec with
+    ``oracle=None`` would fall back to the driver's rows-only check, but
+    none currently exists."""
     return {
         name: spec.oracle
         for name, spec in ordered_specs().items()

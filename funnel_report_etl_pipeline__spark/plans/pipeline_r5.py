@@ -864,3 +864,137 @@ def bounce_rate_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bounces").cast("double") / F.col("n_sessions").cast("double"),
         )
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    tags=("pipeline-ext", "analytics", "funnel"),
+)
+def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-flow transition matrix: counts of consecutive
+    (previous event → next event) pairs per user — the Markov-chain /
+    Sankey-diagram view of product flow that sits beside the ordered
+    funnel (which transitions dominate, where users loop, where they
+    bail). One user-partitioned LAG window (the per-user event timeline is
+    the natural partition, bounded by events-per-user) and one tiny
+    (|types|² ≤ 25-row) aggregation. Ties on ts are broken by event_id so
+    the sequence — and therefore the matrix — is engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+@register(
+    "weekly_revenue_wow",
+    oracle="""
+    WITH w AS (
+      SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT week_start, n_orders, revenue,
+           LAG(revenue) OVER (ORDER BY week_start) AS prev_revenue,
+           CASE WHEN LAG(revenue) OVER (ORDER BY week_start) IS NULL THEN NULL
+                ELSE (revenue - LAG(revenue) OVER (ORDER BY week_start))
+                     / LAG(revenue) OVER (ORDER BY week_start) END AS wow_change
+    FROM w
+    """,
+    tags=("pipeline-ext", "analytics", "timeseries"),
+)
+def weekly_revenue_wow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue trend: weekly order counts + exact-decimal
+    revenue, then the WoW relative change via LAG over the (small) weekly
+    frame. Spark's `date_trunc('week', ...)` and DuckDB's both truncate to
+    Monday, and the week key is emitted as an ISO string for gate
+    portability. The window runs over week-grain rows (≤ a few thousand
+    for decades of data) — a driver-sized frame AFTER the heavy
+    aggregation, which is the correct place for a global-order window."""
+    o = _t(spark, sf_dir, "orders")
+    from funnel_report_etl_pipeline__spark.functions.core import dsum
+
+    wk = (
+        o.groupBy(
+            F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias(
+                "week_start"
+            )
+        )
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("week_start")
+    prev = F.lag("revenue").over(w)
+    return wk.select(
+        "week_start",
+        "n_orders",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise((F.col("revenue") - prev) / prev)
+        .alias("wow_change"),
+    )
+
+
+@register(
+    "median_order_gap",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             epoch_us(o_orderdate) - epoch_us(LAG(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS gap_us
+      FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             quantile_cont(gap_us, 0.5) AS median_gap_us
+      FROM g WHERE gap_us IS NOT NULL GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_gaps, median_gap_us,
+           median_gap_us / 86400000000.0 AS median_gap_days
+    FROM per_cust
+    """,
+    tags=("pipeline-ext", "analytics", "timeseries"),
+)
+def median_order_gap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase latency: per customer, the median gap between
+    consecutive orders — the number a retention model calibrates against
+    (and the denominator of "is this customer overdue"). Consecutive gaps
+    via a customer-partitioned LAG (ties broken by orderkey), exact
+    median via `percentile` ≙ `quantile_cont` on integer microseconds,
+    days derived by one literal division. Customers with a single order
+    drop out (no gap) — they belong to acquisition, not repeat, metrics."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        (
+            F.unix_micros("o_orderdate")
+            - F.unix_micros(F.lag("o_orderdate").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.percentile("gap_us", F.lit(0.5)).alias("median_gap_us"),
+        )
+        .withColumn("median_gap_days", F.col("median_gap_us") / F.lit(86400000000.0))
+    )

@@ -238,3 +238,36 @@ def test_length_outliers_are_extreme(spark):
     for r in rows:
         assert abs(r.n_tokens - r.med) > 2.0 * r.mad
         assert r.mad > 0
+
+
+def test_transition_matrix_conserves_events(spark):
+    rows = SPECS["event_transition_matrix"].fn(spark, SF_MED).collect()
+    ev = spark.read.parquet(f"{SF_MED}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every event except each user's first contributes exactly one transition
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
+    assert len(rows) <= 25  # |types|^2
+
+
+def test_weekly_wow_change_consistent(spark):
+    rows = sorted(
+        SPECS["weekly_revenue_wow"].fn(spark, SF_MED).collect(),
+        key=lambda r: r.week_start,
+    )
+    assert rows[0].wow_change is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.prev_revenue == prev.revenue
+        assert abs(cur.wow_change - (cur.revenue - prev.revenue) / prev.revenue) < 1e-12
+
+
+def test_median_order_gap_positive_and_bounded(spark):
+    rows = SPECS["median_order_gap"].fn(spark, SF_MED).collect()
+    assert rows
+    o = spark.read.parquet(f"{SF_MED}/orders.parquet")
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r.n_gaps for r in rows) == n_orders - n_cust
+    for r in rows:
+        assert r.median_gap_us >= 0
+        assert abs(r.median_gap_days - r.median_gap_us / 86400000000.0) < 1e-9
