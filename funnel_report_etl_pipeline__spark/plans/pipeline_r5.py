@@ -467,8 +467,13 @@ def source_drift_l1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-grain (broadcast-sized)."""
     docs = _t(spark, sf_dir, "documents")
     t = docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    # every other count is a re-aggregation of the (source, term) table,
+    # so the corpus-sized gram stream is materialized exactly ONCE; the
+    # branch-per-count formulation re-explodes the full corpus for the
+    # term table (~0.2 s cheaper locally where scans are free, but a
+    # second 100 TB scan+explode at scale)
     st = t.groupBy("source", "term").agg(F.count("*").alias("c_st"))
-    ct = t.groupBy("term").agg(F.count("*").alias("c_t"))
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
     ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     tot = ct.agg(F.sum("c_t").alias("n"))
     present = (
