@@ -366,8 +366,8 @@ def mixture_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
                FROM documents),
     tf AS (SELECT source, term, COUNT(*) AS tf FROM t GROUP BY source, term),
-    dfreq AS (SELECT term, COUNT(DISTINCT source) AS df FROM t GROUP BY term),
-    ns AS (SELECT COUNT(DISTINCT source) AS n_src FROM t),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    ns AS (SELECT COUNT(DISTINCT source) AS n_src FROM tf),
     scored AS (
       SELECT tf.source, tf.term, tf.tf, dfreq.df,
              tf.tf * CAST(ROUND(ln(CAST(ns.n_src AS DOUBLE)
@@ -401,9 +401,12 @@ def tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
+    # df and n_src re-aggregate the (source, term) table — one row per
+    # source-term pair, so COUNT(*) per term IS the source-document
+    # frequency — and the corpus-sized gram stream materializes once
     tf = t.groupBy("source", "term").agg(F.count("*").alias("tf"))
-    dfreq = t.groupBy("term").agg(F.count_distinct("source").alias("df"))
-    ns = t.agg(F.count_distinct("source").alias("n_src"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ns = tf.agg(F.count_distinct("source").alias("n_src"))
     idf_micro = F.round(
         F.log(F.col("n_src").cast("double") / F.col("df").cast("double"))
         * F.lit(1000000.0)
