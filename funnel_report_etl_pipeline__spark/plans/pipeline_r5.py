@@ -1,7 +1,15 @@
-"""Round-5 LLM-pipeline extensions: model-based quality filtering,
-cross-source priority dedup, ExactSubstr-style duplicated-span coverage,
-DSIR-style importance weighting, mixture/epoch planning, TF-IDF term
-profiling.
+"""Round-5 extensions.
+
+LLM-pipeline: model-based quality filtering, cross-source priority
+dedup, ExactSubstr-style duplicated-span coverage, DSIR-style importance
+weighting, mixture/epoch planning, TF-IDF term profiling, per-source
+distribution drift, fixed-size eval holdouts, robust (MAD) length
+outliers, ANALYZE-style table profiling.
+
+Event/commerce analytics: last-touch attribution (as-of + JSON), RFM
+quartile segmentation, daily bounce rate over gap sessions, event-flow
+transition matrix, week-over-week revenue trend, repeat-order gap
+medians.
 
 Registered AFTER the driver's 50-entry window (tag ``pipeline-ext``);
 every query carries a full DuckDB value-hash oracle and is verified by
