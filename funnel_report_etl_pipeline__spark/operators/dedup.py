@@ -47,6 +47,7 @@ __all__ = [
     "simhash_candidate_pairs",
     "connected_components",
     "dedup_assign_clusters",
+    "dup_span_dedup",
 ]
 
 
@@ -779,4 +780,88 @@ def dedup_assign_clusters(
             F.coalesce("comp", F.col(id_col)).alias("component"),
             (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias("is_canonical"),
         )
+    )
+
+
+def dup_span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022 §4.1, "Deduplicating
+    Training Data Makes Language Models Better"): delete every token
+    covered by a ``span_tokens``-gram that also occurs in an EARLIER
+    document (lower id = canonical), reassemble the survivors. The
+    canonical occurrence keeps its text; later copies lose exactly the
+    duplicated spans — unlike chunk dedup this respects arbitrary span
+    alignment (a copy shifted by one token still dies), and unlike
+    whole-doc dedup it keeps each document's novel remainder.
+    Within-doc self-repeats are NOT removed (the canonical doc is left
+    byte-identical) — decontaminating self-repetition is
+    `repetition_filter`'s job.
+
+    Returns (id_col, n_tokens, n_kept, text_clean).
+
+    The paper's suffix array is a global sort; the Spark-first shape is:
+    gram-hash min-id aggregation (who saw each span first), flagged span
+    STARTS joined back, then per-document coverage via ONE running-max
+    window over the merged (span-start, token) event stream — a token at
+    position p is covered iff the latest flagged start ≤ p is ≥ p−k+1, so
+    coverage needs no k-way position explode and no interval join. Every
+    shuffle is keyed on md5 hashes or doc id (uniform); per-doc windows
+    are bounded by document length."""
+    toks = F.split(F.col(text_col), " ")
+    k = span_tokens
+    g = docs.filter(F.size(toks) >= k).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            )
+        ).alias("p0", "h"),
+    )
+    gmin = g.groupBy("h").agg(F.min("id").alias("min_id"))
+    starts = (
+        g.join(gmin, "h")
+        .filter(F.col("id") > F.col("min_id"))
+        .select(
+            "id",
+            (F.col("p0") + 1).alias("p"),
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("string").alias("tok"),
+        )
+    )
+    tokens = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("p0", "tok")
+    ).select("id", (F.col("p0") + 1).alias("p"), F.lit(1).alias("kind"), "tok")
+    ev = starts.unionByName(tokens)
+    w = Window.partitionBy("id").orderBy("p", "kind").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    last_flag = F.max(F.when(F.col("kind") == 0, F.col("p"))).over(w)
+    marked = (
+        ev.withColumn("__lf", last_flag)
+        .filter(F.col("kind") == 1)
+        .withColumn(
+            "keep", F.col("__lf").isNull() | (F.col("__lf") <= F.col("p") - k)
+        )
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("keep"), F.struct("p", "tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+        .withColumnRenamed("id", id_col)
     )

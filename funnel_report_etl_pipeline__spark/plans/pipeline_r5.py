@@ -1014,3 +1014,54 @@ def median_order_gap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("median_gap_days", F.col("median_gap_us") / F.lit(86400000000.0))
     )
+
+
+@register(
+    "dup_span_removal",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, i AS p, md5(array_to_string(toks[i:i+7], ' ')) AS h
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) s
+      WHERE len(toks) >= 8
+    ),
+    gmin AS (SELECT h, MIN(doc_id) AS min_id FROM g GROUP BY h),
+    starts AS (
+      SELECT g.doc_id, g.p, 0 AS kind, CAST(NULL AS VARCHAR) AS tok
+      FROM g JOIN gmin USING (h) WHERE g.doc_id > gmin.min_id
+    ),
+    tokens AS (
+      SELECT doc_id, i AS p, 1 AS kind, toks[i] AS tok
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) s
+    ),
+    ev AS (SELECT * FROM starts UNION ALL SELECT * FROM tokens),
+    m AS (
+      SELECT doc_id, p, kind, tok,
+             MAX(CASE WHEN kind = 0 THEN p END) OVER (
+               PARTITION BY doc_id ORDER BY p, kind
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+      FROM ev
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN lf IS NULL OR lf <= p - 8 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN lf IS NULL OR lf <= p - 8 THEN tok END,
+                               ' ' ORDER BY p), '') AS text_clean
+    FROM m WHERE kind = 1 GROUP BY doc_id
+    """,
+    tags=("pipeline-ext", "dedup"),
+    bench=True,  # the heaviest sub-document dedup shape (gram + token streams)
+)
+def dup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span removal (see operators/dedup.py::dup_span_dedup):
+    tokens covered by an 8-gram that occurred in an earlier document are
+    deleted and the survivors reassembled — the exact-substring dedup of
+    Lee et al. 2022, reformulated from a suffix array (a global sort) to
+    gram-hash min-id aggregation + a per-document running-max coverage
+    window. Companion to `dup_ngram_coverage` (which scores the same
+    duplication this operator removes) and strictly stronger than
+    `chunk_dedup` (alignment-independent)."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import dup_span_dedup
+
+    return dup_span_dedup(_t(spark, sf_dir, "documents"))

@@ -284,3 +284,57 @@ def test_repetition_stats_detects_loops(spark):
     assert not out[1].rep_keep
     assert out[2].rep_keep and out[2].dup_3gram_frac == 0.0
     assert out[3].top_2gram_frac == 0.0 and out[3].rep_keep
+
+
+# --- ExactSubstr span removal ------------------------------------------------
+
+
+def test_dup_span_removal_planted(spark):
+    """The canonical doc is byte-identical; a verbatim copy loses all its
+    tokens; a copy SHIFTED by a prefix loses exactly the copied span
+    (alignment-independence — the property chunk dedup lacks); a unique
+    doc is untouched."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import dup_span_dedup
+
+    words = [f"w{i}" for i in range(20)]
+    a = " ".join(words)                                 # canonical
+    b = a                                               # verbatim copy
+    c = "x1 x2 x3 " + " ".join(words[:12])              # shifted 12-token copy
+    d = " ".join(f"z{i}" for i in range(20))            # unique
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dup_span_dedup(docs).collect()}
+    assert out[1].text_clean == a and out[1].n_kept == 20
+    assert out[2].n_kept == 0 and out[2].text_clean == ""
+    # doc 3: the 12 copied tokens die (all inside flagged 8-gram windows
+    # starting at positions 4..8), the 3-token novel prefix survives
+    assert out[3].text_clean == "x1 x2 x3"
+    assert out[3].n_kept == 3
+    assert out[4].text_clean == d and out[4].n_kept == 20
+
+
+def test_dup_span_removal_short_docs_untouched(spark):
+    from funnel_report_etl_pipeline__spark.operators.dedup import dup_span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dup_span_dedup(docs).collect()}
+    # < 8 tokens -> no spans exist, both stay whole (whole-doc dedup is
+    # exact_dedup's job)
+    assert out[1].text_clean == "a b c" and out[2].text_clean == "a b c"
+
+
+def test_dup_span_removal_conserves_on_testdata(spark):
+    from funnel_report_etl_pipeline__spark.operators.dedup import dup_span_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = dup_span_dedup(docs).collect()
+    assert len(out) == 500
+    for r in out:
+        assert 0 <= r.n_kept <= r.n_tokens
+        if r.n_kept == r.n_tokens:
+            continue
+        # removed docs must have lost whole flagged spans, not stray tokens
+        assert r.n_tokens - r.n_kept >= 8
