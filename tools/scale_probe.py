@@ -228,6 +228,12 @@ def main() -> int:
         n_prio = r5["priority_source_dedup"].fn(spark, r5_dir).count()
         t_prio = round(time.perf_counter() - t0, 2)
 
+        t0 = time.perf_counter()
+        span_kept = r5["dup_span_removal"].fn(spark, r5_dir).agg(
+            F.sum("n_kept")
+        ).collect()[0][0]
+        t_span = round(time.perf_counter() - t0, 2)
+
         print(
             json.dumps(
                 {
@@ -252,6 +258,8 @@ def main() -> int:
                     "source_drift_sec": t_drift,
                     "priority_dedup_sec": t_prio,
                     "priority_survivors": n_prio,
+                    "span_removal_sec": t_span,
+                    "span_tokens_kept": span_kept,
                 }
             )
         )
