@@ -533,3 +533,116 @@ def quantize_int8(
             "max_abs_err",
         )
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_segments: int = 8,
+    seg_dim: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): vectors are split
+    into ``n_segments`` sub-vectors, each encoded as the index of its
+    nearest codeword, and query-to-vector distance is approximated by the
+    asymmetric distance (ADC) — the sum of per-segment query→codeword
+    distances looked up by the corpus vector's codes. Memory per vector
+    collapses from d floats to n_segments bytes, which is what makes
+    billion-vector indexes fit in RAM.
+
+    Codebooks here are hash-anchored sample codebooks (the ``n_codes``
+    corpus vectors with the lowest md5(id) donate their sub-vectors),
+    mirroring `cosine_topk_ivf_medoid`'s determinism contract: no
+    iterative training, so encoding — and therefore the whole result —
+    is bit-identical across engines and partitionings, and the operator
+    carries a full value-hash oracle. (A k-means-trained codebook drops
+    in exactly like `train_ivf_centroids` does for IVF; the plan shape
+    below is unchanged.)
+
+    Plan shape: the codebook is a broadcast of n_segments × n_codes
+    sub-vectors; encoding is corpus ⋈ broadcast → per-segment
+    struct-min (deterministic (distance, code) tie-break); scoring joins
+    the corpus code rows to the query ADC rows on (segment, code) — both
+    sides code-grain, never vector×vector — and the final per-(query,
+    vector) sum pivots segments to columns so the 8-term double addition
+    has ONE fixed evaluation order. Every distance is a fixed
+    left-associated expression over float→double-cast elements.
+    At scale: encode once at ingest (the codes table is the index),
+    re-rank the ADC top-k with exact cosine as `cosine_topk_lsh` does."""
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corp = corpus.select(F.col(id_col).alias("cid"), dv.alias("v"))
+    q = queries.select(F.col(id_col).alias("qid"), dv.alias("qv"))
+
+    w_anchor = Window.orderBy(F.md5(F.col("aid").cast("string")), "aid")
+    anchors = (
+        corpus.select(F.col(id_col).alias("aid"), dv.alias("av"))
+        .withColumn("__rk", F.row_number().over(w_anchor))
+        .filter(F.col("__rk") <= n_codes)
+        .select((F.col("__rk") - 1).alias("code"), "av")
+    )
+
+    def seg_dist(vcol: str, s: int):
+        # squared terms via self-multiplication, NOT ``** 2`` — power()
+        # routes through pow(), which is not guaranteed bit-identical
+        # across engines (the sqrt-vs-pow rule from functions/core)
+        d = None
+        for j in range(1, seg_dim + 1):
+            idx = s * seg_dim + j
+            diff = F.element_at(F.col(vcol), idx) - F.element_at(F.col("av"), idx)
+            term = diff * diff
+            d = term if d is None else d + term
+        return d
+
+    def encode(side: DataFrame, idname: str, vcol: str) -> DataFrame:
+        """(id, s, code[, dist]) — nearest codeword per segment."""
+        joined = side.crossJoin(F.broadcast(anchors))
+        per_seg = []
+        for s in range(n_segments):
+            per_seg.append(
+                joined.groupBy(idname)
+                .agg(F.min(F.struct(seg_dist(vcol, s).alias("d"), F.col("code"))).alias("m"))
+                .select(
+                    idname,
+                    F.lit(s).alias("s"),
+                    F.col("m.code").alias("code"),
+                    F.col("m.d").alias("dist"),
+                )
+            )
+        out = per_seg[0]
+        for p in per_seg[1:]:
+            out = out.unionByName(p)
+        return out
+
+    corpus_codes = encode(corp, "cid", "v").select("cid", "s", "code")
+    # query ADC table: distance from each query to EVERY codeword/segment
+    qj = q.crossJoin(F.broadcast(anchors))
+    adc_parts = []
+    for s in range(n_segments):
+        adc_parts.append(
+            qj.select(
+                "qid", F.lit(s).alias("s"), "code", seg_dist("qv", s).alias("dist")
+            )
+        )
+    adc = adc_parts[0]
+    for p in adc_parts[1:]:
+        adc = adc.unionByName(p)
+
+    pairs = corpus_codes.join(F.broadcast(adc), ["s", "code"])
+    pivot = pairs.groupBy("qid", "cid").agg(
+        *[
+            F.sum(F.when(F.col("s") == s, F.col("dist"))).alias(f"d{s}")
+            for s in range(n_segments)
+        ]
+    )
+    score = None
+    for s in range(n_segments):
+        score = F.col(f"d{s}") if score is None else score + F.col(f"d{s}")
+    w = Window.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("cid").asc())
+    return (
+        pivot.select("qid", "cid", score.alias("adc_dist"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

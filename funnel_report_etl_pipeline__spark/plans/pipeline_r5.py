@@ -1065,3 +1065,89 @@ def dup_span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from funnel_report_etl_pipeline__spark.operators.dedup import dup_span_dedup
 
     return dup_span_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _pq_oracle(n_segments: int = 8, seg_dim: int = 8, n_codes: int = 16, k: int = 5) -> str:
+    def dist(vcol: str) -> str:
+        # fixed left-associated 8-term sum of self-multiplied diffs —
+        # identical evaluation order to the Spark expression tree
+        terms = [
+            f"(({vcol}[s*{seg_dim}+{j}]-av[s*{seg_dim}+{j}])"
+            f"*({vcol}[s*{seg_dim}+{j}]-av[s*{seg_dim}+{j}]))"
+            for j in range(1, seg_dim + 1)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out}+{t})"
+        return out
+
+    piv = ", ".join(
+        f"SUM(CASE WHEN s={s} THEN dist END) AS d{s}" for s in range(n_segments)
+    )
+    ssum = "d0"
+    for s in range(1, n_segments):
+        ssum = f"({ssum}+d{s})"
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS qid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    a AS (
+      SELECT code, av FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                 - 1 AS code,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS av
+        FROM embeddings
+      ) t WHERE code < {n_codes}
+    ),
+    seg AS (SELECT unnest(range(0, {n_segments})) AS s),
+    enc AS (
+      SELECT cid, s, code FROM (
+        SELECT c.cid, seg.s, a.code,
+               ROW_NUMBER() OVER (PARTITION BY c.cid, seg.s
+                                  ORDER BY {dist('v')}, a.code) AS rn
+        FROM c, a, seg
+      ) e WHERE rn = 1
+    ),
+    adc AS (
+      SELECT q.qid, seg.s, a.code, {dist('qv')} AS dist
+      FROM q, a, seg
+    ),
+    piv AS (
+      SELECT adc.qid, enc.cid, {piv}
+      FROM enc JOIN adc USING (s, code)
+      GROUP BY adc.qid, enc.cid
+    )
+    SELECT qid, cid, adc_dist, rnk FROM (
+      SELECT qid, cid, {ssum} AS adc_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY {ssum}, cid) AS BIGINT) AS rnk
+      FROM piv
+    ) r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "similarity_ann_pq",
+    oracle=_pq_oracle(),
+    tags=("pipeline-ext", "similarity", "ann"),
+)
+def similarity_ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN over the embeddings table (see
+    operators/similarity.py::pq_topk): 8 segments × 16 hash-anchored
+    codewords, asymmetric-distance top-5 per query (every 100th vector).
+    Completes the ANN family (brute / hyperplane-LSH / IVF / PQ) — PQ is
+    the memory-bound regime's answer (codes are n_segments bytes per
+    vector). Deterministic codebooks make even the quantized distances
+    value-hash-verifiable against DuckDB."""
+    from funnel_report_etl_pipeline__spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk(emb, queries, k=5)

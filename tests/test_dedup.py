@@ -338,3 +338,55 @@ def test_dup_span_removal_conserves_on_testdata(spark):
             continue
         # removed docs must have lost whole flagged spans, not stray tokens
         assert r.n_tokens - r.n_kept >= 8
+
+
+def test_dup_span_removal_matches_python_reference(spark):
+    """Differential test on duplication-rich random corpora: the
+    distributed gram-min + coverage-window formulation must agree with a
+    naive quadratic Python reference on every row."""
+    import random
+
+    from funnel_report_etl_pipeline__spark.operators.dedup import dup_span_dedup
+
+    K = 8
+
+    def py_reference(rows):
+        first: dict[str, int] = {}
+        for i, t in rows:
+            toks = t.split(" ")
+            for s in range(len(toks) - K + 1):
+                g = " ".join(toks[s : s + K])
+                first[g] = min(first.get(g, i), i)
+        out = {}
+        for i, t in rows:
+            toks = t.split(" ")
+            covered = [False] * len(toks)
+            for s in range(len(toks) - K + 1):
+                if first[" ".join(toks[s : s + K])] < i:
+                    for j in range(s, s + K):
+                        covered[j] = True
+            kept = [tok for tok, c in zip(toks, covered) if not c]
+            out[i] = (len(toks), len(kept), " ".join(kept))
+        return out
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        vocab = [f"v{i}" for i in range(6)]  # tiny vocab -> frequent collisions
+        rows = []
+        for i in range(1, 9):
+            if rows and rng.random() < 0.4:
+                # splice: novel prefix + copy of an earlier doc's tail
+                src = rng.choice(rows)[1].split(" ")
+                cut = rng.randrange(0, max(len(src) - K, 1))
+                body = [rng.choice(vocab) for _ in range(rng.randint(0, 5))] + src[cut:]
+            else:
+                body = [rng.choice(vocab) for _ in range(rng.randint(5, 30))]
+            rows.append((i, " ".join(body)))
+        expect = py_reference(rows)
+        got = {
+            r.doc_id: (r.n_tokens, r.n_kept, r.text_clean)
+            for r in dup_span_dedup(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect()
+        }
+        assert got == expect, f"seed {seed}: mismatch"

@@ -250,3 +250,59 @@ def test_ivf_recall_at_5_dim384(planted_384):
     wall = time.perf_counter() - t0
     assert rec >= 0.9, f"k-means IVF recall@5 at 50k x 384-dim = {rec:.3f}"
     print(f"\nivf_384: recall@5={rec:.3f} wall={wall:.2f}s (incl. training)")
+
+
+# --- product quantization ---------------------------------------------------
+
+
+def test_pq_is_cluster_faithful_and_rerankable(spark, planted):
+    """PQ with hash-anchored sample codebooks: every retrieved neighbor
+    comes from the query's own planted cluster (the coarse metric is
+    faithful); raw ADC order shuffles within-cluster ranks (expected for
+    8-byte codes), and exact re-rank of the ADC top-20 candidates
+    recovers the exact top-5 — the standard PQ + re-rank recipe."""
+    from funnel_report_etl_pipeline__spark.operators.similarity import pq_topk
+
+    queries = planted.filter("vec_id % 8 = 0")
+    exact = {}
+    for r in cosine_topk_brute(planted, queries, k=5).collect():
+        exact.setdefault(r.qid, set()).add(r.cid)
+
+    cand = [r for r in pq_topk(planted, queries, k=21).collect() if r.qid != r.cid]
+    # the top-6 (5 non-self) must all come from the query's own cluster;
+    # deeper candidates necessarily leave it (clusters have 8 members)
+    assert all(
+        r.cid // PER_CLUSTER == r.qid // PER_CLUSTER for r in cand if r.rnk <= 6
+    )
+
+    raw5 = {}
+    for r in sorted(cand, key=lambda r: (r.qid, r.rnk)):
+        raw5.setdefault(r.qid, [])
+        if len(raw5[r.qid]) < 5:
+            raw5[r.qid].append(r.cid)
+    raw_hits = sum(len(set(v) & exact[q]) for q, v in raw5.items())
+    assert raw_hits / sum(len(v) for v in exact.values()) >= 0.6
+
+    vecs = {r.vec_id: r.embedding for r in planted.collect()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    hits = total = 0
+    by_q: dict[int, list[int]] = {}
+    for r in cand:
+        by_q.setdefault(r.qid, []).append(r.cid)
+    for q, cids in by_q.items():
+        top5 = sorted(cids, key=lambda c: -cos(vecs[q], vecs[c]))[:5]
+        hits += len(set(top5) & exact[q])
+        total += len(exact[q])
+    assert hits / total >= 0.9
+
+
+def test_pq_deterministic_across_runs(spark, planted):
+    from funnel_report_etl_pipeline__spark.operators.similarity import pq_topk
+
+    queries = planted.filter("vec_id % 40 = 0")
+    a = {(r.qid, r.cid, r.rnk, r.adc_dist) for r in pq_topk(planted, queries).collect()}
+    b = {(r.qid, r.cid, r.rnk, r.adc_dist) for r in pq_topk(planted, queries).collect()}
+    assert a == b
