@@ -1151,3 +1151,136 @@ def similarity_ann_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return pq_topk(emb, queries, k=5)
+
+
+_BM25_TERMS = ("table", "spark", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle(k: int = 20) -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    idf_cols = ",\n             ".join(
+        f"CAST(ROUND(ln((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0) * 1000000.0) AS BIGINT)"
+        f" AS idf{i}" for i in range(len(_BM25_TERMS))
+    )
+    score_terms = [
+        f"(CAST(idf{i} AS DOUBLE) * ((CAST(tf{i} AS DOUBLE) * {_BM25_K1 + 1})"
+        f" / (CAST(tf{i} AS DOUBLE) + {_BM25_K1} * ((1.0 - {_BM25_B})"
+        f" + {_BM25_B} * (CAST(dl AS DOUBLE) / avgdl)))))"
+        for i in range(len(_BM25_TERMS))
+    ]
+    ssum = score_terms[0]
+    for t in score_terms[1:]:
+        ssum = f"({ssum}+{t})"
+    df_aggs = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), f AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM t
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+             {df_aggs}
+      FROM f
+    ), idf AS (
+      SELECT n_docs, avgdl,
+             {idf_cols}
+      FROM stats
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl, score, rnk FROM (
+      SELECT f.doc_id, f.dl, {ssum} AS score,
+             CAST(ROW_NUMBER() OVER (ORDER BY {ssum} DESC, f.doc_id) AS BIGINT)
+               AS rnk
+      FROM f, idf
+      WHERE (tf0 + tf1) + tf2 > 0
+    ) r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "bm25_search",
+    oracle=_bm25_oracle(),
+    tags=("pipeline-ext", "text", "retrieval"),
+)
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson–Spärck Jones, k1=1.2, b=0.75):
+    top-20 documents for a fixed 3-term query — the lexical half of the
+    hybrid (BM25 + ANN) retrieval stack used to mine training data and
+    power dedup-aware search. Exact integer tf/df/dl; idf is the
+    ln-to-integer-micro-units pattern (every reachable df for corpora up
+    to 50 k docs sits ≥ 1.4e-5 micro-units from a rounding boundary —
+    five orders of magnitude above a 1-ulp libm/JVM divergence); the
+    per-term saturation ratio and 3-term sum are fixed-order double
+    expressions. Plan: ONE corpus scan computes per-doc (dl, tf_t) —
+    term filters are map-side array ops — then a 1-row broadcast carries
+    (N, avgdl, df_t, idf_t) back; ranking is a TakeOrdered top-20, no
+    corpus-wide sort. At 100 TB, arbitrary (not fixed) queries use the
+    same frame joined against a broadcast query-term table."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    def tf_of(term: str):
+        # factory, NOT a default-arg lambda: a 2-param HOF lambda would
+        # receive the array INDEX as its second argument (SKILL.md gotcha)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    f = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = f.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    for i in range(len(_BM25_TERMS)):
+        stats = stats.withColumn(
+            f"idf{i}",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_docs").cast("double")
+                        - F.col(f"df{i}").cast("double")
+                        + 0.5
+                    )
+                    / (F.col(f"df{i}").cast("double") + 0.5)
+                    + 1.0
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+    k1, b = _BM25_K1, _BM25_B
+    joined = f.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf = F.col(f"tf{i}").cast("double")
+        ratio = (tf * F.lit(k1 + 1)) / (
+            tf
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+        term = F.col(f"idf{i}").cast("double") * ratio
+        score = term if score is None else score + term
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        joined.filter((F.col("tf0") + F.col("tf1")) + F.col("tf2") > 0)
+        .select("doc_id", F.col("dl").cast("long").alias("dl"), score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+    )

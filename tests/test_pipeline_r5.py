@@ -271,3 +271,37 @@ def test_median_order_gap_positive_and_bounded(spark):
     for r in rows:
         assert r.median_gap_us >= 0
         assert abs(r.median_gap_days - r.median_gap_us / 86400000000.0) < 1e-9
+
+
+def test_bm25_ranks_term_rich_short_docs_first(spark):
+    """BM25 invariants: scores positive and non-increasing by rank, and
+    a planted doc saturated with query terms outranks one with a single
+    occurrence buried in filler."""
+    import tempfile
+
+    filler = " ".join(f"f{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, "table spark window table spark window"),  # dense, short
+            (2, f"table {filler}"),                        # one hit, long
+            (3, filler),                                   # no hits
+        ],
+        "doc_id long, text string",
+    )
+    tmp = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    rows = sorted(
+        SPECS["bm25_search"].fn(spark, tmp).collect(), key=lambda r: r.rnk
+    )
+    assert [r.doc_id for r in rows] == [1, 2]  # doc 3 filtered out
+    assert rows[0].score > rows[1].score > 0
+
+
+def test_bm25_on_testdata_shape(spark):
+    rows = sorted(
+        SPECS["bm25_search"].fn(spark, SF_MED).collect(), key=lambda r: r.rnk
+    )
+    assert len(rows) == 20
+    assert [r.rnk for r in rows] == list(range(1, 21))
+    for hi, lo in zip(rows, rows[1:]):
+        assert hi.score >= lo.score
