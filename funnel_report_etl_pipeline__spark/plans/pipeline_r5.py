@@ -1284,3 +1284,191 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+@register(
+    "top_session_paths",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - COALESCE(epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)), -4000000000000000000)
+               > 1800 * 1000000 THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, ts, event_id, event_type,
+             MAX(CASE WHEN is_start = 1 THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_key
+      FROM e
+    ),
+    r AS (
+      SELECT user_id, sess_key, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sess_key
+                                ORDER BY ts, event_id) AS rn
+      FROM g
+    ),
+    paths AS (
+      SELECT user_id, sess_key,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id, sess_key
+    )
+    SELECT path, n_sessions, rnk FROM (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS BIGINT)
+               AS rnk
+      FROM paths GROUP BY path
+    ) t WHERE rnk <= 10
+    """,
+    tags=("pipeline-ext", "analytics", "session"),
+)
+def top_session_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session entry paths: the 10 most common first-3-event
+    sequences per session (30-min gap sessions, same construction as
+    `bounce_rate_daily`) — the path-analysis / Sankey-entry view that
+    tells a product team HOW sessions start, beside the funnel's
+    how-far-do-they-get. Everything rides user-partitioned windows until
+    the path strings (≤ |types|³ distinct) aggregate; the top-10 is a
+    TakeOrdered, not a global sort. Ordering is (ts, event_id)-tied
+    everywhere so paths are engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    is_start = (
+        F.unix_micros("ts") - F.coalesce(prev_us, F.lit(-(4 * 10**18)))
+        > 1800 * 1_000_000
+    ).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess_key = F.max(F.when(F.col("is_start") == 1, F.col("ts"))).over(run)
+    sw = Window.partitionBy("user_id", "sess_key").orderBy("ts", "event_id")
+    paths = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("is_start", is_start)
+        .withColumn("sess_key", sess_key)
+        .withColumn("rn", F.row_number().over(sw))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id", "sess_key")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    wr = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+@register(
+    "rrf_hybrid_fusion",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    f AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> x = 'table')) AS tf
+      FROM t
+    ),
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS BIGINT)
+               AS lex_rank
+      FROM f WHERE tf > 0
+    ),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE) * qv[i])) DESC,
+               vec_id) AS BIGINT) AS sem_rank
+      FROM embeddings, q WHERE vec_id <> 0
+    )
+    SELECT doc_id, lex_rank, sem_rank,
+           ((1.0 / (60.0 + CAST(COALESCE(lex_rank, 1000) AS DOUBLE)))
+            + (1.0 / (60.0 + CAST(COALESCE(sem_rank, 1000) AS DOUBLE))))
+             AS rrf_score,
+           rnk
+    FROM (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.lex_rank, sem.sem_rank,
+             CAST(ROW_NUMBER() OVER (ORDER BY
+               ((1.0 / (60.0 + CAST(COALESCE(lex_rank, 1000) AS DOUBLE)))
+                + (1.0 / (60.0 + CAST(COALESCE(sem_rank, 1000) AS DOUBLE)))) DESC,
+               COALESCE(lex.doc_id, sem.doc_id)) AS BIGINT) AS rnk
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ) r WHERE rnk <= 20
+    """,
+    tags=("pipeline-ext", "retrieval", "similarity"),
+)
+def rrf_hybrid_fusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of a lexical and a
+    semantic ranking — the standard hybrid-retrieval combiner (used
+    everywhere from enterprise search to training-data mining) that needs
+    only RANKS, never comparable scores: rrf = Σ 1/(60 + rank), absent
+    rankings imputed rank 1000. Lexical side ranks documents by term
+    frequency of 'table'; semantic side ranks embeddings by dot product
+    with query vector 0 (testdata aligns doc_id ≙ vec_id). Ranks come
+    from integer sort keys (tf; dot products compared, not hash-compared
+    — the RANK is what crosses into the score), the fused score is a
+    fixed-order two-term sum of exact divisions, and every window is
+    fully tie-broken. Both ranked lists are top-heavy small after their
+    own pruning; fusion is a full-outer join on id + one TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    toks = F.split(F.col("text"), " ")
+    f = docs.select(
+        "doc_id", F.size(F.filter(toks, lambda x: x == F.lit("table"))).alias("tf")
+    ).filter(F.col("tf") > 0)
+    lex = f.withColumn(
+        "lex_rank",
+        F.row_number().over(Window.orderBy(F.col("tf").desc(), "doc_id")).cast("long"),
+    ).select("doc_id", "lex_rank")
+
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.col("qv"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), dot.alias("__dot"))
+        .withColumn(
+            "sem_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("__dot").desc(), "doc_id"))
+            .cast("long"),
+        )
+        .select("doc_id", "sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    score = (
+        F.lit(1.0) / (F.lit(60.0) + F.coalesce(F.col("lex_rank"), F.lit(1000)).cast("double"))
+    ) + (
+        F.lit(1.0) / (F.lit(60.0) + F.coalesce(F.col("sem_rank"), F.lit(1000)).cast("double"))
+    )
+    wr = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        fused.select("doc_id", "lex_rank", "sem_rank", score.alias("rrf_score"))
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 20)
+    )

@@ -305,3 +305,32 @@ def test_bm25_on_testdata_shape(spark):
     assert [r.rnk for r in rows] == list(range(1, 21))
     for hi, lo in zip(rows, rows[1:]):
         assert hi.score >= lo.score
+
+
+def test_top_session_paths_shape(spark):
+    rows = sorted(
+        SPECS["top_session_paths"].fn(spark, SF_MED).collect(), key=lambda r: r.rnk
+    )
+    assert 1 <= len(rows) <= 10
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    types = {"signup", "view", "purchase", "click", "error"}
+    for hi, lo in zip(rows, rows[1:]):
+        assert hi.n_sessions >= lo.n_sessions
+    for r in rows:
+        assert all(seg in types for seg in r.path.split(">"))
+        assert 1 <= len(r.path.split(">")) <= 3
+
+
+def test_rrf_fusion_rewards_dual_presence(spark):
+    rows = SPECS["rrf_hybrid_fusion"].fn(spark, SF_MED).collect()
+    assert len(rows) == 20
+    for r in rows:
+        lex = 1.0 / (60.0 + (r.lex_rank if r.lex_rank is not None else 1000))
+        sem = 1.0 / (60.0 + (r.sem_rank if r.sem_rank is not None else 1000))
+        assert abs(r.rrf_score - (lex + sem)) < 1e-15
+    # a doc ranked by BOTH rankers must beat a doc of similar single-ranker
+    # standing that the other ranker missed entirely
+    both = [r for r in rows if r.lex_rank is not None and r.sem_rank is not None]
+    only = [r for r in rows if r.lex_rank is None or r.sem_rank is None]
+    if both and only:
+        assert max(r.rrf_score for r in both) > max(r.rrf_score for r in only)
