@@ -84,3 +84,79 @@ def test_dedup_pairs_on_tiny_corpus(spark, weird_docs):
     from funnel_report_etl_pipeline__spark.operators.dedup import minhash_dedup_pairs
 
     assert minhash_dedup_pairs(weird_docs, threshold=0.8).collect() == []
+
+
+# --- round-5 operators on degenerate corpora --------------------------------
+
+
+def _tmp_docs(spark, rows, schema="doc_id long, text string, lang string, source string"):
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{tmp}/documents.parquet"
+    )
+    return tmp
+
+
+def test_r5_ops_survive_degenerate_documents(spark):
+    """Empty text, single token, unicode, and runs of spaces must not
+    crash any round-5 document operator; row counts stay sane."""
+    from funnel_report_etl_pipeline__spark.plans.registry import load_all
+
+    specs = load_all()
+    tmp = _tmp_docs(
+        spark,
+        [
+            (1, "", "en", "src0"),
+            (2, "solo", "en", "src1"),
+            (3, "naïve café 北京 居酒屋 emoji 🙂 done x y z", "zh", "src2"),
+            (4, "a  b   c    d", "en", "src3"),  # multi-space runs
+            (5, " ".join(f"t{i}" for i in range(30)), "fr", "src0"),
+        ],
+    )
+    for name in (
+        "quality_classifier",
+        "priority_source_dedup",
+        "dup_ngram_coverage",
+        "dup_span_removal",
+        "dsir_importance",
+        "mixture_epochs",
+        "tfidf_topterms",
+        "source_drift_l1",
+        "per_source_holdout",
+        "length_outliers",
+        "bm25_search",
+    ):
+        rows = specs[name].fn(spark, tmp).collect()
+        assert len(rows) <= 5 * 5, name  # bounded output, no blow-up
+    # dedup keeps all 5 (no duplicates planted)
+    assert len(specs["priority_source_dedup"].fn(spark, tmp).collect()) == 5
+    # span removal leaves every doc whole (nothing shares an 8-gram)
+    spans = {r.doc_id: r for r in specs["dup_span_removal"].fn(spark, tmp).collect()}
+    assert spans[5].n_kept == spans[5].n_tokens == 30
+
+
+def test_r5_event_ops_survive_single_user_single_event(spark):
+    import tempfile
+    from datetime import datetime
+
+    from funnel_report_etl_pipeline__spark.plans.registry import load_all
+
+    specs = load_all()
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, datetime(2026, 3, 1), 7, "purchase", 5.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    att = specs["last_touch_attribution"].fn(spark, tmp).collect()
+    assert len(att) == 1 and att[0].campaign is None and att[0].n_purchases == 1
+    rfm = specs["user_rfm_segments"].fn(spark, tmp).collect()
+    assert len(rfm) == 1 and rfm[0].frequency == 1
+    bounce = specs["bounce_rate_daily"].fn(spark, tmp).collect()
+    assert len(bounce) == 1 and bounce[0].bounce_rate == 1.0
+    trans = specs["event_transition_matrix"].fn(spark, tmp).collect()
+    assert trans == []  # one event -> no transitions
+    paths = specs["top_session_paths"].fn(spark, tmp).collect()
+    assert len(paths) == 1 and paths[0].path == "purchase"
