@@ -213,3 +213,36 @@ def read_funnel_csv(
         key = "Entity_ID" if "Entity_ID" in schema.fieldNames() else "entity_id"
         df = df.filter(F.col(key) == entity_id)
     return df
+
+
+def metadata_column_stats(spark: SparkSession, path: str, col: str) -> DataFrame:
+    """COUNT/MIN/MAX of a parquet column served from FOOTER METADATA —
+    no row data read. Uses the v2 parquet source's aggregate pushdown
+    (`PushedAggregation` in the scan), which the engine's default v1
+    source does not implement; both confs are scoped to this call and
+    restored. At 100 TB this is the difference between profiling a table
+    in seconds (footers only) and scanning it — the fast path behind
+    `column_stats_orders`-style audits when exact NDV is not needed.
+    The returned frame is materialized eagerly (collect + recreate) so
+    the restored session confs cannot silently re-plan it later."""
+    saved_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    saved_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        df = spark.read.parquet(path).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(col).alias("min_val"),
+            F.max(col).alias("max_val"),
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "PushedAggregation: [COUNT" not in plan:
+            raise RuntimeError("aggregate pushdown did not engage:\n" + plan)
+        rows = df.collect()
+    finally:
+        if saved_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", saved_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", saved_agg)
+    return spark.createDataFrame(rows, df.schema)

@@ -92,3 +92,28 @@ def test_missing_days_return_empty(spark, month_layout):
     df = read_funnel_csv(spark, str(month_layout), "uf_stages", w, schemas.UF_STAGES_SCHEMA)
     assert df.count() == 0
     assert df.schema == schemas.UF_STAGES_SCHEMA
+
+
+def test_metadata_column_stats_footer_only(spark):
+    """COUNT/MIN/MAX served from parquet footers (PushedAggregation) —
+    the helper itself asserts the pushdown engaged; here we check the
+    values against a real scan and that session confs are restored."""
+    from pyspark.sql import functions as F
+
+    from funnel_report_etl_pipeline__spark.sources.readers import (
+        metadata_column_stats,
+    )
+
+    path = "/root/testdata/sf0.01/orders.parquet"
+    out = metadata_column_stats(spark, path, "o_orderkey").collect()[0]
+    real = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    assert (out.n_rows, out.min_val, out.max_val) == tuple(real)
+    # confs restored: the default v1 path must still plan WITHOUT pushdown
+    p = (
+        spark.read.parquet(path)
+        .agg(F.count(F.lit(1)))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedAggregation" not in p
