@@ -5,7 +5,8 @@ report-oriented ``cli.py``:
         --input /root/testdata/sf0.001/documents.parquet \\
         --out /tmp/curated --shards 8
 
-ingest (parquet or JSONL) → quality gate → PII redaction → exact dedup →
+ingest (parquet or JSONL) → quality gate → PII redaction → exact dedup
+[→ --span-dedup: ExactSubstr duplicated-span removal] →
 content-addressed shard export + manifest (printed as one JSON line, the
 artifact a training job verifies before reading).
 
@@ -30,10 +31,15 @@ def run_pipeline(
     out_path: str,
     n_shards: int = 8,
     jsonl: bool = False,
+    span_dedup: bool = False,
 ) -> dict:
-    """Run curate → redact → dedup → shard-export; return the manifest as
-    a plain dict (shard → {n_rows, content_checksum}, plus totals)."""
-    from funnel_report_etl_pipeline__spark.operators.dedup import exact_dedup
+    """Run curate → redact → dedup [→ span removal] → shard-export;
+    return the manifest as a plain dict (shard → {n_rows,
+    content_checksum}, plus totals)."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import (
+        dup_span_dedup,
+        exact_dedup,
+    )
     from funnel_report_etl_pipeline__spark.operators.text import (
         quality_keep_expr,
         redact_pii,
@@ -59,6 +65,19 @@ def run_pipeline(
         "redacted", "text"
     )
     deduped = exact_dedup(red, "text", "doc_id")
+    if span_dedup:
+        # ExactSubstr pass AFTER whole-doc dedup (the cheap gate first):
+        # replace text with the span-cleaned version, drop docs emptied
+        # of novel content, carry the metadata columns through
+        spans = dup_span_dedup(deduped, "doc_id", "text").select(
+            "doc_id", F.col("text_clean").alias("__clean")
+        )
+        deduped = (
+            deduped.join(spans, "doc_id")
+            .filter(F.col("__clean") != "")
+            .drop("text")
+            .withColumnRenamed("__clean", "text")
+        )
     manifest_df = write_training_shards(deduped, out_path, n_shards=n_shards)
     shards = {
         int(r.shard): {"n_rows": int(r.n_rows), "content_checksum": int(r.content_checksum)}
@@ -78,12 +97,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", required=True, help="output directory for shards")
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--jsonl", action="store_true", help="input is JSONL, not parquet")
+    ap.add_argument(
+        "--span-dedup",
+        action="store_true",
+        help="also remove duplicated 8-token spans (ExactSubstr dedup)",
+    )
     args = ap.parse_args(argv)
 
     from funnel_report_etl_pipeline__spark.session import get_spark
 
     spark = get_spark(app_name="pipeline")
-    manifest = run_pipeline(spark, args.input, args.out, args.shards, args.jsonl)
+    manifest = run_pipeline(
+        spark, args.input, args.out, args.shards, args.jsonl, args.span_dedup
+    )
     print(json.dumps(manifest))
     return 0
 

@@ -70,3 +70,31 @@ def test_pipeline_jsonl_end_to_end(spark, tmp_path):
     written = spark.read.parquet(out)
     assert sorted(r.doc_id for r in written.collect()) == list(range(20))
     assert {"lang", "source"} <= set(written.columns)
+
+
+def test_pipeline_cli_span_dedup_removes_copied_spans(spark, tmp_path):
+    """--span-dedup: a doc whose text fully duplicates an earlier doc is
+    dropped from the shards; a doc with a novel prefix + copied tail
+    keeps only the prefix."""
+    from funnel_report_etl_pipeline__spark.pipeline_cli import run_pipeline
+
+    # quality gate needs >=10 tokens and at least one stopword
+    base = "the " + " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "src0"),
+            (2, base, "en", "src1"),           # exact dup: killed by exact_dedup
+            (3, "the n1 n2 n3 " + base, "en", "src2"),  # copied tail: span-cleaned
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    src = str(tmp_path / "in.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "shards")
+    manifest = run_pipeline(spark, src, out, n_shards=2, span_dedup=True)
+    shards = spark.read.parquet(out)
+    texts = {r.doc_id: r.text for r in shards.collect()}
+    assert texts[1] == base
+    assert 2 not in texts
+    assert texts[3] == "the n1 n2 n3"
+    assert manifest["n_rows"] == 2
