@@ -1472,3 +1472,43 @@ def rrf_hybrid_fusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+    SELECT doc_id, source, split FROM (
+      SELECT doc_id, source,
+             CASE WHEN frac < 0.98 THEN 'train'
+                  WHEN frac < 0.99 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS frac
+        FROM documents
+      ) f
+    ) s
+    """,
+    tags=("pipeline-ext", "sampling"),
+)
+def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-way train/val/test assignment (98/1/1) by md5
+    fraction — the split every training pipeline needs, with the
+    properties `df.randomSplit` lacks: stable across runs, engines,
+    cluster sizes, and corpus growth (a doc's split NEVER changes when
+    other docs arrive, so eval sets stay uncontaminated across crawl
+    snapshots — the same content-addressing argument as `hash_sample`,
+    extended to a partition of the corpus). Pure map-side expression;
+    split-grain counts are one tiny follow-up groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    split = (
+        F.when(frac < 0.98, "train").when(frac < 0.99, "val").otherwise("test")
+    )
+    return d.select("doc_id", "source", split.alias("split"))

@@ -334,3 +334,28 @@ def test_rrf_fusion_rewards_dual_presence(spark):
     only = [r for r in rows if r.lex_rank is None or r.sem_rank is None]
     if both and only:
         assert max(r.rrf_score for r in both) > max(r.rrf_score for r in only)
+
+
+def test_train_val_test_split_partitions_corpus(spark):
+    rows = SPECS["train_val_test_split"].fn(spark, SF_MED).collect()
+    assert len(rows) == 500
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + 1
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split["train"] >= 450  # ~98% of 500, binomial slack
+    # stability: identical assignment on rerun
+    again = {r.doc_id: r.split for r in
+             SPECS["train_val_test_split"].fn(spark, SF_MED).collect()}
+    assert all(again[r.doc_id] == r.split for r in rows)
+    # growth-stability: the split of doc_id=1 is a pure function of its id,
+    # so a 1-doc corpus assigns it identically
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, "x", "s")], "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    solo = SPECS["train_val_test_split"].fn(spark, tmp).collect()[0]
+    full = {r.doc_id: r.split for r in rows}
+    assert solo.split == full[1]
