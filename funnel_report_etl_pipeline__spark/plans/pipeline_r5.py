@@ -809,7 +809,7 @@ def user_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounce_rate_daily",
     oracle="""
     WITH e AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts) - COALESCE(epoch_us(LAG(ts) OVER (
                PARTITION BY user_id ORDER BY ts, event_id)), -4000000000000000000)
                > 1800 * 1000000 THEN 1 ELSE 0 END AS is_start
@@ -821,7 +821,7 @@ def user_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT user_id, ts,
                MAX(CASE WHEN is_start = 1 THEN ts END) OVER (
-                 PARTITION BY user_id ORDER BY ts
+                 PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_key
         FROM e
       ) g GROUP BY user_id, sess_key
@@ -853,7 +853,10 @@ def bounce_rate_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts") - F.coalesce(prev_us, F.lit(-(4 * 10**18)))
         > 1800 * 1_000_000
     ).cast("int")
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # (ts, event_id) ordering on the running-max too: with ts ties the
+    # session assignment would otherwise be partition-order dependent
+    # (same tie-break as top_session_paths; round-5 advice item)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess_key = F.max(F.when(F.col("is_start") == 1, F.col("ts"))).over(run)

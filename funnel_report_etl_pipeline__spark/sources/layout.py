@@ -29,9 +29,17 @@ from pyspark.sql import functions as F
 def _scale_to_bits(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
     """Map a value from [cmin, cmax] onto the integer grid [0, 2^bits):
     rank-free min/max normalization — monotone, so range predicates on the
-    original column translate to range predicates on the grid cell."""
-    span = (cmax - cmin + 1).cast("double")
-    cell = ((col - cmin).cast("double") / span * (1 << bits)).cast("long")
+    original column translate to range predicates on the grid cell.
+    Numeric columns only (int/long/float/double/decimal) — date/timestamp
+    inputs must be cast to epoch numbers by the caller; span is the exact
+    (cmax - cmin) with a degenerate-span and right-edge guard, so the
+    normalization is type-agnostic across int and double columns."""
+    span = (cmax - cmin).cast("double")
+    cell = F.when(
+        span <= 0, F.lit(0)  # constant column: every row in cell 0
+    ).otherwise(
+        ((col - cmin).cast("double") / span * (1 << bits)).cast("long")
+    )
     # right-edge guard: col == cmax lands exactly on 2^bits
     return F.least(cell, F.lit((1 << bits) - 1))
 
@@ -41,6 +49,14 @@ def zorder_key(scaled: list[Column], bits: int) -> Column:
     i * k + (k - 1 - j) of the key. Pure shift/and/or expression tree
     (k * bits terms), fully inside whole-stage codegen — no UDF."""
     k = len(scaled)
+    if k * bits > 63:
+        # the interleaved key must fit a signed long: bit k*bits-1 at
+        # position 63 is the sign bit, which would sort high keys BEFORE
+        # low keys and silently break the clustering for half the space
+        raise ValueError(
+            f"zorder key needs {k * bits} bits but a signed long holds 63; "
+            f"use bits<={63 // k} for {k} columns"
+        )
     parts: list[Column] = []
     for i in range(bits):
         for j, c in enumerate(scaled):
@@ -54,7 +70,9 @@ def with_zorder_key(
 ) -> DataFrame:
     """Attach the Morton key. Column min/max are computed in one pass and
     broadcast back (k-column agg row — driver-sized like any write-planning
-    statistic)."""
+    statistic). ``bits`` is auto-clamped to 63 // k so the interleaved key
+    always fits a signed long (zorder_key raises otherwise)."""
+    bits = min(bits, 63 // max(len(cols), 1))
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]

@@ -256,9 +256,20 @@ def compact_small_files(
     scans and whose row groups are too small for effective predicate
     pushdown. Sizing comes from the actual file listing (driver-side
     metadata, not data); the rewrite is one scan + one round-robin
-    repartition. Returns the target file count."""
+    repartition. Returns the target file count.
+
+    Local filesystem paths only: the os.walk sizing would silently sum
+    zero bytes on hdfs:// or s3a:// URIs and collapse everything into one
+    file, so non-local schemes fail loudly (on a cluster, size via the
+    Hadoop FileSystem API instead)."""
     import os as _os
 
+    if "://" in in_path and not in_path.startswith("file://"):
+        raise ValueError(
+            f"compact_small_files sizes input via os.walk and only supports "
+            f"local paths; got {in_path!r} — list sizes with the Hadoop "
+            f"FileSystem API for remote URIs"
+        )
     total = sum(
         _os.path.getsize(_os.path.join(r, f))
         for r, _, fs in _os.walk(in_path)

@@ -296,18 +296,16 @@ def write_stream_parquet_idempotent(
     partition column. Returns the started StreamingQuery."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(out_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-writer option, not a session-conf set/restore: a concurrent
+        # write planned between set and restore would silently inherit
+        # dynamic-overwrite semantics (same race-free form as sinks.py)
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
 
     return (
         stream.writeStream.foreachBatch(_write)

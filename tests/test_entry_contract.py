@@ -76,5 +76,25 @@ def test_driver_window_composition_pinned():
         # rows stand in CORRECTNESS_r0{2,3,4}.json)
         "token_counts", "lang_id_heuristic", "doc_fingerprints",
         "hash_sample", "pack_sequences", "repetition_filter",
+        # rotated out in round 6 for the second round-5 batch +
+        # entity_funnel_waterfall (each holds THREE external green rows,
+        # CORRECTNESS_r0{3,4,5}.json)
+        "ngram_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash",
+        "text_quality", "corpus_curation", "similarity_topk_brute",
+        "similarity_ann_lsh", "dedup_embedding_cosine", "multimodal_meta",
+        "dedup_clusters", "decontaminate_ngrams", "chunk_dedup",
+        "pii_redaction", "quantize_embeddings", "shard_shuffle",
+        "gram_novelty",
     }
     assert rotated_out <= set(mod.queries()) - set(window)
+    # round-6 rotation: the 15 previously sim-only round-5 queries plus the
+    # new grouped-entity waterfall sit INSIDE the window
+    rotated_in_r6 = {
+        "dup_span_removal", "bm25_search", "rrf_hybrid_fusion",
+        "similarity_ann_pq", "last_touch_attribution", "user_rfm_segments",
+        "bounce_rate_daily", "event_transition_matrix", "weekly_revenue_wow",
+        "median_order_gap", "top_session_paths", "source_drift_l1",
+        "per_source_holdout", "column_stats_orders", "train_val_test_split",
+        "entity_funnel_waterfall",
+    }
+    assert rotated_in_r6 <= set(window)
