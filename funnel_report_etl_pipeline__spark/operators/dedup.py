@@ -702,22 +702,24 @@ def connected_components(
     in the node's connected component — the step that turns a near-dup
     *pair* list into dedup *decisions* (keep comp, drop the rest).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels; fixpoint = components.
-    Rounds needed = graph diameter, and near-dup clusters are dense
-    (diameter 1-3 in practice), so this converges in a handful of rounds
-    even when star/chain topologies appear. Each round is one equi-join +
-    one grouped min — fully distributed, nothing but (id, label) pairs
-    ever shuffles, and `localCheckpoint` truncates the lineage so plan
-    size stays O(1) across rounds (on a real cluster with flaky executors,
-    prefer `checkpoint()` to a reliable store — localCheckpoint pins
-    blocks to executors).
+    Iterative min-label propagation with POINTER DOUBLING: each round
+    every node takes the min of its own label and its neighbors' labels,
+    then labels are shortcut through themselves (comp ← label[comp], the
+    path-halving step of Hash-to-Min / large-star-small-star CC
+    algorithms), so convergence is O(log diameter) rounds instead of
+    O(diameter) — a 60-node chain closes in ~7 rounds, not 59. Near-dup
+    clusters are dense (diameter 1-3 in practice) and pay one extra
+    (label ⋈ label) join per round for the guarantee. Each round is two
+    equi-joins + one grouped min — fully distributed, nothing but
+    (id, label) pairs ever shuffles, and `localCheckpoint` truncates the
+    lineage so plan size stays O(1) across rounds (on a real cluster with
+    flaky executors, prefer `checkpoint()` to a reliable store —
+    localCheckpoint pins blocks to executors).
 
     Raises ``RuntimeError`` if the fixpoint is not reached within
-    ``max_iter`` rounds (graph diameter > max_iter): returning the
-    intermediate labels would silently split true components, making a
-    dedup pass keep duplicates. Raise ``max_iter`` for pathological chain
-    topologies.
+    ``max_iter`` rounds (needs diameter > ~2^max_iter — adversarial, not
+    organic): returning the intermediate labels would silently split true
+    components, making a dedup pass keep duplicates.
 
     Adaptive small-graph path: after banding/verification a dedup pair
     graph is often tiny even when the corpus is huge; if the (already
@@ -745,13 +747,31 @@ def connected_components(
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("src", "id")
         )
-        # the change flag rides inside the checkpointed frame, so fixpoint
-        # detection is a filter over already-materialized blocks — no extra
-        # label-vs-label shuffle join per round
-        new_labels = labels.join(nbr_min, "id", "left").select(
+        stepped = labels.join(nbr_min, "id", "left").select(
             "id",
             F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
             (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("__changed"),
+        )
+        # pointer doubling: comp ← label[comp]. Every comp value is a node
+        # id (labels only ever hold mins of node ids), so the lookup join
+        # always hits; the left join + coalesce is belt-and-braces. This
+        # halves the remaining chain length every round.
+        comp_of_comp = stepped.select(
+            F.col("id").alias("comp"), F.col("comp").alias("comp2")
+        )
+        # the change flag rides inside the checkpointed frame, so fixpoint
+        # detection is a filter over already-materialized blocks — no extra
+        # label-vs-label shuffle join per round
+        new_labels = (
+            stepped.join(comp_of_comp, "comp", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("comp2", "comp")).alias("comp"),
+                (
+                    F.col("__changed")
+                    | (F.coalesce("comp2", "comp") < F.col("comp"))
+                ).alias("__changed"),
+            )
         )
         new_labels = new_labels.localCheckpoint()
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
@@ -805,12 +825,17 @@ def dup_span_dedup(
 
     The paper's suffix array is a global sort; the Spark-first shape is:
     gram-hash min-id aggregation (who saw each span first), flagged span
-    STARTS joined back, then per-document coverage via ONE running-max
-    window over the merged (span-start, token) event stream — a token at
-    position p is covered iff the latest flagged start ≤ p is ≥ p−k+1, so
-    coverage needs no k-way position explode and no interval join. Every
-    shuffle is keyed on md5 hashes or doc id (uniform); per-doc windows
-    are bounded by document length."""
+    STARTS joined back and collected to one sorted per-doc position array
+    (duplicated-span starts only — typically a tiny fraction of tokens),
+    merged into covered intervals with an O(#starts) array fold, and the
+    survivors reassembled by slicing the UNEXPLODED token array on the
+    complement intervals. Nothing token-grained ever shuffles: the only
+    wide exchanges carry md5 gram hashes (uniform keys) and (id, p) int
+    pairs; documents without duplicated spans take a null-side left join
+    and pass through byte-identical. (The previous formulation unioned a
+    per-token event stream with the starts and ran a running-max window +
+    collect_list reassembly per doc — corpus-sized token shuffle and
+    GC-heavy struct collection that went superlinear on the 10× probe.)"""
     toks = F.split(F.col(text_col), " ")
     k = span_tokens
     g = docs.filter(F.size(toks) >= k).select(
@@ -826,42 +851,79 @@ def dup_span_dedup(
     starts = (
         g.join(gmin, "h")
         .filter(F.col("id") > F.col("min_id"))
-        .select(
-            "id",
-            (F.col("p0") + 1).alias("p"),
-            F.lit(0).alias("kind"),
-            F.lit(None).cast("string").alias("tok"),
-        )
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.col("p0") + 1)).alias("ss"))
     )
-    tokens = docs.select(
-        F.col(id_col).alias("id"), F.posexplode(toks).alias("p0", "tok")
-    ).select("id", (F.col("p0") + 1).alias("p"), F.lit(1).alias("kind"), "tok")
-    ev = starts.unionByName(tokens)
-    w = Window.partitionBy("id").orderBy("p", "kind").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # merged covered intervals: starts are sorted and every span has the
+    # same width k, so a fold appends a new [s, s+k-1] interval or extends
+    # the last one's hi to s+k-1 when they touch/overlap — O(#starts)
+    empty = F.expr("CAST(array() AS array<struct<lo:int,hi:int>>)")
+    last = lambda a: F.try_element_at(a, F.lit(-1))  # noqa: E731
+    merged = F.aggregate(
+        F.col("ss"),
+        empty,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= last(acc)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["lo"].alias("lo"),
+                        (s + (k - 1)).cast("int").alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s.cast("int").alias("lo"), (s + (k - 1)).cast("int").alias("hi")
+                    )
+                ),
+            )
+        ),
     )
-    last_flag = F.max(F.when(F.col("kind") == 0, F.col("p"))).over(w)
-    marked = (
-        ev.withColumn("__lf", last_flag)
-        .filter(F.col("kind") == 1)
-        .withColumn(
-            "keep", F.col("__lf").isNull() | (F.col("__lf") <= F.col("p") - k)
-        )
+    n = F.size(toks)
+    # complement of the covered intervals within [1, n]: zip the covered
+    # his (shifted, with a leading 0) against the covered los (with a
+    # trailing n+1) — each (prev_hi+1, next_lo-1) pair with lo <= hi is a
+    # kept span
+    cov = F.col("__cov")
+    kept = F.filter(
+        F.zip_with(
+            F.concat(F.array(F.lit(1)), F.transform(cov, lambda m: m["hi"] + 1)),
+            F.concat(F.transform(cov, lambda m: m["lo"] - 1), F.array(n)),
+            lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi")),
+        ),
+        lambda iv: iv["hi"] >= iv["lo"],
     )
     return (
-        marked.groupBy("id")
-        .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        docs.select(F.col(id_col).alias("id"), F.col(text_col))
+        .join(starts, "id", "left")
+        .withColumn("__cov", F.coalesce(merged, empty))
+        .withColumn("__kept", kept)
+        .select(
+            F.col("id").alias(id_col),
+            n.cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.aggregate(
+                    F.col("__kept"),
+                    F.lit(0),
+                    lambda acc, iv: acc + iv["hi"] - iv["lo"] + 1,
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_kept"),
             F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.when(F.col("keep"), F.struct("p", "tok")))
-                    ),
-                    lambda s: s["tok"],
+                F.flatten(
+                    F.transform(
+                        F.col("__kept"),
+                        lambda iv: F.slice(toks, iv["lo"], iv["hi"] - iv["lo"] + 1),
+                    )
                 ),
                 " ",
             ).alias("text_clean"),
         )
-        .withColumnRenamed("id", id_col)
     )

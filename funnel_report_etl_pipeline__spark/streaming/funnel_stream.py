@@ -60,7 +60,13 @@ def daily_rollup_stream(
         .agg(
             F.count("*").alias("n_events"),
             F.approx_count_distinct("user_id").alias("approx_users"),
-            F.sum("value").alias("total_value"),
+            # decimal-exact sum (the repo's dsum convention): double
+            # accumulation order differs between incremental micro-batch
+            # merges and a one-pass batch, so a raw double SUM would break
+            # stream/batch bit-parity (caught by tools/stream_sim.py)
+            F.sum(F.col("value").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").alias("day_start"),

@@ -136,6 +136,20 @@ def test_connected_components_empty_pairs(spark):
     assert connected_components(pairs).count() == 0
 
 
+def test_connected_components_long_chain_converges(spark):
+    # 60-node chain (diameter 59): plain min-propagation would need 59
+    # rounds and trip max_iter=25; the pointer-doubling shortcut closes it
+    # in O(log n) rounds (round-5 verdict hardening item).
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "id_a long, id_b long"
+    )
+    labels = {
+        r.id: r.comp
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert labels == {i: 1 for i in range(1, 61)}
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     # a 6-node chain has diameter 5; max_iter=2 cannot reach the fixpoint.
     # driver_threshold=0 forces the distributed loop (union-find has no

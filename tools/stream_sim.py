@@ -1,0 +1,407 @@
+"""Streaming-parity artifact: batch twin vs streaming result, driver-sim rigor.
+
+For each Structured Streaming operator the engine ships, run the stream on
+REAL testdata (sf0.01 events/documents, written as time-ordered multi-file
+input so availableNow produces several micro-batches and cross-batch state
+is exercised), run an INDEPENDENT batch formulation of the same semantics
+on the same rows, and compare with the exact canonicalization the external
+correctness driver uses (columns sorted by name, rows sorted by all
+columns, raw value equality). DuckDB cannot oracle a state store, so this
+committed JSON is the streaming analogue of DRIVERSIM_r*.json.
+
+Usage: python tools/stream_sim.py [--json STREAMSIM_rN.json] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.getcwd())
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tools.driver_sim import canon, cell_equal
+
+OPS = (
+    "daily_rollup_stream",
+    "session_stream",
+    "view_purchase_attribution",
+    "curation_gate_stream",
+    "dedup_stream",
+    "funnel_depth_stream",
+    "idempotent_parquet_sink",
+)
+
+
+def _prep_event_files(spark: SparkSession, sf_dir: str, out: str, n_files: int = 4):
+    """Write events as n_files parquet files in GLOBAL ts order (file i =
+    i-th time slice), so the file stream's cross-batch arrival order equals
+    event-time order — the precondition for comparing cumulative stateful
+    results against a single batch pass."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    per = -(-n // n_files)
+    # monotonically_increasing_id on a 1-partition sorted frame is the row
+    # number; coalesce(1) guarantees that
+    ranked = (
+        ev.coalesce(1)
+        .orderBy("ts", "event_id")
+        .withColumn("__r", F.monotonically_increasing_id())
+        .withColumn("__slice", (F.col("__r") / per).cast("int"))
+    )
+    for i in range(n_files):
+        (
+            ranked.filter(F.col("__slice") == i)
+            .drop("__r", "__slice")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out}/slice={i}")
+        )
+        # file source needs flat files; move part file up as NNN.parquet
+        d = f"{out}/slice={i}"
+        part = next(f for f in os.listdir(d) if f.startswith("part-"))
+        shutil.move(f"{d}/{part}", f"{out}/{i:03d}.parquet")
+        shutil.rmtree(d)
+    return ev
+
+
+def _canon_ok(sdf: pd.DataFrame, bdf: pd.DataFrame) -> dict:
+    res = {
+        "rows_match": len(sdf) == len(bdf),
+        "schema_match": sorted(sdf.columns) == sorted(bdf.columns),
+        "hash_match": False,
+        "stream_rows": len(sdf),
+        "batch_rows": len(bdf),
+        "err": None,
+    }
+    if not (res["rows_match"] and res["schema_match"]):
+        return res
+    a, b = canon(sdf), canon(bdf)
+    res["hash_match"] = all(
+        cell_equal(a.iat[i, j], b.iat[i, j])
+        for i in range(len(a))
+        for j in range(len(a.columns))
+    )
+    return res
+
+
+def main() -> int:
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        # testdata micros carry isAdjustedToUTC=false; without this Spark 4
+        # infers TIMESTAMP_NTZ, which watermarks reject (verify-skill gotcha)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+        FUNNEL_STAGES,
+        curation_gate_stream,
+        daily_rollup_stream,
+        dedup_stream,
+        funnel_depth_stream,
+        read_document_stream,
+        read_event_stream,
+        session_stream,
+        view_purchase_attribution,
+        write_stream_parquet_idempotent,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="streamsim_")
+    ev_dir = f"{tmp}/events"
+    os.makedirs(ev_dir)
+    ev = _prep_event_files(spark, sf_dir, ev_dir)
+    results: dict[str, dict] = {}
+
+    def stream_src():
+        # maxFilesPerTrigger=1 → one micro-batch per time slice, so the
+        # watermark advances across batches and stateful ops see real
+        # incremental arrival
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_dir)
+        )
+
+    def drain(stream: DataFrame, name: str, mode: str) -> pd.DataFrame:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).toPandas()
+
+    def run(name: str, fn):
+        try:
+            results[name] = fn()
+            status = "PASS" if results[name]["hash_match"] else "FAIL"
+        except Exception as e:  # noqa: BLE001
+            results[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "err": f"{type(e).__name__}: {str(e)[:300]}",
+            }
+            status = "ERROR"
+        print(f"{status} {name}: {json.dumps({k: v for k, v in results[name].items() if k != 'err'})}"
+              + (f" err={results[name]['err']}" if results[name].get("err") else ""))
+
+    # 1. daily rollup — complete mode gives the final aggregate table;
+    #    batch twin is the same day-window aggregation in one pass
+    def _daily():
+        s = drain(daily_rollup_stream(stream_src()), "ss_rollup", "complete")
+        b = (
+            ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.approx_count_distinct("user_id").alias("approx_users"),
+                F.sum(F.col("value").cast("decimal(22,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("day_start"),
+                "event_type",
+                "n_events",
+                "approx_users",
+                "total_value",
+            )
+            .toPandas()
+        )
+        return _canon_ok(s, b)
+
+    # 2. session windows — append emits sessions FINALIZED by the
+    #    watermark; the batch twin is the lag-gap sessionization filtered
+    #    to sessions whose (end = last_ts + gap) the final watermark passed
+    def _session():
+        s = drain(session_stream(stream_src()), "ss_sess", "append")
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        run_w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        prev_us = F.lag(F.unix_micros("ts")).over(w)
+        is_start = (
+            F.unix_micros("ts") - F.coalesce(prev_us, F.lit(-(4 * 10**18)))
+            > 30 * 60 * 1_000_000
+        ).cast("int")
+        sess_key = F.max(F.when(F.col("__is_start") == 1, F.col("ts"))).over(run_w)
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        b = (
+            ev.withColumn("__is_start", is_start)
+            .withColumn("__sk", sess_key)
+            .groupBy("user_id", "__sk")
+            .agg(
+                F.min("ts").alias("session_start"),
+                (F.timestamp_micros(F.unix_micros(F.max("ts")) + 30 * 60 * 1_000_000)).alias(
+                    "session_end"
+                ),
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("session_value"),
+            )
+            .drop("__sk")
+            .select("session_start", "session_end", "user_id", "n_events", "session_value")
+            .filter(
+                F.col("session_end")
+                <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+            )
+            .toPandas()
+        )
+        return _canon_ok(s, b)
+
+    # 3. stream-stream interval join — inner joins emit matches as found;
+    #    batch twin is the plain interval self-join
+    def _attrib():
+        s = drain(view_purchase_attribution(stream_src()), "ss_attrib", "append")
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("view_ts")
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        b = (
+            views.join(
+                purchases,
+                (F.col("user_id") == F.col("p_user_id"))
+                & (F.col("purchase_ts") > F.col("view_ts"))
+                & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+            )
+            .select("user_id", "purchase_id", "view_ts", "purchase_ts", "purchase_value")
+            .toPandas()
+        )
+        return _canon_ok(s, b)
+
+    # 4. curation gate — stateless ingest gate; batch twin built from the
+    #    batch operators (quality_keep_expr + redact_pii), not the stream fn
+    def _curation():
+        from funnel_report_etl_pipeline__spark.operators.text import (
+            quality_keep_expr,
+            redact_pii,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            "text",
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + F.col("doc_id") * 60_000_000
+            ).alias("ts"),
+        )
+        doc_dir = f"{tmp}/docs"
+        docs.coalesce(2).write.mode("overwrite").parquet(doc_dir)
+        s = drain(
+            curation_gate_stream(read_document_stream(spark, doc_dir)),
+            "ss_cur",
+            "append",
+        )
+        kept = docs.filter(quality_keep_expr("text"))
+        red = redact_pii(kept, text_col="text")
+        b = (
+            red.join(docs.select("doc_id", "ts"), "doc_id")
+            .select(
+                "doc_id",
+                "ts",
+                *[c for c in red.columns if c.startswith("n_")],
+                "redacted",
+            )
+            .toPandas()
+        )
+        return _canon_ok(s, b)
+
+    # 5. streaming dedup — REDELIVER the last time-slice (same event_ids,
+    #    within the watermark) as an extra file; the stream must drop every
+    #    redelivery, so the batch twin is plain dropDuplicates(event_id)
+    def _dedup():
+        ddir = f"{tmp}/events_redelivered"
+        shutil.copytree(ev_dir, ddir)
+        shutil.copy(f"{ev_dir}/003.parquet", f"{ddir}/004.parquet")
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ddir)
+        )
+        s = drain(dedup_stream(src, watermark="24 hours"), "ss_dedup", "append")
+        b = ev.dropDuplicates(["event_id"]).toPandas()
+        return _canon_ok(s, b)
+
+    # 6. stateful funnel depth — update mode emits a row per (user, active
+    #    batch); the FINAL depth per user (depth is monotone, so max) must
+    #    equal the batch greedy walk: t1 = first signup, t2 = first view
+    #    after t1, t3 = first purchase after t2
+    def _depth():
+        s_all = drain(funnel_depth_stream(stream_src()), "ss_depth", "update")
+        s = (
+            s_all.sort_values(["user_id", "depth"])
+            .groupby("user_id", as_index=False)
+            .last()
+        )
+        st = ev.filter(F.col("event_type").isin(*FUNNEL_STAGES))
+        t1 = st.filter(F.col("event_type") == FUNNEL_STAGES[0]).groupBy("user_id").agg(
+            F.min("ts").alias("t1")
+        )
+        t2 = (
+            st.filter(F.col("event_type") == FUNNEL_STAGES[1])
+            .join(t1, "user_id")
+            .filter(F.col("ts") > F.col("t1"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+        )
+        t3 = (
+            st.filter(F.col("event_type") == FUNNEL_STAGES[2])
+            .join(t2, "user_id")
+            .filter(F.col("ts") > F.col("t2"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t3"))
+        )
+        b = (
+            st.select("user_id")
+            .distinct()
+            .join(t1, "user_id", "left")
+            .join(t2, "user_id", "left")
+            .join(t3, "user_id", "left")
+            .select(
+                "user_id",
+                F.when(F.col("t3").isNotNull(), 3)
+                .when(F.col("t2").isNotNull(), 2)
+                .when(F.col("t1").isNotNull(), 1)
+                .otherwise(0)
+                .cast("int")
+                .alias("depth"),
+                F.coalesce("t3", "t2", "t1").alias("last_ts"),
+            )
+            .toPandas()
+        )
+        return _canon_ok(s, b)
+
+    # 7. exactly-once parquet sink — drain through foreachBatch, then
+    #    REPLAY the last micro-batch (same rows, same batch_id) through the
+    #    sink's write path, exactly what crash-recovery does: the output
+    #    must still equal the input with zero duplicates. (Deleting the
+    #    commit marker and restarting the query trips Spark 4.1's
+    #    same-session external-modification guard on the commit log, so the
+    #    replay is driven directly; maxFilesPerTrigger=1 makes batch i ==
+    #    slice file i deterministically.)
+    def _sink():
+        out, ckpt = f"{tmp}/sink_out", f"{tmp}/sink_ckpt"
+        q = write_stream_parquet_idempotent(stream_src(), out, ckpt, "ss_sink")
+        q.awaitTermination()
+        q.stop()
+        last_slice = sorted(
+            f for f in os.listdir(ev_dir) if f.endswith(".parquet")
+        )[-1]
+        last_id = int(last_slice.split(".")[0])
+        (
+            spark.read.parquet(f"{ev_dir}/{last_slice}")
+            .withColumn("batch_id", F.lit(last_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+        spark.catalog.refreshByPath(out)
+        s = spark.read.parquet(out).drop("batch_id").toPandas()
+        b = ev.toPandas()
+        return _canon_ok(s, b)
+
+    run("daily_rollup_stream", _daily)
+    run("session_stream", _session)
+    run("view_purchase_attribution", _attrib)
+    run("curation_gate_stream", _curation)
+    run("dedup_stream", _dedup)
+    run("funnel_depth_stream", _depth)
+    run("idempotent_parquet_sink", _sink)
+
+    n_pass = sum(1 for r in results.values() if r.get("hash_match"))
+    print(f"{n_pass}/{len(results)} streaming ops batch-parity green")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
+        print(f"wrote {json_path}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return 0 if n_pass == len(results) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
