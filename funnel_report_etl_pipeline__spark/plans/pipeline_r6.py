@@ -15,7 +15,7 @@ whole waterfall arithmetic is hash-verified against a DuckDB twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from funnel_report_etl_pipeline__spark.plans.registry import register
@@ -228,3 +228,429 @@ def entity_funnel_waterfall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     uf, ot, dc, fi = _entity_inputs(spark, sf_dir)
     return entity_funnel_metrics(uf, ot, dc, fi)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: incremental MV maintenance, multi-touch attribution,
+# vocabulary tokenization, fuzzy entity resolution, integer-scaled PageRank,
+# join-key skew profiling, percentile quality gating.
+# ---------------------------------------------------------------------------
+
+_CUTOFF = "2024-01-24"  # events span 2024-01-01..30 at every SF
+
+
+@register(
+    "incremental_daily_rollup",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, event_type
+    """,
+    tags=("pipeline-r6", "rollup", "incremental"),
+)
+def incremental_daily_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the day x type rollup is
+    computed as SNAPSHOT partials (ts < cutoff — in production, the stored
+    aggregate) merged with DELTA partials (ts >= cutoff — the newly landed
+    partition) by re-aggregating the partial rows, never rescanning
+    history. The oracle is the FULL recompute over all events — the
+    equivalence IS the correctness claim of incremental maintenance.
+    Counts merge by SUM; value totals are decimal partials (exact, so
+    partial-merge associativity holds bit-for-bit; a double partial would
+    make the merge order observable). At 100 TB this is the difference
+    between scanning one day and scanning the table: the snapshot is
+    day-partitioned parquet and only the delta day is read."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(day, "event_type").agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col("value").cast("decimal(22,6)")).alias("__v"),
+        )
+
+    snapshot = partial(ev.filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp")))
+    delta = partial(ev.filter(F.col("ts") >= F.lit(_CUTOFF).cast("timestamp")))
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("__n").cast("long").alias("n_events"),
+            F.sum("__v").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "linear_attribution",
+    oracle="""
+    WITH pv AS (
+      SELECT v.event_id AS view_id, v.user_id, p.event_id AS pid, p.value
+      FROM events v
+      JOIN events p
+        ON v.user_id = p.user_id
+       AND v.event_type = 'view' AND p.event_type = 'purchase'
+       AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ),
+    shares AS (
+      SELECT view_id, user_id, pid, value,
+             COUNT(*) OVER (PARTITION BY pid) AS nv
+      FROM pv
+    )
+    SELECT view_id, user_id,
+           CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value / nv AS DECIMAL(22,6))) AS DOUBLE) AS credit
+    FROM shares GROUP BY view_id, user_id
+    """,
+    tags=("pipeline-r6", "analytics", "attribution"),
+)
+def linear_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution — the companion to
+    `last_touch_attribution`: each purchase's value is divided equally
+    among the same user's views in the preceding hour, and each view
+    accumulates credit across every purchase it assisted. One user-keyed
+    interval self-join (the stream twin is `view_purchase_attribution`),
+    one purchase-grain count window, one view-grain re-aggregation. The
+    per-share division is a single IEEE double op; the SUM over shares
+    goes through decimal so credit totals are partitioning-independent."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    pv = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pts") > F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    nv = Window.partitionBy("pid")
+    shares = pv.withColumn("nv", F.count("*").over(nv))
+    return shares.groupBy("view_id", "user_id").agg(
+        F.count_distinct("pid").cast("long").alias("n_purchases"),
+        F.sum((F.col("value") / F.col("nv")).cast("decimal(22,6)"))
+        .cast("double")
+        .alias("credit"),
+    )
+
+
+_VOCAB_SIZE = 32
+_OOV_BUCKETS = 16
+
+
+@register(
+    "vocab_tokenize",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) s
+    ),
+    vocab AS (
+      SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) - 1 AS BIGINT) AS vid
+      FROM (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok)
+      ORDER BY cnt DESC, tok LIMIT {_VOCAB_SIZE}
+    ),
+    ids AS (
+      SELECT tok.doc_id, tok.pos,
+             COALESCE(v.vid, {_VOCAB_SIZE} +
+               strpos('0123456789abcdef', substr(md5(tok.tok), 1, 1)) - 1) AS tid,
+             v.vid IS NULL AS is_oov
+      FROM tok LEFT JOIN vocab v ON tok.tok = v.tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN is_oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           COALESCE(string_agg(CASE WHEN pos <= 20 THEN CAST(tid AS VARCHAR) END,
+                               ' ' ORDER BY pos), '') AS ids_head
+    FROM ids GROUP BY doc_id
+    """,
+    tags=("pipeline-r6", "text", "tokenize"),
+    bench=True,  # token-grain explode + broadcast map + grouped reassembly
+)
+def vocab_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived vocabulary tokenization — the id-mapping step of a
+    training-data pipeline: the top-{_VOCAB_SIZE} tokens by frequency
+    (count-desc, token-asc tie-break) become ids 0..V-1 and every
+    out-of-vocabulary token folds into one of 16 md5-derived hash buckets
+    (ids V..V+15) — the "hashing trick" fallback, engine-portable because
+    the bucket is a pure function of md5 hex. Per doc: token count, OOV
+    count, and the first 20 ids as a string (collections crash the gate's
+    canonicalizer). Vocabulary selection is TakeOrdered (top-k, no global
+    sort); the id join is a broadcast against token-grain rows — token
+    grain is inherent to tokenization, and the shuffle is one grouped
+    reassembly keyed by doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(_VOCAB_SIZE)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    vocab = vocab.withColumn("vid", (F.row_number().over(w) - 1).cast("long")).drop(
+        "cnt"
+    )
+    oov_bucket = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), 1, 1)) - 1
+    ).cast("long")
+    ids = tok.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("vid", F.lit(_VOCAB_SIZE) + oov_bucket).alias("tid"),
+        F.col("vid").isNull().alias("is_oov"),
+    )
+    return ids.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("is_oov").cast("int")).cast("long").alias("n_oov"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("pos", "tid"))), 1, 20
+                ),
+                lambda s: s["tid"].cast("string"),
+            ),
+            " ",
+        ).alias("ids_head"),
+    )
+
+
+@register(
+    "fuzzy_dedup_names",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, split_part(p_name, ' ', 2) AS noun,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    tags=("pipeline-r6", "dedup", "entity-resolution"),
+)
+def fuzzy_dedup_names_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution via blocked edit distance — the
+    string-world sibling of the embedding near-dup pass: distinct part
+    names are BLOCKED on their head noun (an equi-join key, so the
+    candidate set is per-block quadratic instead of corpus-quadratic —
+    the same blocking argument as MinHash bands) and candidate pairs
+    within a block are kept when Levenshtein <= 3. Distance runs on the
+    deduplicated NAME table, not the row-grain part table: at 100 TB the
+    name cardinality is what matters, and the edit-distance compute is
+    |block|² per block, never |corpus|²."""
+    part = _t(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .withColumn("noun", F.element_at(F.split("p_name", " "), 2))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("noun"),
+        F.col("n_parts").alias("n_parts_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("noun"),
+        F.col("n_parts").alias("n_parts_b"),
+    )
+    return (
+        a.join(b, ["noun"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+    )
+
+
+_PR_TOTAL = 10**12
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    header = f"""
+    WITH co AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM co GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    r0 AS (SELECT src AS id, {_PR_TOTAL} // n.n AS r FROM deg, n)
+    """
+    step = """,
+    r{i1} AS (
+      SELECT d.src AS id,
+             (15 * ({total} // n.n)) // 100
+             + (85 * COALESCE(s.contrib, 0)) // 100 AS r
+      FROM deg d
+      CROSS JOIN n
+      LEFT JOIN (
+        SELECT co.dst AS id, CAST(SUM(r{i0}.r // deg.deg) AS BIGINT) AS contrib
+        FROM co JOIN r{i0} ON co.src = r{i0}.id JOIN deg ON co.src = deg.src
+        GROUP BY co.dst
+      ) s ON s.id = d.src
+    )
+    """
+    body = "".join(
+        step.format(i0=i, i1=i + 1, total=_PR_TOTAL) for i in range(_PR_ITERS)
+    )
+    return (
+        header
+        + body
+        + f"SELECT id AS part_id, CAST(r AS BIGINT) AS rank_u FROM r{_PR_ITERS}"
+    )
+
+
+@register(
+    "pagerank_coorder",
+    oracle=_pagerank_oracle(),
+    tags=("pipeline-r6", "graph", "iterative"),
+    bench=True,  # the iterative-join headliner (3 chained edge joins)
+)
+def pagerank_coorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-order graph (parts are linked when they
+    appear in the same order), {_PR_ITERS} fixed iterations, damping 0.85.
+    All arithmetic is INTEGER-SCALED (total mass 10^12, integer division
+    for the degree split and damping) so every iteration is exact and
+    associative — the floating-point formulation would make the result
+    depend on summation order and be un-oracle-able; the rank ordering is
+    what the score is for, and micro-unit truncation cannot reorder ranks
+    separated by > iters ulps. Per iteration: one edges⋈ranks equi-join +
+    one grouped sum — the same shuffle-bounded shape as
+    `connected_components`, and like it the edge list is the only
+    corpus-sized frame. Nodes are parts with at least one co-order
+    neighbor (dangling parts have no edges and are excluded, documented).
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    co = co.localCheckpoint()  # reused every iteration
+    deg = co.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    n = deg.count()  # node count: bounded by |part| — a write-planning scalar
+    base = F.lit(15 * (_PR_TOTAL // n) // 100).cast("long")
+    ranks = deg.select(F.col("src").alias("id"), F.lit(_PR_TOTAL // n).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            co.join(ranks, co.src == ranks.id)
+            .join(deg, "src")
+            .select("dst", F.expr("r DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("contrib"))
+        )
+        ranks = (
+            deg.select("src")
+            .join(contrib, deg.src == contrib.dst, "left")
+            .select(
+                F.col("src").alias("id"),
+                (base + F.expr("85 * coalesce(contrib, 0) DIV 100")).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(F.col("id").alias("part_id"), F.col("r").alias("rank_u"))
+
+
+@register(
+    "skew_key_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM c)
+    SELECT user_id, n_events,
+           CAST(n_events AS DOUBLE) / total AS share,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS rnk
+    FROM c, tot
+    ORDER BY n_events DESC, user_id LIMIT 20
+    """,
+    tags=("pipeline-r6", "ops", "skew"),
+)
+def skew_key_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the top-20 heaviest keys of a prospective
+    join/aggregation key (events.user_id) with their absolute counts and
+    corpus share — the diagnostic that decides between plain hash join,
+    AQE skew handling, and explicit salting (`functions/skew.py`). One
+    grouped count, a 1-row broadcast total, and a TakeOrdered top-k; the
+    share is a single double division (deterministic, no accumulated
+    float order)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("n_events"))
+    tot = c.agg(F.sum("n_events").cast("long").alias("total"))
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("n_events").cast("double") / F.col("total"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .select("user_id", "n_events", "share", "rnk")
+    )
+
+
+@register(
+    "doc_length_percentile_gate",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(n_chars, 0.25) AS lo, quantile_cont(n_chars, 0.99) AS hi
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars >= lo AND n_chars <= hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           lo AS p25_chars, hi AS p99_chars
+    FROM documents, b
+    GROUP BY source, lo, hi
+    """,
+    tags=("pipeline-r6", "curation", "quality"),
+)
+def doc_length_percentile_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bounded length gate: corpus-global p25/p99 of document
+    char length become the keep-window, reported per source — the
+    adaptive version of a fixed min/max length filter (C4 uses fixed
+    bounds; adaptive bounds survive corpus drift without re-tuning).
+    Spark exact `percentile` pairs with DuckDB `quantile_cont` (both
+    linear interpolation — the `median_order_gap` pattern); the 1-row
+    bounds frame broadcasts into the per-source scan."""
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.99)).alias("hi"),
+    )
+    kept = F.when(
+        (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")), 1
+    ).otherwise(0)
+    return (
+        docs.crossJoin(F.broadcast(b))
+        .groupBy("source", "lo", "hi")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.col("lo").alias("p25_chars"),
+            F.col("hi").alias("p99_chars"),
+        )
+    )

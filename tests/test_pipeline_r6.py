@@ -1,0 +1,184 @@
+"""Round-6 operators: planted-fixture behavior tests (oracle parity is
+covered by driver_sim / CORRECTNESS; these pin the semantics on inputs
+where the right answer is computable by hand)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.plans.registry import load_all
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all()
+
+
+def _write_sf(spark, tmp_path_factory, name: str, frames: dict):
+    d = tmp_path_factory.mktemp(name)
+    for t, df in frames.items():
+        df.coalesce(1).write.mode("overwrite").parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+T0 = datetime(2024, 1, 10, 12, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_linear_attribution_splits_evenly(spark, specs, tmp_path_factory):
+    # two views 10 and 20 min before one 90.0 purchase -> 45.0 credit each;
+    # a view 2h before is outside the window and gets nothing
+    rows = [
+        (1, datetime(2024, 1, 10, 10, 0), 7, "view", 1.0),
+        (2, datetime(2024, 1, 10, 11, 40), 7, "view", 1.0),
+        (3, datetime(2024, 1, 10, 11, 50), 7, "view", 1.0),
+        (4, T0, 7, "purchase", 90.0),
+    ]
+    sf = _write_sf(spark, tmp_path_factory, "attr", {"events": _ev(spark, rows)})
+    out = {r.view_id: r for r in specs["linear_attribution"].fn(spark, sf).collect()}
+    assert set(out) == {2, 3}
+    assert out[2].credit == 45.0 and out[3].credit == 45.0
+    assert out[2].n_purchases == 1
+
+
+def test_incremental_rollup_equals_full_recompute(spark, specs, tmp_path_factory):
+    # rows straddle the 2024-01-24 cutoff; the merged partials must equal a
+    # direct groupBy over everything
+    rows = [
+        (i, datetime(2024, 1, d, 1, 0), 1, t, float(i))
+        for i, (d, t) in enumerate(
+            [(20, "view"), (20, "view"), (23, "click"), (24, "view"), (25, "view"), (25, "click")]
+        )
+    ]
+    sf = _write_sf(spark, tmp_path_factory, "roll", {"events": _ev(spark, rows)})
+    inc = {
+        (r.day, r.event_type): (r.n_events, r.total_value)
+        for r in specs["incremental_daily_rollup"].fn(spark, sf).collect()
+    }
+    full = {
+        (r.day, r.event_type): (r.n, r.v)
+        for r in _ev(spark, rows)
+        .groupBy(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("v"),
+        )
+        .collect()
+    }
+    assert inc == full and ("2024-01-25", "view") in inc
+
+
+def test_vocab_tokenize_ids_and_oov(spark, specs, tmp_path_factory):
+    # 'a' dominates -> vid 0; 'b' -> vid 1 ... OOV ids are >= 32
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b zzz", "en", "s", 11),
+            (2, "a b b c qqq", "en", "s", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "vocab", {"documents": docs})
+    out = {r.doc_id: r for r in specs["vocab_tokenize"].fn(spark, sf).collect()}
+    assert out[1].n_tokens == 5 and out[1].n_oov == 0  # vocab holds all 5 distinct? no:
+    # vocab size 32 >> 5 distinct tokens, so nothing is OOV in this corpus
+    ids1 = out[1].ids_head.split(" ")
+    ids2 = out[2].ids_head.split(" ")
+    # 'a' is the most frequent token -> id 0; doc1 = a a a b zzz
+    assert ids1[:3] == ["0", "0", "0"]
+    # same token -> same id across docs
+    assert ids1[3] == ids2[1]  # 'b'
+    assert all(int(i) < 32 for i in ids1 + ids2)
+
+
+def test_vocab_tokenize_oov_buckets_deterministic(spark, specs, tmp_path_factory):
+    # 33+ distinct tokens forces OOV; OOV ids land in [32, 48) and are a
+    # pure function of the token (same token -> same bucket in both docs)
+    toks = [f"t{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(toks), "en", "s", 100),
+            (2, " ".join(reversed(toks)), "en", "s", 100),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "vocab2", {"documents": docs})
+    out = {r.doc_id: r for r in specs["vocab_tokenize"].fn(spark, sf).collect()}
+    assert out[1].n_oov == out[2].n_oov == 8  # 40 distinct, 32 in vocab
+    ids1 = [int(x) for x in out[1].ids_head.split(" ")]
+    assert all(0 <= i < 48 for i in ids1)
+
+
+def test_fuzzy_dedup_names_blocked_pairs(spark, specs, tmp_path_factory):
+    part = spark.createDataFrame(
+        [
+            (1, "red plate", "B", "T", 1, 1.0),
+            (2, "hot plate", "B", "T", 1, 1.0),
+            (3, "red plate", "B", "T", 1, 1.0),
+            (4, "red widget", "B", "T", 1, 1.0),  # other block
+            (5, "crimson plate", "B", "T", 1, 1.0),  # dist 7 from red plate
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size long, p_retailprice double",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "fuzzy", {"part": part})
+    rows = specs["fuzzy_dedup_names"].fn(spark, sf).collect()
+    pairs = {(r.name_a, r.name_b): r for r in rows}
+    assert set(pairs) == {("hot plate", "red plate")}
+    r = pairs[("hot plate", "red plate")]
+    assert r.dist == 3 and r.n_parts_a == 1 and r.n_parts_b == 2
+
+
+def test_pagerank_coorder_hub_outranks_leaf(spark, specs, tmp_path_factory):
+    # star: part 1 co-ordered with 2,3,4 (three 2-item orders) -> hub 1
+    # must outrank every leaf; ranks are exact integers and identical
+    # across leaves by symmetry
+    li = spark.createDataFrame(
+        [
+            (10, 1), (10, 2),
+            (11, 1), (11, 3),
+            (12, 1), (12, 4),
+        ],
+        "l_orderkey long, l_partkey long",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "1 l_suppkey", "1 l_linenumber",
+        "1.0 l_quantity", "1.0 l_extendedprice", "0.0 l_discount", "0.0 l_tax",
+        "'A' l_returnflag", "'F' l_linestatus", "DATE'2024-01-01' l_shipdate",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "pr", {"lineitem": li})
+    ranks = {r.part_id: r.rank_u for r in specs["pagerank_coorder"].fn(spark, sf).collect()}
+    assert set(ranks) == {1, 2, 3, 4}
+    assert ranks[2] == ranks[3] == ranks[4]
+    assert ranks[1] > ranks[2]
+    # integer mass stays near total (truncation only loses ulps)
+    assert abs(sum(ranks.values()) - 10**12) < 10**7
+
+
+def test_skew_profile_orders_and_share(spark, specs, tmp_path_factory):
+    rows = [(i, T0, 1 if i < 6 else i, "view", 1.0) for i in range(10)]
+    sf = _write_sf(spark, tmp_path_factory, "skew", {"events": _ev(spark, rows)})
+    out = specs["skew_key_profile"].fn(spark, sf).collect()
+    assert out[0].user_id == 1 and out[0].n_events == 6 and out[0].rnk == 1
+    assert abs(out[0].share - 0.6) < 1e-12
+
+
+def test_percentile_gate_bounds(spark, specs, tmp_path_factory):
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "s", 100 + i) for i in range(100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "gate", {"documents": docs})
+    r = specs["doc_length_percentile_gate"].fn(spark, sf).collect()[0]
+    assert r.n_docs == 100
+    # p25 of 100..199 = 124.75, p99 = 198.01 -> kept = 125..198 = 74
+    assert r.n_kept == 74
+    assert abs(r.p25_chars - 124.75) < 1e-9 and abs(r.p99_chars - 198.01) < 1e-9
