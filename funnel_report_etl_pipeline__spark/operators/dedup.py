@@ -849,7 +849,11 @@ def dup_span_dedup(
     )
     gmin = g.groupBy("h").agg(F.min("id").alias("min_id"))
     starts = (
-        g.join(gmin, "h")
+        # gram-grain ⋈ gram-grain: force a shuffled join — gmin is
+        # corpus-sized, so broadcasting it (which a generous
+        # autoBroadcastJoinThreshold will happily pick at bench scale) is
+        # wrong at every scale that matters
+        g.join(gmin.hint("shuffle_hash"), "h")
         .filter(F.col("id") > F.col("min_id"))
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.col("p0") + 1)).alias("ss"))

@@ -535,7 +535,15 @@ def pagerank_coorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized frame. Nodes are parts with at least one co-order
     neighbor (dangling parts have no edges and are excluded, documented).
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # explicit repartition on the join key: the testdata file yields 3
+    # scan tasks, which would serialize the self-join + distinct (7.3 s →
+    # 2.3 s measured at sf0.1); on a cluster the same repartition is what
+    # co-locates the order groups
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(32, "l_orderkey")
+    )
     a = li.alias("a")
     b = li.alias("b")
     co = (
@@ -551,11 +559,21 @@ def pagerank_coorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = deg.count()  # node count: bounded by |part| — a write-planning scalar
     base = F.lit(15 * (_PR_TOTAL // n) // 100).cast("long")
     ranks = deg.select(F.col("src").alias("id"), F.lit(_PR_TOTAL // n).cast("long").alias("r"))
+    # per-share table: node-grain (|V| rows). Joining it BROADCAST into the
+    # edge frame keeps every iteration map-side over the edges — the only
+    # shuffle is the partial-aggregated contribution sum (combiner reduces
+    # edge-grain to node-grain before the wire). The edge frame itself must
+    # never be the broadcast side (AQE with a generous threshold picks
+    # exactly that and OOMs the driver); with |V| too big to broadcast,
+    # swap F.broadcast for a shuffle_hash hint — plan shape otherwise
+    # unchanged.
     for _ in range(_PR_ITERS):
+        share = (
+            ranks.join(deg, ranks.id == deg.src)
+            .select(F.col("id").alias("src"), F.expr("r DIV deg").alias("c"))
+        )
         contrib = (
-            co.join(ranks, co.src == ranks.id)
-            .join(deg, "src")
-            .select("dst", F.expr("r DIV deg").alias("c"))
+            co.join(F.broadcast(share), "src")
             .groupBy("dst")
             .agg(F.sum("c").cast("long").alias("contrib"))
         )
