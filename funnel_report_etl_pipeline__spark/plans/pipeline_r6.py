@@ -672,3 +672,159 @@ def doc_length_percentile_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hi").alias("p99_chars"),
         )
     )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_custkey, o_orderstatus, o_totalprice,
+                           o_orderdate, o_orderpriority)) AS h
+      FROM orders WHERE o_orderkey % 1000 <> 0
+    ),
+    b AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_custkey, o_orderstatus,
+                           CASE WHEN o_orderkey % 7 = 0
+                                THEN o_totalprice + 1 ELSE o_totalprice END,
+                           o_orderdate, o_orderpriority)) AS h
+      FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows FROM (
+      SELECT CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.h <> b.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+    ) GROUP BY status
+    """,
+    tags=("pipeline-r6", "cdc", "diff"),
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the CDC audit between two table versions: rows are
+    keyed and content-hashed (md5 over a canonical column concat), the
+    two snapshots full-outer-join on the key, and every row classifies as
+    added / removed / changed / unchanged. The two "versions" here are
+    deterministic slices of orders (version B drops key%13 rows, adds
+    key%1000 rows back, perturbs price on key%7) so all four classes are
+    populated. At 100 TB: both sides bucket/partition on the key, the
+    join is co-located, and only (key, hash) ever shuffles — the content
+    hash travels instead of the row. One summary row per class."""
+    o = _t(spark, sf_dir, "orders")
+
+    def snap(df: DataFrame, price) -> DataFrame:
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    "o_custkey",
+                    "o_orderstatus",
+                    price,
+                    F.col("o_orderdate").cast("string"),
+                    "o_orderpriority",
+                )
+            ).alias("h"),
+        )
+
+    a = snap(
+        o.filter(F.col("o_orderkey") % 1000 != 0), F.col("o_totalprice")
+    )
+    b = snap(
+        o.filter(F.col("o_orderkey") % 13 != 0),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    aa = a.select(F.col("k").alias("ak"), F.col("h").alias("ah"))
+    bb = b.select(F.col("k").alias("bk"), F.col("h").alias("bh"))
+    status = (
+        F.when(F.col("ak").isNull(), "added")
+        .when(F.col("bk").isNull(), "removed")
+        .when(F.col("ah") != F.col("bh"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        aa.join(bb, aa.ak == bb.bk, "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+
+
+@register(
+    "triangle_count",
+    oracle="""
+    WITH co AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS id FROM co UNION ALL SELECT v AS id FROM co
+      ) GROUP BY id
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM co e1 JOIN co e2 ON e1.v = e2.u JOIN co e3
+        ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM co) AS n_edges,
+           tri.n_triangles,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges
+    FROM tri
+    """,
+    tags=("pipeline-r6", "graph"),
+)
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle + wedge census of the part co-order graph — the global
+    clustering measurement (3·triangles / wedges) behind community /
+    bundle detection. Edges are canonical (u < v), so each triangle is
+    counted exactly once by the two-hop join e1(u,v)⋈e2(v,w)⋈e3(u,w) —
+    the standard distributed triangle enumeration; at scale the e1⋈e2
+    two-hop frame is bounded by Σ deg² and the degree-ordered canonical
+    direction keeps hub fan-outs from exploding (TPC-H orders cap clique
+    size at lines-per-order). Wedges are a degree aggregate, exact
+    integers throughout."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(32, "l_orderkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    co = co.localCheckpoint()
+    deg = (
+        co.select(F.col("u").alias("id"))
+        .unionByName(co.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    e1 = co.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = co.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = co.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3.hint("shuffle_hash"), ["x", "z"])
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    edges = co.agg(F.count("*").cast("long").alias("n_edges"))
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges")
+    )
+    return (
+        nodes.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .select("n_nodes", "n_edges", "n_triangles", "n_wedges")
+    )

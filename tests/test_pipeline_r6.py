@@ -182,3 +182,40 @@ def test_percentile_gate_bounds(spark, specs, tmp_path_factory):
     # p25 of 100..199 = 124.75, p99 = 198.01 -> kept = 125..198 = 74
     assert r.n_kept == 74
     assert abs(r.p25_chars - 124.75) < 1e-9 and abs(r.p99_chars - 198.01) < 1e-9
+
+
+def test_snapshot_diff_classes(spark, specs, tmp_path_factory):
+    # keys 1..30 + 1000: B drops %13 (13, 26), A drops %1000 (key 1000),
+    # price changes on %7 (7, 14, 21, 28 — all present in both snapshots)
+    rows = [
+        (k, 1, "O", 100.0, datetime(2024, 1, 1).date(), "1-URGENT")
+        for k in list(range(1, 31)) + [1000]
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "diff", {"orders": orders})
+    out = {r.status: r.n_rows for r in specs["snapshot_diff"].fn(spark, sf).collect()}
+    assert out["added"] == 1  # key 1000 only in B
+    assert out["removed"] == 2  # 13, 26
+    assert out["changed"] == 4  # 7, 14, 21, 28
+    assert out["unchanged"] == 30 - 2 - 4
+
+
+def test_triangle_count_known_graph(spark, specs, tmp_path_factory):
+    # order 1 = {1,2,3} -> triangle; order 2 = {3,4} -> extra edge, no
+    # new triangle. nodes 4, edges 4, triangles 1; wedges: deg 1:2 2:2
+    # 3:3 4:1 -> 1+1+3+0 = 5
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4)],
+        "l_orderkey long, l_partkey long",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "1 l_suppkey", "1 l_linenumber",
+        "1.0 l_quantity", "1.0 l_extendedprice", "0.0 l_discount", "0.0 l_tax",
+        "'A' l_returnflag", "'F' l_linestatus", "DATE'2024-01-01' l_shipdate",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "tri", {"lineitem": li})
+    r = specs["triangle_count"].fn(spark, sf).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 4, 1, 5)
