@@ -105,16 +105,9 @@ _WINDOW: tuple[str, ...] = (
     # LLM-data-pipeline core still in rotation (fewest external rows)
     "dedup_exact",
     "multimodal_features",
-    # round-4 pipeline-ext surface (rotated in round 5; one external row)
-    "cdc_chunk_dedup",
-    "semantic_dedup_clusters",
-    "curation_funnel",
-    "scd2_history",
-    "latest_state_compaction",
-    "time_to_convert",
-    "retention_cohorts",
-    "incremental_dedup",
-    "winnow_fingerprints",
+    # round-4 pipeline-ext representative (the other nine hold external
+    # green rows in CORRECTNESS_r05.json and rotate out for the round-6
+    # additions below)
     "temperature_source_sample",
     # round-5 surface, first rotation (one external row)
     "quality_classifier",
@@ -140,8 +133,18 @@ _WINDOW: tuple[str, ...] = (
     "per_source_holdout",
     "column_stats_orders",
     "train_val_test_split",
-    # round-6 additions
+    # round-6 additions (zero external rows yet — rotated in so every
+    # registered query's first external green row lands ASAP)
     "entity_funnel_waterfall",
+    "incremental_daily_rollup",
+    "linear_attribution",
+    "vocab_tokenize",
+    "fuzzy_dedup_names",
+    "pagerank_coorder",
+    "skew_key_profile",
+    "doc_length_percentile_gate",
+    "snapshot_diff",
+    "triangle_count",
     # relational headliners
     "pricing_summary",
     "join_equi",

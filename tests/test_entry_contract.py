@@ -85,6 +85,11 @@ def test_driver_window_composition_pinned():
         "dedup_clusters", "decontaminate_ngrams", "chunk_dedup",
         "pii_redaction", "quantize_embeddings", "shard_shuffle",
         "gram_novelty",
+        # rotated out in round 6 for the nine round-6 additions (each
+        # holds an external green row in CORRECTNESS_r05.json)
+        "cdc_chunk_dedup", "semantic_dedup_clusters", "curation_funnel",
+        "scd2_history", "latest_state_compaction", "time_to_convert",
+        "retention_cohorts", "incremental_dedup", "winnow_fingerprints",
     }
     assert rotated_out <= set(mod.queries()) - set(window)
     # round-6 rotation: the 15 previously sim-only round-5 queries plus the
@@ -95,6 +100,9 @@ def test_driver_window_composition_pinned():
         "bounce_rate_daily", "event_transition_matrix", "weekly_revenue_wow",
         "median_order_gap", "top_session_paths", "source_drift_l1",
         "per_source_holdout", "column_stats_orders", "train_val_test_split",
-        "entity_funnel_waterfall",
+        "entity_funnel_waterfall", "incremental_daily_rollup",
+        "linear_attribution", "vocab_tokenize", "fuzzy_dedup_names",
+        "pagerank_coorder", "skew_key_profile", "doc_length_percentile_gate",
+        "snapshot_diff", "triangle_count",
     }
     assert rotated_in_r6 <= set(window)
