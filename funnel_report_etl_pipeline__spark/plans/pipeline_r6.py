@@ -828,3 +828,265 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(wedges))
         .select("n_nodes", "n_edges", "n_triangles", "n_wedges")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (2 Lloyd iterations, integer-exact) — the semantic
+# clustering step of a curation pipeline (cluster-then-sample, dedup by
+# cluster, topic balance). All arithmetic is integer after a power-of-two
+# quantization, so assignment and centroid updates are bit-reproducible
+# regardless of partitioning/summation order on BOTH engines.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_SCALE = 1 << 20  # power of two: float->double * 2^20 is EXACT, floor too
+
+
+@register(
+    "kmeans_lloyd_clusters",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_KM_SCALE}) AS BIGINT) AS q
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) g
+    ),
+    c0 AS (SELECT vec_id AS cid, dim, q AS cq FROM q WHERE vec_id < {_KM_K}),
+    d1 AS (
+      SELECT q.vec_id, c0.cid, SUM((q.q - c0.cq) * (q.q - c0.cq)) AS dist2
+      FROM q JOIN c0 USING (dim) GROUP BY q.vec_id, c0.cid
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.cid, q.dim,
+             CAST(FLOOR(CAST(SUM(q.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+      FROM q JOIN a1 USING (vec_id) GROUP BY a1.cid, q.dim
+    ),
+    d2 AS (
+      SELECT q.vec_id, c1.cid, SUM((q.q - c1.cq) * (q.q - c1.cq)) AS dist2
+      FROM q JOIN c1 USING (dim) GROUP BY q.vec_id, c1.cid
+    ),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM d2) WHERE rn = 1
+    )
+    SELECT cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(vec_id) AS min_vec_id,
+           MAX(vec_id) AS max_vec_id
+    FROM a2 GROUP BY cid
+    """,
+    tags=("pipeline-r6", "clustering", "embedding"),
+)
+def kmeans_lloyd_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding corpus: 2 Lloyd iterations,
+    k=8, seeded by the k lowest vec_ids. Coordinates are quantized once by
+    floor(x·2^20) (power-of-two scale → the float→double multiply and the
+    floor are both EXACT, no rounding boundary anywhere), so distances are
+    bigint sums of squared integer diffs and centroid updates are integer
+    sums + one correctly-rounded double divide — every step is
+    order-independent, 1 core == 1000 executors, and the DuckDB twin
+    matches bit-for-bit. Assignment joins the (row-count × dim) long
+    frame against a k×dim centroid table: the centroid side is O(k·dim)
+    regardless of corpus size, so it BROADCASTS, and the only shuffles
+    are the per-vector argmin and the per-(cluster, dim) integer
+    re-aggregation — the classic scalable Lloyd step (centroids never
+    bottleneck on the driver beyond k·dim values). Ties in the argmin
+    break to the lowest centroid id on both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x").cast("double") * _KM_SCALE).cast("long").alias("q"),
+    )
+    q = q.localCheckpoint()  # reused by both assignments + the update
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = (
+            q.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist2")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+
+    c0 = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("q").alias("cq")
+    )
+    a1 = assign(c0)
+    c1 = (
+        q.join(a1, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(
+            F.floor(F.sum("q").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("cq")
+        )
+    )
+    a2 = assign(c1)
+    return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+
+
+@register(
+    "ks_drift_value",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END AS in_a
+      FROM events
+    ),
+    n AS (SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+                 CAST(SUM(1 - in_a) AS BIGINT) AS n_b FROM s),
+    g AS (SELECT value, CAST(SUM(in_a) AS BIGINT) AS a_cnt,
+                 CAST(SUM(1 - in_a) AS BIGINT) AS b_cnt
+          FROM s GROUP BY value),
+    c AS (SELECT
+            SUM(a_cnt) OVER (ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+            SUM(b_cnt) OVER (ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+          FROM g)
+    SELECT n_a, n_b,
+           CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
+           CAST(CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+                / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS DOUBLE)
+             AS ks_stat
+    FROM c, n GROUP BY n_a, n_b
+    """,
+    tags=("pipeline-r6", "drift", "stats"),
+)
+def ks_drift_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic on the continuous
+    `value` distribution, first half of the month vs second — the
+    continuous companion to `source_drift_l1`'s categorical L1. The KS
+    supremum is computed with an INTEGER numerator: at every distinct
+    observed value, |cumA·nB − cumB·nA| is exact bigint arithmetic, so
+    the max is engine- and partitioning-independent; only the final
+    normalization divides (one correctly-rounded double op). The ordered
+    CDF window runs over DISTINCT values (6.6k at sf0.01, bounded by
+    value cardinality, not row count); at 100 TB you'd range-partition
+    the prefix sum (two-pass: per-range subtotals, then offset join) —
+    the grouped pre-aggregation shrinking rows→distinct-values already
+    happens before the window here."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "value",
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("in_a"),
+    )
+    n = s.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("n_b"),
+    )
+    g = s.groupBy("value").agg(
+        F.sum("in_a").cast("long").alias("a_cnt"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("b_cnt"),
+    )
+    w = (
+        Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        F.sum("a_cnt").over(w).alias("cum_a"),
+        F.sum("b_cnt").over(w).alias("cum_b"),
+    )
+    num = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n_a", "n_b")
+        .agg(F.max(num).cast("long").alias("ks_num"))
+        .select(
+            "n_a",
+            "n_b",
+            "ks_num",
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("ks_stat"),
+        )
+    )
+
+
+@register(
+    "shipping_priority_topk",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("pipeline-r6", "relational", "join"),
+)
+def shipping_priority_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): the selective 3-way
+    customer⋈orders⋈lineitem join with filters on ALL THREE tables, then
+    top-10 unshipped orders by revenue. The plan the optimizer should
+    pick — and .explain confirms — is: push every filter to its scan,
+    BROADCAST the filtered customer keys into orders, then one shuffle
+    join on orderkey with partial aggregation below it; the TopK is a
+    TakeOrderedAndProject, never a global sort. Revenue sums in
+    decimal(22,4) (the `pricing_summary` pattern) so the double result
+    is identical under any partitioning; the LIMIT carries a full
+    (revenue DESC, o_orderdate, l_orderkey) tie-break so the selected
+    rows are engine-deterministic."""
+    cut = F.lit("1998-07-01 00:00:00").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(22,4)")
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )

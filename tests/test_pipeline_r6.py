@@ -219,3 +219,78 @@ def test_triangle_count_known_graph(spark, specs, tmp_path_factory):
     sf = _write_sf(spark, tmp_path_factory, "tri", {"lineitem": li})
     r = specs["triangle_count"].fn(spark, sf).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 4, 1, 5)
+
+
+def test_kmeans_planted_pairs(spark, specs, tmp_path_factory):
+    # 8 seed vectors far apart on the first axis; vec i+8 sits right next
+    # to seed i -> after 2 Lloyd iterations each cluster is exactly {i, i+8}
+    rows = [(i, [float(10 * i), 0.0], i) for i in range(8)] + [
+        (i + 8, [10.0 * i + 0.001, 0.0], i) for i in range(8)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = _write_sf(spark, tmp_path_factory, "km", {"embeddings": emb})
+    out = {r.cluster_id: r for r in specs["kmeans_lloyd_clusters"].fn(spark, sf).collect()}
+    assert set(out) == set(range(8))
+    for i in range(8):
+        assert out[i].n_members == 2
+        assert out[i].min_vec_id == i and out[i].max_vec_id == i + 8
+
+
+def test_ks_drift_disjoint_supports_is_one(spark, specs, tmp_path_factory):
+    # first-half values {1,2} and second-half values {3,4} never overlap,
+    # so the KS statistic is exactly 1 and the numerator is n_a * n_b
+    rows = [
+        (1, datetime(2024, 1, 10, 1, 0), 1, "view", 1.0),
+        (2, datetime(2024, 1, 11, 1, 0), 2, "view", 2.0),
+        (3, datetime(2024, 1, 20, 1, 0), 3, "view", 3.0),
+        (4, datetime(2024, 1, 21, 1, 0), 4, "view", 4.0),
+        (5, datetime(2024, 1, 22, 1, 0), 5, "view", 4.0),
+    ]
+    sf = _write_sf(spark, tmp_path_factory, "ks", {"events": _ev(spark, rows)})
+    [r] = specs["ks_drift_value"].fn(spark, sf).collect()
+    assert (r.n_a, r.n_b) == (2, 3)
+    assert r.ks_num == 6 and r.ks_stat == 1.0
+
+
+def test_shipping_priority_revenue_and_filters(spark, specs, tmp_path_factory):
+    from datetime import datetime as dt
+
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 0.0, "BUILDING"), (2, "b", 0, 0.0, "MACHINERY")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "O", 0.0, dt(1998, 1, 1), "1-URGENT"),   # qualifies
+            (11, 1, "O", 0.0, dt(1999, 1, 1), "2-HIGH"),     # orderdate too late
+            (12, 2, "O", 0.0, dt(1998, 1, 1), "3-MEDIUM"),   # wrong segment
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+    )
+    li = spark.createDataFrame(
+        [
+            (10, 1, 1, 1, 1.0, 100.0, 0.1, 0.0, "N", "O", dt(1998, 8, 1)),  # 90
+            (10, 2, 1, 2, 1.0, 50.0, 0.0, 0.0, "N", "O", dt(1998, 9, 1)),   # 50
+            (10, 3, 1, 3, 1.0, 999.0, 0.0, 0.0, "N", "O", dt(1998, 1, 2)),  # shipped
+            (11, 4, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", dt(1999, 8, 1)),
+            (12, 5, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", dt(1998, 8, 1)),
+        ],
+        li_schema,
+    )
+    sf = _write_sf(
+        spark, tmp_path_factory, "q3",
+        {"customer": cust, "orders": orders, "lineitem": li},
+    )
+    rows = specs["shipping_priority_topk"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0].l_orderkey == 10
+    assert rows[0].revenue == 140.0
+    assert rows[0].o_orderpriority == "1-URGENT"
