@@ -841,10 +841,10 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 8
 _KM_SCALE = 1 << 20  # power of two: float->double * 2^20 is EXACT, floor too
 
-
-@register(
-    "kmeans_lloyd_clusters",
-    oracle=f"""
+# Shared CTE chain: quantize -> seed centroids -> assign -> update -> assign.
+# Both kmeans oracles build on `a2` (final vec_id -> cid assignment) so the
+# cluster query and the balanced-sample query verify against ONE spec.
+_KM_CTES = f"""
     WITH q AS (
       SELECT vec_id, i - 1 AS dim,
              CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_KM_SCALE}) AS BIGINT) AS q
@@ -877,29 +877,13 @@ _KM_SCALE = 1 << 20  # power of two: float->double * 2^20 is EXACT, floor too
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
         FROM d2) WHERE rn = 1
     )
-    SELECT cid AS cluster_id,
-           CAST(COUNT(*) AS BIGINT) AS n_members,
-           MIN(vec_id) AS min_vec_id,
-           MAX(vec_id) AS max_vec_id
-    FROM a2 GROUP BY cid
-    """,
-    tags=("pipeline-r6", "clustering", "embedding"),
-)
-def kmeans_lloyd_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means over the embedding corpus: 2 Lloyd iterations,
-    k=8, seeded by the k lowest vec_ids. Coordinates are quantized once by
-    floor(x·2^20) (power-of-two scale → the float→double multiply and the
-    floor are both EXACT, no rounding boundary anywhere), so distances are
-    bigint sums of squared integer diffs and centroid updates are integer
-    sums + one correctly-rounded double divide — every step is
-    order-independent, 1 core == 1000 executors, and the DuckDB twin
-    matches bit-for-bit. Assignment joins the (row-count × dim) long
-    frame against a k×dim centroid table: the centroid side is O(k·dim)
-    regardless of corpus size, so it BROADCASTS, and the only shuffles
-    are the per-vector argmin and the per-(cluster, dim) integer
-    re-aggregation — the classic scalable Lloyd step (centroids never
-    bottleneck on the driver beyond k·dim values). Ties in the argmin
-    break to the lowest centroid id on both engines."""
+"""
+
+
+def _km_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame twin of ``_KM_CTES``: the (vec_id, cid) assignment after
+    2 Lloyd iterations. See ``kmeans_lloyd_clusters_q`` for the exactness
+    and scale argument."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "x")
@@ -940,7 +924,38 @@ def kmeans_lloyd_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cq")
         )
     )
-    a2 = assign(c1)
+    return assign(c1)
+
+
+@register(
+    "kmeans_lloyd_clusters",
+    oracle=_KM_CTES
+    + """
+    SELECT cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(vec_id) AS min_vec_id,
+           MAX(vec_id) AS max_vec_id
+    FROM a2 GROUP BY cid
+    """,
+    tags=("pipeline-r6", "clustering", "embedding"),
+    bench=True,
+)
+def kmeans_lloyd_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embedding corpus: 2 Lloyd iterations,
+    k=8, seeded by the k lowest vec_ids. Coordinates are quantized once by
+    floor(x·2^20) (power-of-two scale → the float→double multiply and the
+    floor are both EXACT, no rounding boundary anywhere), so distances are
+    bigint sums of squared integer diffs and centroid updates are integer
+    sums + one correctly-rounded double divide — every step is
+    order-independent, 1 core == 1000 executors, and the DuckDB twin
+    matches bit-for-bit. Assignment joins the (row-count × dim) long
+    frame against a k×dim centroid table: the centroid side is O(k·dim)
+    regardless of corpus size, so it BROADCASTS, and the only shuffles
+    are the per-vector argmin and the per-(cluster, dim) integer
+    re-aggregation — the classic scalable Lloyd step (centroids never
+    bottleneck on the driver beyond k·dim values). Ties in the argmin
+    break to the lowest centroid id on both engines."""
+    a2 = _km_final_assignment(spark, sf_dir)
     return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count("*").cast("long").alias("n_members"),
         F.min("vec_id").alias("min_vec_id"),
@@ -1047,6 +1062,7 @@ def ks_drift_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     tags=("pipeline-r6", "relational", "join"),
+    bench=True,
 )
 def shipping_priority_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): the selective 3-way
@@ -1089,4 +1105,47 @@ def shipping_priority_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
+    )
+
+
+_KM_SAMPLE_PER_CLUSTER = 25
+
+
+@register(
+    "kmeans_balanced_sample",
+    oracle=_KM_CTES
+    + f"""
+    SELECT cid AS cluster_id, vec_id, CAST(rk AS BIGINT) AS samp_rank
+    FROM (
+      SELECT cid, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM a2
+    ) WHERE rk <= {_KM_SAMPLE_PER_CLUSTER}
+    """,
+    tags=("pipeline-r6", "clustering", "sampling", "curation"),
+)
+def kmeans_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling — the cluster-then-sample curation
+    step (SemDeDup-style topic balance): k-means assigns every vector to a
+    semantic cluster, then an md5-keyed deterministic "random" order picks
+    up to 25 per cluster, so over-represented topics are capped instead of
+    dominating the sample. Composes `_km_final_assignment` (the shared
+    integer-exact Lloyd spec — ONE definition feeds both this oracle and
+    `kmeans_lloyd_clusters`) with the `hash_sample` ordering trick. The
+    per-cluster top-N is a WindowGroupLimit (rank filter pushed below the
+    shuffle), so only ~k·N rows survive the window at any corpus size."""
+    a2 = _km_final_assignment(spark, sf_dir)
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        a2.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KM_SAMPLE_PER_CLUSTER)
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "vec_id",
+            F.col("rk").cast("long").alias("samp_rank"),
+        )
     )

@@ -294,3 +294,23 @@ def test_shipping_priority_revenue_and_filters(spark, specs, tmp_path_factory):
     assert rows[0].l_orderkey == 10
     assert rows[0].revenue == 140.0
     assert rows[0].o_orderpriority == "1-URGENT"
+
+
+def test_kmeans_balanced_sample_caps_clusters(spark, specs, tmp_path_factory):
+    # cluster 0 gets 30 members (ids 0, 8..36), clusters 1-7 get exactly 1
+    # (the seed) -> sample keeps 25 of the big cluster, all of the rest
+    rows = [(i, [float(10 * i), 0.0], 0) for i in range(8)] + [
+        (8 + j, [0.001 * (j + 1), 0.0], 0) for j in range(29)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = _write_sf(spark, tmp_path_factory, "kmbs", {"embeddings": emb})
+    out = specs["kmeans_balanced_sample"].fn(spark, sf).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert len(by_cluster[0]) == 25
+    for c in range(1, 8):
+        assert len(by_cluster[c]) == 1 and by_cluster[c][0].vec_id == c
+    assert sorted(r.samp_rank for r in by_cluster[0]) == list(range(1, 26))
