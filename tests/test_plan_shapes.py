@@ -166,15 +166,36 @@ WINDOW_SHUFFLE_BUDGET = {
     "quality_classifier": 0, "priority_source_dedup": 1,
     "dup_ngram_coverage": 3, "dsir_importance": 3,
     "mixture_epochs": 2, "tfidf_topterms": 5,
+    # round-5 second rotation (rotated into the round-6 window): search /
+    # fusion / attribution / analytics — mostly 1-3 exchange window+agg
+    # shapes; ANN-PQ carries its codebook broadcasts, span removal its
+    # gram-min + running-max pair
+    "dup_span_removal": 3, "bm25_search": 0, "rrf_hybrid_fusion": 2,
+    "similarity_ann_pq": 9, "last_touch_attribution": 3,
+    "user_rfm_segments": 1, "bounce_rate_daily": 2,
+    "event_transition_matrix": 2, "weekly_revenue_wow": 1,
+    "median_order_gap": 1, "top_session_paths": 2, "source_drift_l1": 12,
+    "per_source_holdout": 1, "column_stats_orders": 5,
+    "train_val_test_split": 0,
+    # round-6 additions: the grouped entity waterfall (8 = four grouped
+    # datasets + spine + re-aggs), the iterative graph pair (per-iteration
+    # contribution shuffles), CDC diff, census joins
+    "entity_funnel_waterfall": 8, "incremental_daily_rollup": 2,
+    "linear_attribution": 2, "vocab_tokenize": 2, "fuzzy_dedup_names": 2,
+    "pagerank_coorder": 10, "skew_key_profile": 2,
+    "doc_length_percentile_gate": 1, "snapshot_diff": 3,
+    "triangle_count": 6,
     # relational headliners
     "pricing_summary": 1, "join_equi": 1, "asof_join_events": 1,
 }
 
 
 def test_shuffle_budget_covers_whole_window():
+    # every windowed query needs a reviewed budget; rotated-out queries
+    # KEEP their pins (they still register and still run in driver_sim)
     from funnel_report_etl_pipeline__spark.plans.registry import _WINDOW
 
-    assert set(WINDOW_SHUFFLE_BUDGET) == set(_WINDOW)
+    assert set(_WINDOW) <= set(WINDOW_SHUFFLE_BUDGET)
 
 
 @pytest.mark.parametrize("name", sorted(WINDOW_SHUFFLE_BUDGET))
