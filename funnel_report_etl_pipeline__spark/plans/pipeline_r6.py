@@ -1149,3 +1149,72 @@ def kmeans_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("samp_rank"),
         )
     )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, label AS q_label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS cid, label AS c_label,
+                      embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT qid, q_label, cid, c_label,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cosine
+      FROM q, c WHERE c_label <> q_label
+    )
+    SELECT qid, q_label, cid, c_label, cosine, rnk FROM (
+      SELECT qid, q_label, cid, c_label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 5
+    """,
+    tags=("pipeline-r6", "similarity", "training"),
+)
+def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (the first 10 vectors), the 5 most-similar vectors with a DIFFERENT
+    label — the near-misses that make the strongest negatives in a
+    triplet/InfoNCE batch. Same broadcast-queries × one-corpus-scan shape
+    as `similarity_topk_brute` (JVM-side sequential dot products,
+    bit-identical to DuckDB's list_dot_product) with the label inequality
+    pushed into the scored relation, and the per-anchor top-k kept by a
+    WindowGroupLimit so the scored frame never materializes beyond k rows
+    per anchor per partition. At scale the anchor side is the small
+    (broadcast) side and the corpus is scanned once; an IVF/LSH-blocked
+    variant (`similarity_ann_*`) bounds the candidate set when anchors
+    stop being few."""
+    from funnel_report_etl_pipeline__spark.operators.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_label") != F.col("q_label"))
+        .select(
+            "qid",
+            "q_label",
+            "cid",
+            "c_label",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= 5
+    )

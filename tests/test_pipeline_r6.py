@@ -314,3 +314,22 @@ def test_kmeans_balanced_sample_caps_clusters(spark, specs, tmp_path_factory):
     for c in range(1, 8):
         assert len(by_cluster[c]) == 1 and by_cluster[c][0].vec_id == c
     assert sorted(r.samp_rank for r in by_cluster[0]) == list(range(1, 26))
+
+
+def test_hard_negative_mining_excludes_same_label(spark, specs, tmp_path_factory):
+    # anchor 0 (label 0) at [1,0]; same-label near-twin must NOT appear;
+    # the closest different-label vectors come back ordered by cosine
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.999, 0.01], 0),   # same label: excluded however close
+        (2, [0.9, 0.1], 1),      # hardest negative
+        (3, [0.0, 1.0], 1),      # orthogonal
+        (4, [-1.0, 0.0], 2),     # opposite
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = _write_sf(spark, tmp_path_factory, "hnm", {"embeddings": emb})
+    out = [r for r in specs["hard_negative_mining"].fn(spark, sf).collect() if r.qid == 0]
+    assert [r.cid for r in sorted(out, key=lambda r: r.rnk)] == [2, 3, 4]
+    assert all(r.c_label != 0 for r in out)
