@@ -1218,3 +1218,139 @@ def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
         F.col("rnk") <= 5
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    """,
+    tags=("pipeline-r6", "ops", "quality"),
+)
+def referential_integrity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    foreign-key edge, the child row count and the orphan count (children
+    whose key has no parent) via LEFT ANTI joins — the ingest-gate check
+    that catches a partial parent load before a fact join silently drops
+    rows. Dimension-parent edges (customer, nation, part) anti-join
+    against a BROADCAST parent key set, so the fact never shuffles; the
+    orders-parent edge is the one genuinely fact-sized anti-join and
+    shuffles both sides on the key, exactly like the production join it
+    is guarding. One summary row per edge."""
+
+    def audit(fk: str, child: DataFrame, ck: str, parent: DataFrame, pk: str,
+              broadcast_parent: bool = True) -> DataFrame:
+        keys = parent.select(pk).distinct()
+        if broadcast_parent:
+            keys = F.broadcast(keys)
+        orphans = child.join(keys, child[ck] == keys[pk], "left_anti")
+        return (
+            child.agg(F.count("*").cast("long").alias("n_child"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count("*").cast("long").alias("n_orphans"))
+                )
+            )
+            .select(F.lit(fk).alias("fk"), "n_child", "n_orphans")
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    return (
+        audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey",
+              broadcast_parent=False)
+        .unionByName(audit("orders->customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionByName(audit("customer->nation", cust, "c_nationkey", nation, "n_nationkey"))
+        .unionByName(audit("lineitem->part", li, "l_partkey", part, "p_partkey"))
+    )
+
+
+@register(
+    "partition_freshness_audit",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             epoch_us(ts) // 3600000000 AS hr
+      FROM events
+    ),
+    span AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM h),
+    gaps AS (
+      SELECT event_type, hr,
+             hr - LAG(hr) OVER (PARTITION BY event_type ORDER BY hr) - 1
+               AS gap
+      FROM h
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_present,
+           CAST(hi - lo + 1 AS BIGINT) AS n_expected,
+           CAST(hi - lo + 1 - COUNT(*) AS BIGINT) AS n_missing,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_hours
+    FROM gaps, span
+    GROUP BY event_type, lo, hi
+    """,
+    tags=("pipeline-r6", "ops", "freshness"),
+)
+def partition_freshness_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition freshness / completeness audit at hour grain: per event
+    type, the hours with at least one event vs the hours the global span
+    says should exist, plus the longest internal gap — the
+    data-lateness check a partitioned ingest pipeline alerts on (an
+    hourly partition that never landed shows up as n_missing and as a
+    gap). Hour ids are integer epoch-hours (epoch_us DIV 3600·10^6), so
+    the whole audit is exact integer arithmetic: one distinct over
+    (type, hour) — map-side combinable, grain bounded by types × hours
+    regardless of event volume — then a per-type lag window over the
+    tiny distinct frame and a 1-row broadcast global span."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("hr")
+    ).distinct()
+    span = h.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    gaps = h.withColumn("gap", F.col("hr") - F.lag("hr").over(w) - 1)
+    return (
+        gaps.crossJoin(F.broadcast(span))
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").cast("long").alias("n_present"),
+            F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap_hours"),
+        )
+        .select(
+            "event_type",
+            "n_present",
+            (F.col("hi") - F.col("lo") + 1).cast("long").alias("n_expected"),
+            (F.col("hi") - F.col("lo") + 1 - F.col("n_present"))
+            .cast("long")
+            .alias("n_missing"),
+            "max_gap_hours",
+        )
+    )

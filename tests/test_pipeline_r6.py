@@ -333,3 +333,67 @@ def test_hard_negative_mining_excludes_same_label(spark, specs, tmp_path_factory
     out = [r for r in specs["hard_negative_mining"].fn(spark, sf).collect() if r.qid == 0]
     assert [r.cid for r in sorted(out, key=lambda r: r.rnk)] == [2, 3, 4]
     assert all(r.c_label != 0 for r in out)
+
+
+def test_referential_integrity_counts_orphans(spark, specs, tmp_path_factory):
+    from datetime import datetime as dt
+
+    orders = spark.createDataFrame(
+        [(1, 7, "O", 0.0, dt(1998, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 100, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt(1998, 1, 2)),
+            (2, 100, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt(1998, 1, 2)),  # orphan order
+            (3, 200, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt(1998, 1, 2)),  # orphan both
+        ],
+        li_schema,
+    )
+    cust = spark.createDataFrame(
+        [(7, "a", 0, 0.0, "BUILDING"), (8, "b", 99, 0.0, "MACHINERY")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    nation = spark.createDataFrame(
+        [(0, "X", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    part = spark.createDataFrame(
+        [(100, "p")], "p_partkey long, p_name string"
+    )
+    sf = _write_sf(
+        spark, tmp_path_factory, "ri",
+        {"lineitem": li, "orders": orders, "customer": cust,
+         "nation": nation, "part": part},
+    )
+    out = {r.fk: r for r in specs["referential_integrity_audit"].fn(spark, sf).collect()}
+    assert out["lineitem->orders"].n_child == 3
+    assert out["lineitem->orders"].n_orphans == 2
+    assert out["orders->customer"].n_orphans == 0
+    assert out["customer->nation"].n_orphans == 1   # nationkey 99
+    assert out["lineitem->part"].n_orphans == 1     # partkey 200
+
+
+def test_partition_freshness_gaps(spark, specs, tmp_path_factory):
+    # type A present hours 0,1,2,5 (gap of 2); type B only hour 0; global
+    # span is hours 0..5 -> expected 6
+    base = datetime(2024, 1, 10, 0, 0)
+    from datetime import timedelta
+
+    rows = [
+        (1, base, 1, "A", 1.0),
+        (2, base + timedelta(hours=1), 1, "A", 1.0),
+        (3, base + timedelta(hours=2), 1, "A", 1.0),
+        (4, base + timedelta(hours=5), 1, "A", 1.0),
+        (5, base, 2, "B", 1.0),
+    ]
+    sf = _write_sf(spark, tmp_path_factory, "fresh", {"events": _ev(spark, rows)})
+    out = {r.event_type: r for r in specs["partition_freshness_audit"].fn(spark, sf).collect()}
+    assert out["A"].n_present == 4 and out["A"].n_expected == 6
+    assert out["A"].n_missing == 2 and out["A"].max_gap_hours == 2
+    assert out["B"].n_present == 1 and out["B"].max_gap_hours == 0
