@@ -202,20 +202,20 @@ def dup_ngram_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the doc re-agg. The naive df-table + join formulation recomputes
     the explode+md5 branch twice and re-shuffles the raw gram stream;
     this shape scans once and moves only the (doc, h, occ) frame through
-    its three uniform-hash-key shuffles (measured 2× faster at sf0.1).
-    At 100 TB the per-gram partitions stay balanced (md5 keys), and a
-    stop-gram cap (df > threshold) could bound the window partitions the
-    same way the winnowing fingerprint cap does."""
+    its uniform-hash-key shuffles (measured 2× faster at sf0.1). Gram
+    construction is the codegen'd posexplode + window-lead shape shared
+    with the minhash path (`operators/dedup.py::gram_rows`) — the HOF
+    transform-over-slice formulation it replaces is CodegenFallback AND
+    O(len²) per doc (slice copies per position; round-6 A/B: 2.2× slower
+    end-to-end at sf0.1). At 100 TB the per-gram partitions stay
+    balanced (md5 keys), and a stop-gram cap (df > threshold) could
+    bound the window partitions the same way the winnowing fingerprint
+    cap does."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import gram_rows
+
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = docs.filter(F.size(toks) >= 8).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 7),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 8))),
-            )
-        ).alias("h"),
+    grams = gram_rows(docs, ngram=8, distinct=False).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("gram")).alias("h")
     )
     per = grams.groupBy("doc_id", "h").agg(F.count("*").alias("occ"))
     n_docs = F.count("*").over(Window.partitionBy("h"))

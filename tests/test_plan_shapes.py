@@ -164,7 +164,7 @@ WINDOW_SHUFFLE_BUDGET = {
     # round-5 surface: quality scoring must stay map-side-only; the
     # dedup/coverage/importance ops are gram-hash groupBys + doc re-aggs
     "quality_classifier": 0, "priority_source_dedup": 1,
-    "dup_ngram_coverage": 3, "dsir_importance": 3,
+    "dup_ngram_coverage": 4, "dsir_importance": 3,
     "mixture_epochs": 2, "tfidf_topterms": 5,
     # round-5 second rotation (rotated into the round-6 window): search /
     # fusion / attribution / analytics — mostly 1-3 exchange window+agg
