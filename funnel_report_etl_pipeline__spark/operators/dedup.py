@@ -829,24 +829,39 @@ def dup_span_dedup(
     (duplicated-span starts only — typically a tiny fraction of tokens),
     merged into covered intervals with an O(#starts) array fold, and the
     survivors reassembled by slicing the UNEXPLODED token array on the
-    complement intervals. Nothing token-grained ever shuffles: the only
-    wide exchanges carry md5 gram hashes (uniform keys) and (id, p) int
-    pairs; documents without duplicated spans take a null-side left join
-    and pass through byte-identical. (The previous formulation unioned a
-    per-token event stream with the starts and ran a running-max window +
-    collect_list reassembly per doc — corpus-sized token shuffle and
-    GC-heavy struct collection that went superlinear on the 10× probe.)"""
+    complement intervals. Gram hashes are built with the codegen'd
+    posexplode + window-lead shape (`gram_rows`'s) — one doc-key token
+    exchange, linear per doc; the HOF transform-over-slice it replaces
+    was CodegenFallback and O(len²) per doc (round-6 A/B at sf0.1:
+    3.8 s → 2.3 s end-to-end, byte-identical output). Every other wide
+    exchange carries md5 gram hashes (uniform keys) or (id, p) int
+    pairs; reassembly never shuffles tokens — documents without
+    duplicated spans take a null-side left join and pass through
+    byte-identical. (An earlier formulation unioned a per-token event
+    stream with the starts and ran a running-max window + collect_list
+    reassembly per doc — collect_list over ALL tokens, GC-heavy struct
+    collection that went superlinear on the 10× probe; the collect_list
+    here only ever holds duplicated-span starts.)"""
     toks = F.split(F.col(text_col), " ")
     k = span_tokens
-    g = docs.filter(F.size(toks) >= k).select(
+    tok = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
-            )
-        ).alias("p0", "h"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
     )
+    wg = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(wg) for j in range(1, k)]
+    g = (
+        tok.select("id", "pos", *[c.alias(f"__t{j}") for j, c in enumerate(leads)])
+        .filter(F.col(f"__t{k - 1}").isNotNull())
+        .select(
+            "id",
+            F.col("pos").alias("p0"),
+            F.md5(F.concat_ws(" ", *[f"__t{j}" for j in range(k)])).alias("h"),
+        )
+    )
+    # both the min-id agg and the join consume g; without this the token
+    # window subtree executes twice (measured ~0.6 s at sf0.1)
+    g = g.localCheckpoint()
     gmin = g.groupBy("h").agg(F.min("id").alias("min_id"))
     starts = (
         # gram-grain ⋈ gram-grain: force a shuffled join — gmin is

@@ -169,8 +169,8 @@ WINDOW_SHUFFLE_BUDGET = {
     # round-5 second rotation (rotated into the round-6 window): search /
     # fusion / attribution / analytics — mostly 1-3 exchange window+agg
     # shapes; ANN-PQ carries its codebook broadcasts, span removal its
-    # gram-min + running-max pair
-    "dup_span_removal": 3, "bm25_search": 0, "rrf_hybrid_fusion": 2,
+    # gram-min agg + the token-window gram build
+    "dup_span_removal": 4, "bm25_search": 0, "rrf_hybrid_fusion": 2,
     "similarity_ann_pq": 9, "last_touch_attribution": 3,
     "user_rfm_segments": 1, "bounce_rate_daily": 2,
     "event_transition_matrix": 2, "weekly_revenue_wow": 1,
