@@ -709,8 +709,9 @@ def connected_components(
     algorithms), so convergence is O(log diameter) rounds instead of
     O(diameter) — a 60-node chain closes in ~7 rounds, not 59. Near-dup
     clusters are dense (diameter 1-3 in practice) and pay one extra
-    (label ⋈ label) join per round for the guarantee. Each round is two
-    equi-joins + one grouped min — fully distributed, nothing but
+    (label ⋈ label) join per round for the guarantee. Each round is three
+    equi-joins (edge⋈label, label⋈neighbor-min, the doubling lookup) +
+    one grouped min — fully distributed, nothing but
     (id, label) pairs ever shuffles, and `localCheckpoint` truncates the
     lineage so plan size stays O(1) across rounds (on a real cluster with
     flaky executors, prefer `checkpoint()` to a reliable store —
@@ -752,6 +753,10 @@ def connected_components(
             F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
             (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("__changed"),
         )
+        # both the doubling join's left side and comp_of_comp consume
+        # stepped; without this the neighbor-min join executes twice per
+        # round (the dup_span_dedup shared-subtree lesson)
+        stepped = stepped.localCheckpoint()
         # pointer doubling: comp ← label[comp]. Every comp value is a node
         # id (labels only ever hold mins of node ids), so the lookup join
         # always hits; the left join + coalesce is belt-and-braces. This

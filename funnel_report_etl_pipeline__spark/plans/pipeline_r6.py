@@ -376,7 +376,7 @@ _OOV_BUCKETS = 16
 )
 def vocab_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-derived vocabulary tokenization — the id-mapping step of a
-    training-data pipeline: the top-{_VOCAB_SIZE} tokens by frequency
+    training-data pipeline: the top-32 tokens by frequency
     (count-desc, token-asc tie-break) become ids 0..V-1 and every
     out-of-vocabulary token folds into one of 16 md5-derived hash buckets
     (ids V..V+15) — the "hashing trick" fallback, engine-portable because
@@ -523,7 +523,7 @@ def _pagerank_oracle() -> str:
 )
 def pagerank_coorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-order graph (parts are linked when they
-    appear in the same order), {_PR_ITERS} fixed iterations, damping 0.85.
+    appear in the same order), 3 fixed iterations, damping 0.85.
     All arithmetic is INTEGER-SCALED (total mass 10^12, integer division
     for the degree split and damping) so every iteration is exact and
     associative — the floating-point formulation would make the result
@@ -1260,15 +1260,16 @@ def referential_integrity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame
     that catches a partial parent load before a fact join silently drops
     rows. Dimension-parent edges (customer, nation, part) anti-join
     against a BROADCAST parent key set, so the fact never shuffles; the
-    orders-parent edge is the one genuinely fact-sized anti-join and
-    shuffles both sides on the key, exactly like the production join it
-    is guarding. One summary row per edge."""
+    orders-parent edge is the one genuinely fact-sized check and
+    shuffles on the key, exactly like the production join it is
+    guarding. The two lineitem edges share ONE scan of the fact: a
+    left join against the orders key set and a broadcast left join
+    against the part key set, with both orphan counts taken by
+    conditional aggregation over the same pass — the fact is read once,
+    not once per edge. One summary row per edge."""
 
-    def audit(fk: str, child: DataFrame, ck: str, parent: DataFrame, pk: str,
-              broadcast_parent: bool = True) -> DataFrame:
-        keys = parent.select(pk).distinct()
-        if broadcast_parent:
-            keys = F.broadcast(keys)
+    def audit(fk: str, child: DataFrame, ck: str, parent: DataFrame, pk: str) -> DataFrame:
+        keys = F.broadcast(parent.select(pk).distinct())
         orphans = child.join(keys, child[ck] == keys[pk], "left_anti")
         return (
             child.agg(F.count("*").cast("long").alias("n_child"))
@@ -1285,12 +1286,39 @@ def referential_integrity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     part = _t(spark, sf_dir, "part")
-    return (
-        audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey",
-              broadcast_parent=False)
-        .unionByName(audit("orders->customer", orders, "o_custkey", cust, "c_custkey"))
-        .unionByName(audit("customer->nation", cust, "c_nationkey", nation, "n_nationkey"))
-        .unionByName(audit("lineitem->part", li, "l_partkey", part, "p_partkey"))
+
+    okeys = orders.select(F.col("o_orderkey").alias("__ok")).distinct()
+    pkeys = part.select(F.col("p_partkey").alias("__pk")).distinct()
+    li_audit = (
+        li.select("l_orderkey", "l_partkey")
+        .join(okeys, F.col("l_orderkey") == F.col("__ok"), "left")
+        .join(F.broadcast(pkeys), F.col("l_partkey") == F.col("__pk"), "left")
+        .agg(
+            F.count("*").cast("long").alias("n_child"),
+            F.sum(F.col("__ok").isNull().cast("int")).cast("long").alias("__o_orph"),
+            F.sum(F.col("__pk").isNull().cast("int")).cast("long").alias("__p_orph"),
+        )
+    )
+    li_edges = li_audit.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem->orders").alias("fk"),
+                    F.col("n_child"),
+                    F.col("__o_orph").alias("n_orphans"),
+                ),
+                F.struct(
+                    F.lit("lineitem->part").alias("fk"),
+                    F.col("n_child"),
+                    F.col("__p_orph").alias("n_orphans"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.fk", "e.n_child", "e.n_orphans")
+    return li_edges.unionByName(
+        audit("orders->customer", orders, "o_custkey", cust, "c_custkey")
+    ).unionByName(
+        audit("customer->nation", cust, "c_nationkey", nation, "n_nationkey")
     )
 
 

@@ -270,9 +270,13 @@ def compact_small_files(
             f"local paths; got {in_path!r} — list sizes with the Hadoop "
             f"FileSystem API for remote URIs"
         )
+    # os.walk cannot traverse a file:// URI (it would yield nothing and the
+    # zero total collapses everything into one file — the exact failure the
+    # scheme guard exists to prevent), so strip the scheme for the listing
+    walk_path = in_path.removeprefix("file://") if in_path.startswith("file://") else in_path
     total = sum(
         _os.path.getsize(_os.path.join(r, f))
-        for r, _, fs in _os.walk(in_path)
+        for r, _, fs in _os.walk(walk_path)
         for f in fs
         if f.endswith(".parquet") or f.startswith("part-")
     )
