@@ -1382,3 +1382,59 @@ def partition_freshness_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_gap_hours",
         )
     )
+
+
+@register(
+    "cross_source_duplication",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(toks[i:i+7], ' ')) AS h
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) s
+      WHERE len(toks) >= 8
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    tags=("pipeline-r6", "dedup", "curation"),
+)
+def cross_source_duplication_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication matrix: for every source pair, how many
+    distinct 8-grams they share — the contamination/provenance
+    diagnostic that tells a curation pipeline WHICH feeds copy from
+    which (a mirror pair shows up as a hot cell; near-zero cells are
+    independent feeds). Grams are the codegen'd posexplode+lead build
+    (`gram_rows`) reduced to DISTINCT (source, md5) — per-source gram
+    sets, grain bounded by distinct grams × sources, never doc-grain.
+    The pair join is per-gram over those sets with `source_a < source_b`
+    canonicalization, so each shared gram counts once per unordered
+    pair; cost is Σ per-gram (#sources choose 2) ≤ |grams|·k², with the
+    md5 keys uniform across partitions. At 100 TB you'd pre-filter to
+    grams seen in ≥2 sources (a HAVING over the first groupBy) before
+    the self-join — the single-source tail (most grams) never joins."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import gram_rows
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("source").alias("src"), "text"
+    )
+    g = (
+        gram_rows(docs, ngram=8, distinct=False)
+        .join(
+            docs.select(F.col("doc_id").alias("id"), "src"),
+            "id",
+        )
+        .select("src", F.md5(F.col("gram")).alias("h"))
+        .distinct()
+    )
+    a = g.select(F.col("src").alias("source_a"), "h")
+    b = g.select(F.col("src").alias("source_b"), "h")
+    return (
+        a.join(b.hint("shuffle_hash"), "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+    )

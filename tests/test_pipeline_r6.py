@@ -397,3 +397,21 @@ def test_partition_freshness_gaps(spark, specs, tmp_path_factory):
     assert out["A"].n_present == 4 and out["A"].n_expected == 6
     assert out["A"].n_missing == 2 and out["A"].max_gap_hours == 2
     assert out["B"].n_present == 1 and out["B"].max_gap_hours == 0
+
+
+def test_cross_source_duplication_counts_shared_grams(spark, specs, tmp_path_factory):
+    # sources A and B share one 8-token sentence (1 distinct 8-gram);
+    # C is disjoint -> only the (A,B) cell is nonzero
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, shared, "en", "A", len(shared)),
+            (2, shared, "en", "B", len(shared)),
+            (3, "q r s t u v w x", "en", "C", 15),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "xsrc", {"documents": docs})
+    out = {(r.source_a, r.source_b): r.shared_grams
+           for r in specs["cross_source_duplication"].fn(spark, sf).collect()}
+    assert out == {("A", "B"): 1}
