@@ -1438,3 +1438,58 @@ def cross_source_duplication_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("long").alias("shared_grams"))
     )
+
+
+@register(
+    "kmeans_cluster_purity",
+    oracle=_KM_CTES
+    + """
+    , lab AS (
+      SELECT a2.cid, e.label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM a2 JOIN embeddings e ON e.vec_id = a2.vec_id
+      GROUP BY a2.cid, e.label
+    ),
+    tot AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS n_members FROM lab GROUP BY cid),
+    top AS (
+      SELECT cid, label, n,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label ASC) AS rn
+      FROM lab
+    )
+    SELECT top.cid AS cluster_id, tot.n_members,
+           top.label AS majority_label, top.n AS n_majority,
+           CAST(top.n AS DOUBLE) / tot.n_members AS purity
+    FROM top JOIN tot ON top.cid = tot.cid
+    WHERE top.rn = 1
+    """,
+    tags=("pipeline-r6", "clustering", "eval"),
+)
+def kmeans_cluster_purity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality report: per k-means cluster, its size, the
+    majority ground-truth label, and the purity (majority fraction) —
+    the standard external-validation readout for a curation clustering
+    (low-purity clusters flag mixed topics before cluster-level
+    decisions like dedup-within-cluster or balanced sampling). Third
+    composition on the shared Lloyd spec (`_km_final_assignment` /
+    `_KM_CTES`): one label join, one (cluster, label) count, and a
+    per-cluster argmax with a lowest-label tie-break — grain bounded by
+    k × labels. Purity is one exact division of integers."""
+    a2 = _km_final_assignment(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lab = (
+        a2.join(emb, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("n").desc(), F.col("label").asc())
+    top = lab.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    tot = lab.groupBy("cid").agg(F.sum("n").cast("long").alias("n_members"))
+    return (
+        top.join(tot, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+            (F.col("n").cast("double") / F.col("n_members")).alias("purity"),
+        )
+    )

@@ -415,3 +415,22 @@ def test_cross_source_duplication_counts_shared_grams(spark, specs, tmp_path_fac
     out = {(r.source_a, r.source_b): r.shared_grams
            for r in specs["cross_source_duplication"].fn(spark, sf).collect()}
     assert out == {("A", "B"): 1}
+
+
+def test_kmeans_cluster_purity_majorities(spark, specs, tmp_path_factory):
+    # seeds 0..7; cluster 0 gains two near-twins labeled 5 and 5 -> its
+    # majority label is 5 with purity 2/3 (seed itself is labeled 0)
+    rows = [(i, [float(10 * i), 0.0], i) for i in range(8)] + [
+        (8, [0.001, 0.0], 5),
+        (9, [0.002, 0.0], 5),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf = _write_sf(spark, tmp_path_factory, "kmp", {"embeddings": emb})
+    out = {r.cluster_id: r for r in specs["kmeans_cluster_purity"].fn(spark, sf).collect()}
+    assert out[0].n_members == 3
+    assert out[0].majority_label == 5 and out[0].n_majority == 2
+    assert abs(out[0].purity - 2 / 3) < 1e-12
+    for c in range(1, 8):
+        assert out[c].n_members == 1 and out[c].purity == 1.0
