@@ -43,3 +43,28 @@ def test_shuffle_partition_invariance(name, spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert base == low_par
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # round-6 integer-exact claims: assignment/rank/statistic must be
+        # bit-identical at any parallelism
+        "kmeans_lloyd_clusters",
+        "kmeans_balanced_sample",
+        "pagerank_coorder",
+        "ks_drift_value",
+        "partition_freshness_audit",
+        "cross_source_duplication",
+    ],
+)
+def test_round6_shuffle_partition_invariance(name, spark):
+    q = SPECS[name].fn
+    base = _rows(q(spark, SF_SMALL))
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        low_par = _rows(q(spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert base == low_par
