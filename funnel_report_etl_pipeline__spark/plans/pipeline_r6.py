@@ -1493,3 +1493,72 @@ def kmeans_cluster_purity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("n_members")).alias("purity"),
         )
     )
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("pipeline-r6", "relational", "join"),
+)
+def local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the six-table star join —
+    region→nation→customer filtered to one region, orders date-bounded,
+    lineitem joined to BOTH orders and supplier with the
+    same-nation-as-customer correlation — grouped to revenue per nation.
+    The plan Catalyst should pick, and .explain confirms: the three
+    dimension chains (region⋈nation, the filtered customer set, supplier)
+    all BROADCAST, the date filter is pushed to the orders scan, and the
+    only repartition shuffles are orders⋈lineitem on the order key plus
+    the final small groupBy — the fact table moves through exactly one
+    exchange. Revenue sums in decimal(22,4) (`pricing_summary` pattern)
+    so the doubles are partitioning-independent."""
+    cut_lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    cut_hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= cut_lo) & (F.col("o_orderdate") < cut_hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(22,4)")
+    return (
+        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+                li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )

@@ -434,3 +434,47 @@ def test_kmeans_cluster_purity_majorities(spark, specs, tmp_path_factory):
     assert abs(out[0].purity - 2 / 3) < 1e-12
     for c in range(1, 8):
         assert out[c].n_members == 1 and out[c].purity == 1.0
+
+
+def test_local_supplier_volume_same_nation_only(spark, specs, tmp_path_factory):
+    from datetime import datetime as dt
+
+    region = spark.createDataFrame([(0, "ASIA"), (1, "EUROPE")], "r_regionkey int, r_name string")
+    nation = spark.createDataFrame(
+        [(10, "JAPAN", 0), (11, "FRANCE", 1)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    cust = spark.createDataFrame(
+        [(1, "a", 10, 0.0, "BUILDING"), (2, "b", 11, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    supp = spark.createDataFrame(
+        [(100, "s-jp", 10, 0.0), (200, "s-fr", 11, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    orders = spark.createDataFrame(
+        [(5, 1, "O", 0.0, dt(1996, 6, 1), "1-URGENT"),
+         (6, 2, "O", 0.0, dt(1996, 6, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+    )
+    li = spark.createDataFrame(
+        [
+            (5, 1, 100, 1, 1.0, 100.0, 0.1, 0.0, "N", "O", dt(1996, 7, 1)),  # JP/JP: 90
+            (5, 2, 200, 2, 1.0, 50.0, 0.0, 0.0, "N", "O", dt(1996, 7, 1)),   # FR supplier: excluded
+            (6, 3, 200, 1, 1.0, 70.0, 0.0, 0.0, "N", "O", dt(1996, 7, 1)),   # EUROPE cust: excluded
+        ],
+        li_schema,
+    )
+    sf = _write_sf(
+        spark, tmp_path_factory, "q5",
+        {"region": region, "nation": nation, "customer": cust,
+         "supplier": supp, "orders": orders, "lineitem": li},
+    )
+    rows = specs["local_supplier_volume"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0].n_name == "JAPAN" and rows[0].revenue == 90.0 and rows[0].n_lineitems == 1
