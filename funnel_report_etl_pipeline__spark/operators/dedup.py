@@ -511,38 +511,41 @@ def cdc_chunk_dedup(
 
     Returns (id_col, n_chunks, n_kept, text_clean), one row per document.
 
-    Scale shape: tokens explode once; the boundary flag is a map-side
-    expression over a token-array slice; chunk ids are ONE running-sum
+    Scale shape: tokens explode once and ONLY (id, pos, tok) crosses the
+    doc-key exchange — the rolling window is rebuilt with lag() columns
+    inside the same Window sort rather than slicing a carried copy of
+    the full token array (the slice formulation shipped the whole array
+    on every token row: O(len²) wire bytes per doc; round-6 A/B at
+    sf0.1: 3.9 → 2.9 s, byte-identical). Chunk ids are ONE running-sum
     window partitioned per document (state = one counter per doc); the
     corpus-wide dedup window partitions on md5(chunk_text) exactly like
     ``chunk_dedup`` — uniform 128-bit keys, chunk-sized payloads, never
     all-pairs and never whole documents on the wire."""
-    toks = F.split(F.col(text_col), " ")
+    w = window_tokens
     tok = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(toks).alias("pos", "tok"),
-        toks.alias("__toks"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
     )
-    # window ending at pos (0-based): tokens [pos-w+1 .. pos]; positions
-    # before the first full window are never boundaries
-    win_text = F.array_join(
-        F.slice(F.col("__toks"), F.col("pos") - window_tokens + 2, window_tokens), " "
+    # window ending at pos (0-based): tokens [pos-w+1 .. pos] via lag
+    # columns; positions before the first full window are never boundaries
+    wlag = Window.partitionBy("id").orderBy("pos")
+    win_text = F.concat_ws(
+        " ", *[F.lag("tok", w - 1 - j).over(wlag) for j in range(w - 1)], F.col("tok")
     )
-    boundary = (F.col("pos") >= window_tokens - 1) & (
+    boundary = (F.col("pos") >= w - 1) & (
         F.substring(F.md5(win_text), 1, 1) == boundary_hex
     )
+    flagged = tok.withColumn("__b", boundary.cast("int"))
     w_run = (
         Window.partitionBy("id")
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    chunked = tok.select(
+    chunked = flagged.select(
         "id",
         "pos",
         "tok",
-        F.coalesce(
-            F.sum(boundary.cast("int")).over(w_run), F.lit(0)
-        ).alias("chunk_idx"),
+        F.coalesce(F.sum("__b").over(w_run), F.lit(0)).alias("chunk_idx"),
     )
     chunks = chunked.groupBy("id", "chunk_idx").agg(
         F.array_join(
