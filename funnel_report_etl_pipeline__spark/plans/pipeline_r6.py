@@ -1562,3 +1562,57 @@ def local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "revenue_anomaly_days",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(22,4))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    m AS (SELECT quantile_cont(rev, 0.5) AS med FROM d),
+    md AS (SELECT quantile_cont(ABS(rev - med), 0.5) AS mad FROM d, m)
+    SELECT day, rev, med, mad,
+           ABS(rev - med) / mad AS dev_ratio
+    FROM d, m, md
+    WHERE ABS(rev - med) > 2 * mad
+    """,
+    tags=("pipeline-r6", "ops", "anomaly"),
+)
+def revenue_anomaly_days_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-revenue anomaly report: days whose decimal-summed
+    revenue deviates more than 2 median-absolute-deviations from the
+    median daily revenue — the outlier gate that (unlike mean/stddev)
+    a single whale day cannot drag. Two exact `percentile` scalars
+    (≙ `quantile_cont`, the `median_order_gap` pairing) broadcast into
+    the day frame; the day grain is bounded by the calendar, so the
+    percentile windows never see more than one row per day regardless of
+    order volume, and all flagged-day arithmetic is the same IEEE ops on
+    identical inputs in both engines."""
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(22,4)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    m = d.agg(F.percentile("rev", F.lit(0.5)).alias("med"))
+    dm = d.crossJoin(F.broadcast(m))
+    md = dm.agg(
+        F.percentile(F.abs(F.col("rev") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dm.crossJoin(F.broadcast(md))
+        .filter(F.abs(F.col("rev") - F.col("med")) > 2 * F.col("mad"))
+        .select(
+            "day",
+            "rev",
+            "med",
+            "mad",
+            (F.abs(F.col("rev") - F.col("med")) / F.col("mad")).alias("dev_ratio"),
+        )
+    )

@@ -478,3 +478,22 @@ def test_local_supplier_volume_same_nation_only(spark, specs, tmp_path_factory):
     rows = specs["local_supplier_volume"].fn(spark, sf).collect()
     assert len(rows) == 1
     assert rows[0].n_name == "JAPAN" and rows[0].revenue == 90.0 and rows[0].n_lineitems == 1
+
+
+def test_revenue_anomaly_days_flags_spike(spark, specs, tmp_path_factory):
+    from datetime import datetime as dt
+
+    # 9 ordinary days at ~100 and one 10x spike; only the spike exceeds
+    # 2 MAD from the median
+    rows = [
+        (i, 1, "O", 100.0 + i, dt(1998, 1, 1 + i), "1-URGENT") for i in range(9)
+    ] + [(9, 1, "O", 1000.0, dt(1998, 1, 10), "1-URGENT")]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "anom", {"orders": orders})
+    out = specs["revenue_anomaly_days"].fn(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0].rev == 1000.0 and out[0].dev_ratio > 2
