@@ -849,12 +849,19 @@ def dup_span_dedup(
     stream with the starts and ran a running-max window + collect_list
     reassembly per doc — collect_list over ALL tokens, GC-heavy struct
     collection that went superlinear on the 10× probe; the collect_list
-    here only ever holds duplicated-span starts.)"""
-    toks = F.split(F.col(text_col), " ")
+    here only ever holds duplicated-span starts.)
+
+    NULL / empty text is a defined no-op: the doc passes through with
+    n_tokens = 0, n_kept = 0, text_clean = '' (the pre-round-7 left-join
+    rewrite silently emitted n_tokens = -1 — F.size(NULL) — where the
+    original posexplode path had dropped the row entirely)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    empty_toks = F.expr("CAST(array() AS array<string>)")
+    toks = F.when(txt == "", empty_toks).otherwise(F.split(txt, " "))
     k = span_tokens
     tok = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+        F.posexplode(toks).alias("pos", "tok"),
     )
     wg = Window.partitionBy("id").orderBy("pos")
     leads = [F.col("tok")] + [F.lead("tok", j).over(wg) for j in range(1, k)]

@@ -557,6 +557,11 @@ def pagerank_coorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     co = co.localCheckpoint()  # reused every iteration
     deg = co.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     n = deg.count()  # node count: bounded by |part| — a write-planning scalar
+    if n == 0:
+        # empty co-order graph (no order holds two distinct parts):
+        # PageRank over zero nodes is the empty ranking, not a crash
+        schema = "part_id bigint, rank_u bigint"
+        return spark.createDataFrame([], schema)
     base = F.lit(15 * (_PR_TOTAL // n) // 100).cast("long")
     ranks = deg.select(F.col("src").alias("id"), F.lit(_PR_TOTAL // n).cast("long").alias("r"))
     # per-share table: node-grain (|V| rows). Joining it BROADCAST into the
@@ -774,7 +779,7 @@ def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM co) AS n_edges,
            tri.n_triangles,
-           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges
     FROM tri
     """,
     tags=("pipeline-r6", "graph"),
@@ -782,13 +787,20 @@ def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle + wedge census of the part co-order graph — the global
     clustering measurement (3·triangles / wedges) behind community /
-    bundle detection. Edges are canonical (u < v), so each triangle is
-    counted exactly once by the two-hop join e1(u,v)⋈e2(v,w)⋈e3(u,w) —
-    the standard distributed triangle enumeration; at scale the e1⋈e2
-    two-hop frame is bounded by Σ deg² and the degree-ordered canonical
-    direction keeps hub fan-outs from exploding (TPC-H orders cap clique
-    size at lines-per-order). Wedges are a degree aggregate, exact
-    integers throughout."""
+    bundle detection. Edges are stored canonical (u < v) for the census
+    counts, then re-oriented from the LOWER-(degree, id) endpoint to the
+    higher before the two-hop join e1⋈e2⋈e3 — under any total vertex
+    order each triangle is enumerated exactly once, and the (deg, id)
+    order bounds each vertex's out-fan by min(deg), so the e1⋈e2 frame is
+    Σ out-deg² ≤ Σ min-deg·deg = O(m^1.5) instead of Σ deg² — the
+    standard hub-taming trick (a 10^6-degree hub contributes 0 wedges to
+    the join when all its edges point INTO it). The oracle counts the
+    same undirected graph with plain id-orientation: triangle/wedge
+    counts are orientation-invariant, so both engines agree while the
+    Spark plan carries the scale-safe direction. The node-grain degree
+    frame joined into the edges is |V|-bounded (≤ |part|) — broadcast at
+    bench scale by AQE; swap to shuffle_hash when |V| outgrows the
+    driver. Wedges are a degree aggregate, exact integers throughout."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -809,9 +821,25 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id")
         .agg(F.count("*").cast("long").alias("d"))
     )
-    e1 = co.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = co.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    e3 = co.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    # degree-orient: each canonical edge points from the lower-(deg, id)
+    # endpoint to the higher (co already has u < v, so a degree tie keeps
+    # (u, v)). Total order ⇒ each triangle enumerated exactly once.
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        co.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    ).localCheckpoint()  # consumed three times by the two-hop join
+    e1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    e2 = oriented.select(F.col("s").alias("y"), F.col("t").alias("z"))
+    e3 = oriented.select(F.col("s").alias("x"), F.col("t").alias("z"))
     tri = (
         e1.join(e2, "y")
         .join(e3.hint("shuffle_hash"), ["x", "z"])
@@ -969,7 +997,7 @@ def kmeans_lloyd_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT value,
              CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END AS in_a
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     n AS (SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
                  CAST(SUM(1 - in_a) AS BIGINT) AS n_b FROM s),
@@ -1003,8 +1031,13 @@ def ks_drift_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     value cardinality, not row count); at 100 TB you'd range-partition
     the prefix sum (two-pass: per-range subtotals, then offset join) —
     the grouped pre-aggregation shrinking rows→distinct-values already
-    happens before the window here."""
-    ev = _t(spark, sf_dir, "events")
+    happens before the window here.
+
+    NULL values are filtered on BOTH engines before the CDF: Spark's
+    window ORDER BY sorts NULLs first while DuckDB sorts them last, so an
+    unfiltered NULL would silently shift the prefix sets apart (a KS over
+    "undefined" observations is meaningless anyway)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     s = ev.select(
         "value",
         F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("in_a"),

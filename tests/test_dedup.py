@@ -328,6 +328,26 @@ def test_dup_span_removal_planted(spark):
     assert out[4].text_clean == d and out[4].n_kept == 20
 
 
+def test_dup_span_removal_null_and_empty_text_defined(spark):
+    """NULL / empty text is a defined no-op (n_tokens = 0, n_kept = 0,
+    text_clean = '') — the round-6 left-join rewrite had silently emitted
+    n_tokens = -1 for nulls where the original posexplode path dropped
+    the row (ADVICE r6)."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import dup_span_dedup
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, None), (3, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dup_span_dedup(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].text_clean == words and out[1].n_tokens == 10
+    for i in (2, 3):
+        assert out[i].n_tokens == 0
+        assert out[i].n_kept == 0
+        assert out[i].text_clean == ""
+
+
 def test_dup_span_removal_short_docs_untouched(spark):
     from funnel_report_etl_pipeline__spark.operators.dedup import dup_span_dedup
 

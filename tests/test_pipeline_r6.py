@@ -163,6 +163,24 @@ def test_pagerank_coorder_hub_outranks_leaf(spark, specs, tmp_path_factory):
     assert abs(sum(ranks.values()) - 10**12) < 10**7
 
 
+def test_pagerank_coorder_empty_graph_returns_empty(spark, specs, tmp_path_factory):
+    # every order holds exactly one part -> no co-order edge exists; the
+    # rank over zero nodes is the EMPTY frame, not ZeroDivisionError
+    # (ADVICE r6: base = ... // n crashed on n == 0)
+    li = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)],
+        "l_orderkey long, l_partkey long",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "1 l_suppkey", "1 l_linenumber",
+        "1.0 l_quantity", "1.0 l_extendedprice", "0.0 l_discount", "0.0 l_tax",
+        "'A' l_returnflag", "'F' l_linestatus", "DATE'2024-01-01' l_shipdate",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "pr_empty", {"lineitem": li})
+    out = specs["pagerank_coorder"].fn(spark, sf)
+    assert out.columns == ["part_id", "rank_u"]
+    assert out.count() == 0
+
+
 def test_skew_profile_orders_and_share(spark, specs, tmp_path_factory):
     rows = [(i, T0, 1 if i < 6 else i, "view", 1.0) for i in range(10)]
     sf = _write_sf(spark, tmp_path_factory, "skew", {"events": _ev(spark, rows)})
