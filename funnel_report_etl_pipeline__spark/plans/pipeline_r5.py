@@ -1229,6 +1229,19 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N, avgdl, df_t, idf_t) back; ranking is a TakeOrdered top-20, no
     corpus-wide sort. At 100 TB, arbitrary (not fixed) queries use the
     same frame joined against a broadcast query-term table."""
+    scored = bm25_scored_frame(spark, sf_dir)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+def bm25_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 scoring frame: (doc_id, dl, score) for every document
+    matching ≥1 query term — consumed by `bm25_search` (exact window
+    rank) and `bm25_search_topk` (TakeOrdered partial top-k, the plan
+    shape that survives an unbounded corpus)."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     def tf_of(term: str):
@@ -1280,12 +1293,9 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         term = F.col(f"idf{i}").cast("double") * ratio
         score = term if score is None else score + term
-    w = Window.orderBy(F.col("score").desc(), "doc_id")
     return (
         joined.filter((F.col("tf0") + F.col("tf1")) + F.col("tf2") > 0)
         .select("doc_id", F.col("dl").cast("long").alias("dl"), score.alias("score"))
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 20)
     )
 
 

@@ -1,0 +1,294 @@
+"""Round-7 queries: scale-safe variants of the global-window rank plans
+(the round-6 verdict's watch item) plus TPC-H Q8/Q9-shaped multi-join
+breadth.
+
+The two *_approx / *_topk variants exist to retire the only registered
+plans whose window moved an unbounded frame through one partition:
+
+* ``user_rfm_segments_approx`` — quartile assignment via sketch
+  thresholds + broadcast join instead of three corpus-grain NTILE
+  windows; the oracle computes the EXACT discrete quantile thresholds,
+  so a green hash row IS the proof that the sketch path classifies every
+  user identically to the exact path at gate scale.
+* ``bm25_search_topk`` — TakeOrderedAndProject top-k (map-side partial
+  top-k per partition, driver merges P·k rows) instead of a corpus-wide
+  rank window; the oracle is the SAME SQL as the exact `bm25_search`,
+  so the green row proves plan equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.functions.core import dsum
+from funnel_report_etl_pipeline__spark.plans.pipeline_r5 import (
+    _bm25_oracle,
+    bm25_scored_frame,
+)
+from funnel_report_etl_pipeline__spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation, sketch-threshold variant
+# ---------------------------------------------------------------------------
+
+_RFM_METRICS = ("rec_us", "frequency", "monetary")
+
+
+def _rfm_oracle() -> str:
+    th = ",\n             ".join(
+        f"quantile_disc({m}, {q}) AS {m[0]}{int(q * 100)}"
+        for m in _RFM_METRICS
+        for q in (0.25, 0.5, 0.75)
+    )
+    bucket = ",\n           ".join(
+        f"CAST(1 + CASE WHEN {m} > {m[0]}25 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {m} > {m[0]}50 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {m} > {m[0]}75 THEN 1 ELSE 0 END AS BIGINT)"
+        f" AS {m[0]}_quartile"
+        for m in _RFM_METRICS
+    )
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             MAX(epoch_us(ts)) AS rec_us,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    t AS (SELECT {th} FROM u)
+    SELECT user_id, rec_us, frequency, monetary,
+           {bucket}
+    FROM u, t
+    """
+
+
+@register(
+    "user_rfm_segments_approx",
+    oracle=_rfm_oracle(),
+    tags=("pipeline-r7", "analytics", "approx"),
+)
+def user_rfm_segments_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation without the corpus-grain window: quartile
+    THRESHOLDS come from one mergeable `approx_percentile` sketch pass
+    (Greenwald–Khanna partials combine map-side — no sort, bounded
+    executor memory at any corpus size), then a 1-row broadcast assigns
+    each user `1 + #(thresholds strictly below)`. This is the recipe the
+    exact `user_rfm_segments` docstring names as its own 10^9-user path,
+    now a registered, hash-gated query.
+
+    Cross-engine exactness: both engines use the DISCRETE quantile
+    ("smallest value whose CDF ≥ p" — Spark `approx_percentile`'s
+    documented contract, DuckDB's `quantile_disc`), and at gate scale
+    n ≪ accuracy=10^6 so the sketch never compresses and the thresholds
+    are exact — verified equal on all nine (metric, q) pairs. The oracle
+    computes the EXACT thresholds, so the green hash row is the proof
+    that the sketch path classifies identically. Value-based buckets are
+    also tie-stable (tied users land together on both engines), unlike
+    NTILE's rank split — the two variants differ there by design.
+    Recency is compared in epoch micros (timestamp order ≡ integer
+    order)."""
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("rec_us"),
+            F.count("*").cast("long").alias("frequency"),
+            dsum("value").alias("monetary"),
+        )
+    )
+    th = u.agg(
+        *[
+            F.expr(
+                f"approx_percentile({m}, array(0.25, 0.5, 0.75), 1000000)"
+            ).alias(f"__t_{m}")
+            for m in _RFM_METRICS
+        ]
+    )
+    out = u.crossJoin(F.broadcast(th))
+    cols = ["user_id", *_RFM_METRICS]
+    for m in _RFM_METRICS:
+        t = F.col(f"__t_{m}")
+        bucket = (
+            F.lit(1)
+            + (F.col(m) > t[0]).cast("int")
+            + (F.col(m) > t[1]).cast("int")
+            + (F.col(m) > t[2]).cast("int")
+        )
+        cols.append(bucket.cast("long").alias(f"{m[0]}_quartile"))
+    return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# BM25, TakeOrdered partial-top-k variant
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bm25_search_topk",
+    oracle=_bm25_oracle(k=20),
+    tags=("pipeline-r7", "text", "retrieval"),
+)
+def bm25_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 via sort-limit instead of a rank window: Catalyst
+    compiles orderBy(...).limit(k) to TakeOrderedAndProject — each
+    partition keeps only its local top-k in a bounded heap and the
+    driver merges P·k rows, so NO corpus-grain frame ever crosses one
+    partition (the exact `bm25_search` rank window relies on
+    WindowGroupLimit pre-filtering but still funnels survivors through a
+    single-partition window). Identical oracle to `bm25_search`: the
+    green hash row proves the two plans return byte-identical rankings.
+    The trailing rnk window runs over the 20 ALREADY-SELECTED rows —
+    constant-size at any corpus. (score DESC, doc_id) is a total order,
+    so the selected set and ranks are engine-deterministic."""
+    scored = bm25_scored_frame(spark, sf_dir)
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 / Q9 shapes (join-ordering breadth over the same tables)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))
+               AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                         THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM vol GROUP BY o_year
+    """,
+    tags=("pipeline-r7", "relational", "join"),
+    bench=True,
+)
+def nation_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of PROMO
+    part revenue sold into AMERICA customers, by order year — an 8-table
+    join tree. The plan the optimizer should pick, and .explain
+    confirms: every dimension filter pushed to its scan; part, customer,
+    supplier, both nation legs, and region all BROADCAST (each is
+    key-grain and either filtered or tiny), so the only shuffles are the
+    lineitem⋈orders fact join and the final year-grain aggregate —
+    lineitem rows are pre-pruned by the broadcast part filter before the
+    orders join. Volume sums in decimal(22,4) (partition-invariant); the
+    share is one double division per year row."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn.n_nationkey"))
+        .join(F.broadcast(region), F.col("cn.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sn), sup.s_nationkey == F.col("sn.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            )
+            .cast("decimal(22,4)")
+            .alias("volume"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    agg = vol.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                F.lit(0).cast("decimal(22,4)")
+            )
+        ).alias("__n3"),
+        F.sum("volume").alias("__tot"),
+    )
+    return agg.select(
+        F.col("o_year").cast("long").alias("o_year"),
+        (F.col("__n3").cast("double") / F.col("__tot").cast("double")).alias(
+            "mkt_share"
+        ),
+        F.col("__tot").cast("double").alias("total_volume"),
+    )
+
+
+@register(
+    "product_type_profit",
+    oracle="""
+    SELECT n_name AS supp_nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity * 0.1
+                         AS DECIMAL(22,4))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE contains(p_name, 'red')
+    GROUP BY n_name, o_year
+    """,
+    tags=("pipeline-r7", "relational", "join"),
+)
+def product_type_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted
+    to the testdata's tables: there is no partsupp, so unit cost is the
+    standard retail-margin surrogate (10% of p_retailprice — the profit
+    expression keeps Q9's exact form, revenue − cost·quantity). Plan:
+    the p_name filter prunes part BEFORE it broadcasts into lineitem, so
+    the fact table shrinks at the scan side of its first join; supplier
+    and nation broadcast; the orders join is the one fact-fact shuffle,
+    on the key both sides already carry. Per-line profit is computed in
+    decimal BEFORE the sum (one rounding point per row, same on both
+    engines) so the grouped total is partition-invariant."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    profit_line = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    ).cast("decimal(22,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit_line.alias("__p"),
+        )
+        .groupBy("supp_nation", "o_year")
+        .agg(F.sum("__p").cast("double").alias("profit"))
+    )

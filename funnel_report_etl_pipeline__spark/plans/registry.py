@@ -67,6 +67,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline_ext,  # registers past the driver window (tag "pipeline-ext")
         pipeline_r5,  # round-5 batch, same post-window placement
         pipeline_r6,  # round-6 batch (entity waterfall + additions)
+        pipeline_r7,  # round-7 batch (scale-safe rank variants + Q8/Q9)
     )
 
     return REGISTRY
@@ -77,12 +78,15 @@ def load_all() -> dict[str, QuerySpec]:
 # part of the scoreboard contract.  The window is an explicit curated list:
 # the 13 SURVEY §2 parity queries stay pinned; the rest rotates each round
 # so every registered query eventually holds an EXTERNAL green row.
-# Round 6 (per the round-5 verdict's top item) rotates the 15 round-5
-# queries that had only driver-sim evidence INTO the window, plus the new
-# entity_funnel_waterfall; the 16 LLM-core queries rotated OUT each hold
-# THREE external green rows (CORRECTNESS_r0{3,4,5}.json) and stay
-# driver_sim + pytest verified.  Rotated-out queries still register —
-# tools/verify_parity.py and driver_sim check ALL entries.
+# Round 7 (per the round-6 verdict's top item) rotates in the 22 queries
+# that had never held a FULL external row — including approx_distinct_users
+# / approx_percentiles, whose round-2 appearance predates their oracles
+# (CORRECTNESS_r02 records them as rows-only `no_oracle`) — plus the four
+# round-7 additions; the remaining 11 slots go to the least-recently
+# verified (external row last held in round 2).  Rotated-out queries still
+# register — tools/verify_parity.py and driver_sim check ALL entries, and
+# every rotated-out name holds at least one external green row
+# (CORRECTNESS_r0{2..6}.json).
 DRIVER_WINDOW = 50
 
 # Exactly DRIVER_WINDOW names, every one with a full value-hash oracle.
@@ -102,53 +106,49 @@ _WINDOW: tuple[str, ...] = (
     "scalar_crossjoin",
     "pct_bround",
     "funnel_waterfall",
-    # LLM-data-pipeline core still in rotation (fewest external rows)
-    "dedup_exact",
-    "multimodal_features",
-    # round-4 pipeline-ext representative (the other nine hold external
-    # green rows in CORRECTNESS_r05.json and rotate out for the round-6
-    # additions below)
-    "temperature_source_sample",
-    # round-5 surface, first rotation (one external row)
-    "quality_classifier",
-    "priority_source_dedup",
-    "dup_ngram_coverage",
-    "dsir_importance",
-    "mixture_epochs",
-    "tfidf_topterms",
-    # round-5 surface, second rotation (rotated in round 6 — previously
-    # driver_sim + pytest only, per the round-5 verdict's top item)
-    "dup_span_removal",
-    "bm25_search",
-    "rrf_hybrid_fusion",
-    "similarity_ann_pq",
-    "last_touch_attribution",
-    "user_rfm_segments",
-    "bounce_rate_daily",
-    "event_transition_matrix",
-    "weekly_revenue_wow",
-    "median_order_gap",
-    "top_session_paths",
-    "source_drift_l1",
-    "per_source_holdout",
-    "column_stats_orders",
-    "train_val_test_split",
-    # round-6 additions (zero external rows yet — rotated in so every
-    # registered query's first external green row lands ASAP)
-    "entity_funnel_waterfall",
-    "incremental_daily_rollup",
-    "linear_attribution",
-    "vocab_tokenize",
-    "fuzzy_dedup_names",
-    "pagerank_coorder",
-    "skew_key_profile",
-    "doc_length_percentile_gate",
-    "snapshot_diff",
-    "triangle_count",
-    # relational headliners
-    "pricing_summary",
-    "join_equi",
-    "asof_join_events",
+    # never externally verified before round 7: round-5/6 additions that
+    # always landed past the 50-slot cap, plus the two approx queries
+    # whose only external run was rows-only (pre-oracle, round 2)
+    "similarity_ann_ivf",
+    "dedup_minhash_fast",
+    "bigram_lm_support",
+    "balanced_source_sample",
+    "length_buckets",
+    "price_histogram",
+    "winnow_containment_pairs",
+    "boilerplate_passages",
+    "approx_distinct_users",
+    "approx_percentiles",
+    "length_outliers",
+    "kmeans_lloyd_clusters",
+    "ks_drift_value",
+    "shipping_priority_topk",
+    "kmeans_balanced_sample",
+    "hard_negative_mining",
+    "referential_integrity_audit",
+    "partition_freshness_audit",
+    "cross_source_duplication",
+    "kmeans_cluster_purity",
+    "local_supplier_volume",
+    "revenue_anomaly_days",
+    # round-7 additions (zero external rows yet): the scale-safe variants
+    # of the two global-window rank plans + the TPC-H Q8/Q9 shapes
+    "user_rfm_segments_approx",
+    "bm25_search_topk",
+    "nation_market_share",
+    "product_type_profit",
+    # least-recently verified (external green row last held in round 2)
+    "sessionize",
+    "join_broadcast_dims",
+    "window_rank",
+    "topk_orders",
+    "range_join_pricebands",
+    "semi_anti_join",
+    "sql_correlated_subquery",
+    "pivot_daily_values",
+    "rollup_hierarchy",
+    "value_percentiles",
+    "event_funnel_users",
 )
 
 

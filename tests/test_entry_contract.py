@@ -52,57 +52,46 @@ def test_driver_window_composition_pinned():
     window = list(mod.queries())[:DRIVER_WINDOW]
     assert window == list(_WINDOW), "driver window drifted from curated _WINDOW"
     assert len(_WINDOW) == DRIVER_WINDOW == 50
-    assert window[-1] == "asof_join_events"
+    assert window[-1] == "event_funnel_users"
     specs = load_all()
     parity = [n for n, s in specs.items() if s.fn.__module__.endswith(".parity")]
     # parity must come first (driver smoke-checks the reference surface first)
     assert window[: len(parity)] == parity
-    # >=10 round-4 pipeline-ext queries must sit inside the window (round-5
-    # rotation) without pushing parity or the headliners out
-    ext_in_window = [n for n in window if "pipeline-ext" in specs[n].tags]
-    assert len(ext_in_window) >= 10, ext_in_window
     # every checked row must be value-hash verified: rows-only (no-oracle)
     # variants sit past the window, and each must still be REGISTERED so the
     # driver's weaker rows-only check and pytest cover them
     oracles = mod.oracle_sql()
     assert all(n in oracles for n in window), "no-oracle query inside the window"
-    # rotated-out queries still register (verified by driver_sim + history)
-    rotated_out = {
-        "dedup_exact_norm", "lang_id_char_ngrams", "rolling_fingerprint",
-        "embedding_dim_stats", "array_funcs", "embedding_label_stats",
-        "arrow_udf_normalize", "vocab_topk", "grouped_arrow_stats",
-        "stratified_hash_sample",
-        # rotated out in round 5 for the pipeline_r5 batch (external green
-        # rows stand in CORRECTNESS_r0{2,3,4}.json)
-        "token_counts", "lang_id_heuristic", "doc_fingerprints",
-        "hash_sample", "pack_sequences", "repetition_filter",
-        # rotated out in round 6 for the second round-5 batch +
-        # entity_funnel_waterfall (each holds THREE external green rows,
-        # CORRECTNESS_r0{3,4,5}.json)
-        "ngram_jaccard_pairs", "dedup_minhash_lsh", "dedup_simhash",
-        "text_quality", "corpus_curation", "similarity_topk_brute",
-        "similarity_ann_lsh", "dedup_embedding_cosine", "multimodal_meta",
-        "dedup_clusters", "decontaminate_ngrams", "chunk_dedup",
-        "pii_redaction", "quantize_embeddings", "shard_shuffle",
-        "gram_novelty",
-        # rotated out in round 6 for the nine round-6 additions (each
-        # holds an external green row in CORRECTNESS_r05.json)
-        "cdc_chunk_dedup", "semantic_dedup_clusters", "curation_funnel",
-        "scd2_history", "latest_state_compaction", "time_to_convert",
-        "retention_cohorts", "incremental_dedup", "winnow_fingerprints",
+    # round-7 rotation: the 22 queries that had never held a FULL external
+    # row (approx_distinct_users/approx_percentiles ran rows-only in round 2,
+    # before their oracles existed) plus the 4 round-7 additions sit INSIDE
+    # the window — after CORRECTNESS_r07 every registered query will have
+    # held at least one external value-hash row
+    rotated_in_r7 = {
+        "similarity_ann_ivf", "dedup_minhash_fast", "bigram_lm_support",
+        "balanced_source_sample", "length_buckets", "price_histogram",
+        "winnow_containment_pairs", "boilerplate_passages",
+        "approx_distinct_users", "approx_percentiles", "length_outliers",
+        "kmeans_lloyd_clusters", "ks_drift_value", "shipping_priority_topk",
+        "kmeans_balanced_sample", "hard_negative_mining",
+        "referential_integrity_audit", "partition_freshness_audit",
+        "cross_source_duplication", "kmeans_cluster_purity",
+        "local_supplier_volume", "revenue_anomaly_days",
+        # new in round 7
+        "user_rfm_segments_approx", "bm25_search_topk",
+        "nation_market_share", "product_type_profit",
     }
-    assert rotated_out <= set(mod.queries()) - set(window)
-    # round-6 rotation: the 15 previously sim-only round-5 queries plus the
-    # new grouped-entity waterfall sit INSIDE the window
-    rotated_in_r6 = {
-        "dup_span_removal", "bm25_search", "rrf_hybrid_fusion",
-        "similarity_ann_pq", "last_touch_attribution", "user_rfm_segments",
-        "bounce_rate_daily", "event_transition_matrix", "weekly_revenue_wow",
-        "median_order_gap", "top_session_paths", "source_drift_l1",
-        "per_source_holdout", "column_stats_orders", "train_val_test_split",
-        "entity_funnel_waterfall", "incremental_daily_rollup",
-        "linear_attribution", "vocab_tokenize", "fuzzy_dedup_names",
-        "pagerank_coorder", "skew_key_profile", "doc_length_percentile_gate",
-        "snapshot_diff", "triangle_count",
-    }
-    assert rotated_in_r6 <= set(window)
+    assert rotated_in_r7 <= set(window)
+    # every query OUTSIDE the window must already hold an external green
+    # row in a committed CORRECTNESS artifact (rounds 2-6) — the rotation's
+    # whole point; checked against the recorded history, not hand-lists
+    import json
+    from pathlib import Path
+
+    verified = set()
+    for p in Path(".").glob("CORRECTNESS_r0*.json"):
+        for name, row in json.loads(p.read_text()).items():
+            if row.get("hash_match"):
+                verified.add(name)
+    outside = set(mod.queries()) - set(window)
+    assert outside <= verified, sorted(outside - verified)
