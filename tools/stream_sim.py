@@ -36,6 +36,7 @@ OPS = (
     "dedup_stream",
     "funnel_depth_stream",
     "idempotent_parquet_sink",
+    "late_data_drop",
 )
 
 
@@ -385,6 +386,57 @@ def main() -> int:
         b = ev.toPandas()
         return _canon_ok(s, b)
 
+    # 8. late-data drop — redeliver the FIRST time slice's rows with fresh
+    #    event_ids as a final file: they arrive after the watermark has
+    #    advanced ~a month past their event time, so the windowed aggregate
+    #    must DROP every one of them (their day windows' state is evicted).
+    #    Run the rollup in APPEND mode — it emits only watermark-finalized
+    #    windows — and aggregate the batch twin over the ORIGINAL rows only,
+    #    filtered to windows the final watermark passed. A leaked late row
+    #    would double a closed day's counts (hash mismatch); a watermark
+    #    mis-advance (late rows must NOT move it) would change the emitted
+    #    window set (rows mismatch).
+    def _late():
+        ldir = f"{tmp}/events_late"
+        shutil.copytree(ev_dir, ldir)
+        late_dir = f"{tmp}/late_slice"
+        (
+            spark.read.parquet(f"{ev_dir}/000.parquet")
+            .withColumn("event_id", F.col("event_id") + F.lit(10**12))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(late_dir)
+        )
+        part = next(f for f in os.listdir(late_dir) if f.startswith("part-"))
+        shutil.move(f"{late_dir}/{part}", f"{ldir}/004.parquet")
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ldir)
+        )
+        s = drain(daily_rollup_stream(src), "ss_late", "append")
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        b = (
+            ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.approx_count_distinct("user_id").alias("approx_users"),
+                F.sum(F.col("value").cast("decimal(22,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .filter(F.col("w.end") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
+            .select(
+                F.col("w.start").alias("day_start"),
+                "event_type",
+                "n_events",
+                "approx_users",
+                "total_value",
+            )
+            .toPandas()
+        )
+        return _canon_ok(s, b)
+
     run("daily_rollup_stream", _daily)
     run("session_stream", _session)
     run("view_purchase_attribution", _attrib)
@@ -392,6 +444,7 @@ def main() -> int:
     run("dedup_stream", _dedup)
     run("funnel_depth_stream", _depth)
     run("idempotent_parquet_sink", _sink)
+    run("late_data_drop", _late)
 
     n_pass = sum(1 for r in results.values() if r.get("hash_match"))
     print(f"{n_pass}/{len(results)} streaming ops batch-parity green")
