@@ -176,6 +176,20 @@ def test_ivf_recall_at_5_scale_10x(planted_10x):
     assert rec >= 0.9, f"k-means IVF recall@5 at 50k vectors = {rec:.3f}"
 
 
+@pytest.mark.scale
+def test_ann_probe_recall_floors_10x(spark):
+    """The committed ANN probe (tools/ann_probe.py) records wall + recall
+    for medoid-IVF and PQ-with-exact-rerank at 50k vectors, but until
+    round 7 nothing FAILED if recall dropped — this asserts the floor the
+    operators advertise (round-6 verdict item 6)."""
+    from tools.ann_probe import probe
+
+    r = probe(spark, 10)
+    assert r["n_vectors"] == 50_000
+    assert r["ivf_medoid_recall5"] >= 0.9, r
+    assert r["pq_rerank_recall5"] >= 0.9, r
+
+
 def test_all_pairs_guard_raises(planted):
     with pytest.raises(ValueError, match="max_rows"):
         cosine_near_dup_pairs(planted, max_rows=10)

@@ -71,73 +71,78 @@ def topk_dict(df, k: int = 5):
     return out
 
 
+def probe(spark, mult: int) -> dict:
+    """Measure wall + recall@5 for brute / medoid-IVF / PQ-rerank at one
+    scale. Importable: tests/test_similarity.py's opt-in scale tests call
+    this and ASSERT the recall floor (round-6 verdict item 6 — the probe
+    alone recorded recall but nothing failed if it dropped)."""
+    corpus = planted(spark, 50 * mult)  # 5k / 50k vectors
+    queries = corpus.filter(f"vec_id % {2 * PER_CLUSTER * mult} = 0")  # 25 queries at every scale
+    nq = queries.count()
+
+    t0 = time.perf_counter()
+    exact = topk_dict(cosine_topk_brute(corpus, queries, k=5))
+    t_brute = round(time.perf_counter() - t0, 2)
+
+    # medoid-IVF: 64 cells, probe 4 (the k-means IVF test's setting)
+    t0 = time.perf_counter()
+    ivf = topk_dict(
+        cosine_topk_ivf_medoid(corpus, queries, k=5, n_cells=64, n_probe=4)
+    )
+    t_ivf = round(time.perf_counter() - t0, 2)
+    r_ivf = round(recall_at_k(ivf, exact), 3)
+
+    # PQ: ADC top-21 candidates, exact-cosine re-rank in Spark
+    t0 = time.perf_counter()
+    # candidate depth ~ cluster size: ADC codes cannot order WITHIN a
+    # 100-member planted cluster, so the re-rank pool must cover it
+    cand = pq_topk(corpus, queries, k=PER_CLUSTER + 5).filter("qid != cid")
+    emb = corpus.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qemb = corpus.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    rer = (
+        cand.join(emb, "cid")
+        .join(F.broadcast(qemb.join(queries.select(F.col("vec_id").alias("qid")), "qid")), "qid")
+        .select("qid", "cid", dot.alias("cosine"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("cosine").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter("rnk <= 5")
+    )
+    pq = topk_dict(rer)
+    t_pq = round(time.perf_counter() - t0, 2)
+    r_pq = round(recall_at_k(pq, exact), 3)
+
+    out = {
+                "scale": mult,
+                "n_vectors": 50 * mult * PER_CLUSTER,
+                "n_queries": nq,
+                "brute_sec": t_brute,
+                "ivf_medoid_sec": t_ivf,
+                "ivf_medoid_recall5": r_ivf,
+                "pq_rerank_sec": t_pq,
+                "pq_rerank_recall5": r_pq,
+    }
+    corpus.unpersist()
+    return out
+
+
 def main() -> int:
     scales = [int(s) for s in sys.argv[1:]] or [1, 10]
     spark = get_spark(app_name="ann_probe")
     for mult in scales:
-        corpus = planted(spark, 50 * mult)  # 5k / 50k vectors
-        queries = corpus.filter(f"vec_id % {2 * PER_CLUSTER * mult} = 0")  # 25 queries at every scale
-        nq = queries.count()
-
-        t0 = time.perf_counter()
-        exact = topk_dict(cosine_topk_brute(corpus, queries, k=5))
-        t_brute = round(time.perf_counter() - t0, 2)
-
-        # medoid-IVF: 64 cells, probe 4 (the k-means IVF test's setting)
-        t0 = time.perf_counter()
-        ivf = topk_dict(
-            cosine_topk_ivf_medoid(corpus, queries, k=5, n_cells=64, n_probe=4)
-        )
-        t_ivf = round(time.perf_counter() - t0, 2)
-        r_ivf = round(recall_at_k(ivf, exact), 3)
-
-        # PQ: ADC top-21 candidates, exact-cosine re-rank in Spark
-        t0 = time.perf_counter()
-        # candidate depth ~ cluster size: ADC codes cannot order WITHIN a
-        # 100-member planted cluster, so the re-rank pool must cover it
-        cand = pq_topk(corpus, queries, k=PER_CLUSTER + 5).filter("qid != cid")
-        emb = corpus.select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-        )
-        qemb = corpus.select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-        )
-        dot = F.aggregate(
-            F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        )
-        rer = (
-            cand.join(emb, "cid")
-            .join(F.broadcast(qemb.join(queries.select(F.col("vec_id").alias("qid")), "qid")), "qid")
-            .select("qid", "cid", dot.alias("cosine"))
-            .withColumn(
-                "rnk",
-                F.row_number().over(
-                    Window.partitionBy("qid").orderBy(
-                        F.col("cosine").desc(), F.col("cid").asc()
-                    )
-                ),
-            )
-            .filter("rnk <= 5")
-        )
-        pq = topk_dict(rer)
-        t_pq = round(time.perf_counter() - t0, 2)
-        r_pq = round(recall_at_k(pq, exact), 3)
-
-        print(
-            json.dumps(
-                {
-                    "scale": mult,
-                    "n_vectors": 50 * mult * PER_CLUSTER,
-                    "n_queries": nq,
-                    "brute_sec": t_brute,
-                    "ivf_medoid_sec": t_ivf,
-                    "ivf_medoid_recall5": r_ivf,
-                    "pq_rerank_sec": t_pq,
-                    "pq_rerank_recall5": r_pq,
-                }
-            )
-        )
-        corpus.unpersist()
+        print(json.dumps(probe(spark, mult)))
     return 0
 
 
