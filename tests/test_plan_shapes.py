@@ -187,7 +187,61 @@ WINDOW_SHUFFLE_BUDGET = {
     "triangle_count": 6,
     # relational headliners
     "pricing_summary": 1, "join_equi": 1, "asof_join_events": 1,
+    # round-7 window rotations: the 22 first-external-row queries. The
+    # fast-minhash plan shares dedup_minhash_lsh's single-slot gram cache,
+    # so its exchange count is cache-state-dependent (None = structural
+    # coverage only, same as the sibling). The kmeans trio re-plan from
+    # localCheckpointed assignment frames — counts are stable in-session.
+    "similarity_ann_ivf": 3, "dedup_minhash_fast": None,
+    "bigram_lm_support": 3, "balanced_source_sample": 2,
+    "length_buckets": 1, "price_histogram": 1,
+    "winnow_containment_pairs": 6, "boilerplate_passages": 2,
+    "approx_distinct_users": 2, "approx_percentiles": 1,
+    "length_outliers": 3, "kmeans_lloyd_clusters": 6,
+    "ks_drift_value": 1, "shipping_priority_topk": 1,
+    "kmeans_balanced_sample": 6, "hard_negative_mining": 1,
+    "referential_integrity_audit": 4, "partition_freshness_audit": 2,
+    "cross_source_duplication": 7, "kmeans_cluster_purity": 14,
+    "local_supplier_volume": 1, "revenue_anomaly_days": 4,
+    # round-7 additions: the sketch-threshold RFM carries its user-grain
+    # agg + the 1-row sketch agg; the TakeOrdered BM25 must stay
+    # shuffle-free; Q8/Q9 each carry exactly the one fact-fact shuffle
+    "user_rfm_segments_approx": 2, "bm25_search_topk": 0,
+    "nation_market_share": 1, "product_type_profit": 1,
+    # least-recently-verified fillers (round-2 era, budgets unchanged
+    # since their plans were reviewed then)
+    "sessionize": 1, "join_broadcast_dims": 1, "window_rank": 1,
+    "topk_orders": 0, "range_join_pricebands": 1, "semi_anti_join": 0,
+    "sql_correlated_subquery": 1, "pivot_daily_values": 2,
+    "rollup_hierarchy": 1, "value_percentiles": 1, "event_funnel_users": 1,
 }
+
+
+def test_bm25_topk_is_take_ordered_no_corpus_window(spark):
+    """The scale-safe BM25 variant must keep its TakeOrderedAndProject
+    shape (per-partition bounded heap) — the rnk window it carries runs
+    over the 20 already-selected rows, BELOW the take-ordered node."""
+    p = plan_of(spark, "bm25_search_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_rfm_approx_has_no_window(spark):
+    """The sketch-threshold RFM variant exists to eliminate the three
+    corpus-grain NTILE windows of the exact variant — no Window operator
+    may appear anywhere in its plan."""
+    p = plan_of(spark, "user_rfm_segments_approx")
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_q8_q9_broadcast_dimension_chains(spark):
+    """TPC-H Q8/Q9 shapes: every dimension leg broadcasts; the only hash
+    exchange in each plan is the lineitem-orders fact join + final agg."""
+    p8 = plan_of(spark, "nation_market_share")
+    assert p8.count("BroadcastHashJoin") >= 6  # part/cust/2*nation/region/supp
+    p9 = plan_of(spark, "product_type_profit")
+    assert p9.count("BroadcastHashJoin") >= 3  # part/supplier/nation
 
 
 def test_shuffle_budget_covers_whole_window():
