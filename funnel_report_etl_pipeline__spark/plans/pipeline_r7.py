@@ -292,3 +292,306 @@ def product_type_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "o_year")
         .agg(F.sum("__p").cast("double").alias("profit"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth batch (Q7/Q10/Q13/Q14/Q18/Q22 shapes) — deeper relational
+# join-ordering evidence over the same tables. Adapted where the testdata
+# lacks a column (no l_commitdate/l_receiptdate/l_shipmode/o_comment/
+# c_phone/partsupp); every adaptation keeps the reference query's JOIN
+# SHAPE and notes the substitution.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("pipeline-r7", "relational", "join"),
+)
+def volume_shipping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral volume shipping): revenue flowing in each
+    direction between two nations, by ship year. The nation pair filter
+    applies to the CROSS of two broadcast nation legs — Catalyst pushes
+    each leg's half of the disjunction only as an IN(1,2) prune, so the
+    pair predicate evaluates post-join, exactly like the reference query.
+    Supplier/customer/nation broadcast; the lineitem⋈orders fact join is
+    the single shuffle. Revenue in decimal(22,4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.alias("sn")
+    cn = nation.alias("cn")
+    pair = (
+        (F.col("sn.n_name") == "NATION_1") & (F.col("cn.n_name") == "NATION_2")
+    ) | ((F.col("sn.n_name") == "NATION_2") & (F.col("cn.n_name") == "NATION_1"))
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sn), sup.s_nationkey == F.col("sn.n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn.n_nationkey"))
+        .filter(pair)
+        .select(
+            F.col("sn.n_name").alias("supp_nation"),
+            F.col("cn.n_name").alias("cust_nation"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            .cast("decimal(22,4)")
+            .alias("__v"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("__v").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "returned_item_report",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("pipeline-r7", "relational", "join"),
+)
+def returned_item_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): the top-20 customers by
+    revenue lost to returns in one quarter. Both fact filters (order-date
+    range, returnflag = 'R') push to their scans; customer and nation
+    broadcast into the orders⋈lineitem shuffle join; the top-20 is a
+    TakeOrderedAndProject on (revenue DESC, c_custkey) — fully
+    tie-broken, never a global sort."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "n_name",
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            .cast("decimal(22,4)")
+            .alias("__v"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("__v").cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+    tags=("pipeline-r7", "relational", "join"),
+)
+def customer_order_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    zero-order customers land in the c_count = 0 bucket (the testdata's
+    o_comment filter is dropped — no such column). At scale both sides
+    are corpus-grain, so the custkey join shuffles both (AQE broadcasts
+    the 1500-row customer side locally); the two aggregations are
+    key-grain with map-side partials. COUNT(o_orderkey) — not COUNT(*) —
+    so the null-extended row counts zero."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@register(
+    "promo_revenue_pct",
+    oracle="""
+    SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))
+                 ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(22,4))) AS DOUBLE) AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-05-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-06-01 00:00:00'
+    """,
+    tags=("pipeline-r7", "relational", "join"),
+)
+def promo_revenue_pct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): PROMO share of one month's
+    revenue. Ship-date range pushes to the lineitem scan; part broadcasts;
+    the whole query is one map-side conditional aggregation — zero hash
+    exchanges beyond the final 1-row gather. Both decimal sums are exact,
+    so the single double division is the only rounding point."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-05-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-06-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(22,4)"
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.when(F.col("p_type") == "PROMO", rev)
+            .otherwise(F.lit(0).cast("decimal(22,4)"))
+            .alias("__promo"),
+            rev.alias("__all"),
+        )
+        .agg(
+            F.sum("__promo").alias("__p"),
+            F.sum("__all").alias("__t"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+    return agg.select(
+        (
+            F.lit(100.0) * F.col("__p").cast("double") / F.col("__t").cast("double")
+        ).alias("promo_pct"),
+        "n_lines",
+    )
+
+
+@register(
+    "large_volume_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 200
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+    tags=("pipeline-r7", "relational", "join"),
+)
+def large_volume_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total line
+    quantity exceeds 200 (the testdata's p95 is 207, so the gate is
+    selective AND non-empty — the zero-signal-oracle rule). The HAVING
+    subquery becomes a grouped pre-aggregation LEFT SEMI-joined back into
+    lineitem — at scale that semi-join key set is tiny (top ~5% of
+    orders) and broadcasts; customer broadcasts into the orders leg.
+    l_quantity sums are whole numbers stored as double (exact integers
+    < 2^53 — order-independent), cast through DOUBLE identically in the
+    oracle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+    )
+
+
+@register(
+    "lapsed_highvalue_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(22,4))) AS DECIMAL(38,4))
+               AS total_pos,
+             CAST(COUNT(*) AS BIGINT) AS n_pos
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(22,4))) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(22,4)) * n_pos > total_pos
+      AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    """,
+    tags=("pipeline-r7", "relational", "join"),
+)
+def lapsed_highvalue_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity), adapted: customers with
+    an above-positive-average balance and NO order since 2000 (the
+    testdata has no zero-order customers, so the recency cutoff restores
+    Q22's anti-join semantics; nationkey stands in for the phone country
+    code). The average comparison is cross-multiplied —
+    acctbal·n_pos > Σpos — so NO division happens on either engine and
+    the threshold is exact decimal arithmetic. Plan: 1-row broadcast of
+    the positive aggregate, recent-orders keys pre-aggregated then ANTI
+    join (at scale the distinct recent-buyer key set shuffles; the date
+    filter pushes to the orders scan), one grouped aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(22,4)")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).cast("decimal(38,4)").alias("total_pos"),
+        F.count("*").cast("long").alias("n_pos"),
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(bal * F.col("n_pos") > F.col("total_pos"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )

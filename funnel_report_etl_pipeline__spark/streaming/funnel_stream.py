@@ -130,6 +130,49 @@ def view_purchase_attribution(
     ).select("user_id", "purchase_id", "view_ts", "purchase_ts", "purchase_value")
 
 
+def view_purchase_attribution_outer(
+    events: DataFrame, max_gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    ``view_purchase_attribution`` but every view eventually emits —
+    matched views as soon as the purchase arrives, UNCONVERTED views with
+    null purchase columns once the watermark proves no purchase can still
+    match (view state expires when watermark > view_ts + max_gap). This
+    is the conversion-funnel shape that needs the outer side: the
+    non-converting views ARE the signal. State stays bounded exactly as
+    in the inner join — the null-side emission is what the state eviction
+    produces on its way out, at zero extra state cost."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "left_outer",
+    ).select(
+        "user_id", "view_id", "view_ts", "purchase_id", "purchase_ts",
+        "purchase_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: per-user ordered funnel depth
 # ---------------------------------------------------------------------------

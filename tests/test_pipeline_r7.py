@@ -172,3 +172,147 @@ def test_rfm_approx_agrees_with_exact_on_untied_metrics(spark, specs):
     assert set(exact) == set(approx)
     diff = {u for u in exact if exact[u] != approx[u]}
     assert not diff, f"monetary buckets diverge for {sorted(diff)[:5]}"
+
+
+# --- TPC-H breadth batch (Q7/Q10/Q13/Q14/Q18/Q22 shapes) ---------------------
+
+
+def test_volume_shipping_bidirectional(spark, specs, tmp_path_factory):
+    # NATION_1 supplier -> NATION_2 customer (100) and the reverse (40);
+    # an unrelated NATION_0 pair must not appear
+    nation = spark.createDataFrame(
+        [(0, "NATION_0", 0), (1, "NATION_1", 1), (2, "NATION_2", 2)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "s1", 1, 0.0), (2, "s2", 2, 0.0), (3, "s3", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    customer = spark.createDataFrame(
+        [(1, "c1", 2, 0.0, "B"), (2, "c2", 1, 0.0, "B"), (3, "c3", 0, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    ship = datetime(1996, 6, 1)
+    li = _li(spark, [
+        (10, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", ship),  # n1 -> n2
+        (11, 1, 2, 1, 1.0, 40.0, 0.0, 0.0, "N", "O", ship),   # n2 -> n1
+        (12, 1, 3, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", ship),  # n0 -> n2
+    ])
+    orders = _orders(spark, [
+        (10, 1, "O", 0.0, datetime(1996, 1, 1), "1"),
+        (11, 2, "O", 0.0, datetime(1996, 1, 1), "1"),
+        (12, 1, "O", 0.0, datetime(1996, 1, 1), "1"),
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q7", {
+        "lineitem": li, "orders": orders, "customer": customer,
+        "supplier": supplier, "nation": nation,
+    })
+    rows = {(r.supp_nation, r.cust_nation): r for r in
+            specs["volume_shipping"].fn(spark, sf).collect()}
+    assert set(rows) == {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    assert rows[("NATION_1", "NATION_2")].revenue == 100.0
+    assert rows[("NATION_2", "NATION_1")].revenue == 40.0
+    assert rows[("NATION_1", "NATION_2")].l_year == 1996
+
+
+def test_returned_item_report_filters_and_ranks(spark, specs, tmp_path_factory):
+    nation, region, supplier, customer, part = _dims(spark)
+    in_q = datetime(1997, 2, 1)
+    out_q = datetime(1997, 6, 1)
+    li = _li(spark, [
+        (10, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "R", "O", in_q),
+        (10, 1, 1, 2, 1.0, 50.0, 0.0, 0.0, "N", "O", in_q),   # not returned
+        (11, 1, 1, 1, 1.0, 70.0, 0.0, 0.0, "R", "O", out_q),  # outside quarter
+        (12, 1, 1, 1, 1.0, 30.0, 0.5, 0.0, "R", "O", in_q),   # cust 2: 15.0
+    ])
+    orders = _orders(spark, [
+        (10, 1, "O", 0.0, in_q, "1"),
+        (11, 1, "O", 0.0, out_q, "1"),
+        (12, 2, "O", 0.0, in_q, "1"),
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q10", {
+        "lineitem": li, "orders": orders, "customer": customer, "nation": nation,
+    })
+    rows = specs["returned_item_report"].fn(spark, sf).collect()
+    assert [(r.c_custkey, r.revenue) for r in rows] == [(1, 100.0), (2, 15.0)]
+    assert rows[0].n_name == "NATION_3"
+
+
+def test_customer_order_distribution_counts_zero_bucket(spark, specs, tmp_path_factory):
+    customer = spark.createDataFrame(
+        [(i, f"c{i}", 0, 0.0, "B") for i in (1, 2, 3)],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    orders = _orders(spark, [
+        (10, 1, "O", 0.0, datetime(1996, 1, 1), "1"),
+        (11, 1, "O", 0.0, datetime(1996, 1, 1), "1"),
+        (12, 2, "O", 0.0, datetime(1996, 1, 1), "1"),
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q13", {
+        "customer": customer, "orders": orders,
+    })
+    d = {r.c_count: r.custdist for r in
+         specs["customer_order_distribution"].fn(spark, sf).collect()}
+    # cust 3 has NO orders and must land in the 0 bucket (LEFT join +
+    # COUNT(o_orderkey))
+    assert d == {0: 1, 1: 1, 2: 1}
+
+
+def test_promo_revenue_pct_planted(spark, specs, tmp_path_factory):
+    nation, region, supplier, customer, part = _dims(spark)  # part 1 = PROMO
+    in_m = datetime(1997, 5, 10)
+    li = _li(spark, [
+        (10, 1, 1, 1, 1.0, 30.0, 0.0, 0.0, "N", "O", in_m),          # promo 30
+        (10, 2, 1, 2, 1.0, 90.0, 0.0, 0.0, "N", "O", in_m),          # other 90
+        (10, 1, 1, 3, 1.0, 999.0, 0.0, 0.0, "N", "O", datetime(1997, 7, 1)),
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q14", {"lineitem": li, "part": part})
+    r = specs["promo_revenue_pct"].fn(spark, sf).collect()[0]
+    assert r.n_lines == 2
+    assert abs(r.promo_pct - 25.0) < 1e-12
+
+
+def test_large_volume_orders_threshold(spark, specs, tmp_path_factory):
+    nation, region, supplier, customer, part = _dims(spark)
+    ship = datetime(1996, 6, 1)
+    li = _li(spark, [
+        (10, 1, 1, 1, 150.0, 1.0, 0.0, 0.0, "N", "O", ship),
+        (10, 1, 1, 2, 60.0, 1.0, 0.0, 0.0, "N", "O", ship),   # order 10: 210 > 200
+        (11, 1, 1, 1, 199.0, 1.0, 0.0, 0.0, "N", "O", ship),  # order 11: under
+    ])
+    orders = _orders(spark, [
+        (10, 1, "O", 500.0, datetime(1996, 1, 1), "1"),
+        (11, 1, "O", 300.0, datetime(1996, 1, 1), "1"),
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q18", {
+        "lineitem": li, "orders": orders, "customer": customer,
+    })
+    rows = specs["large_volume_orders"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0].o_orderkey == 10 and rows[0].sum_qty == 210.0
+    assert rows[0].c_custkey == 1 and rows[0].o_totalprice == 500.0
+
+
+def test_lapsed_highvalue_customers_anti_join(spark, specs, tmp_path_factory):
+    # positive balances: 100, 300 (avg 200); cust 2 (300) is above-average
+    # but ordered in 2001 -> excluded; cust 4 (250, never ordered recently)
+    # is the one survivor; negative-balance cust never qualifies
+    customer = spark.createDataFrame(
+        [(1, "c1", 7, 100.0, "B"), (2, "c2", 7, 300.0, "B"),
+         (3, "c3", 7, -50.0, "B"), (4, "c4", 8, 250.0, "B")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    orders = _orders(spark, [
+        (10, 2, "O", 0.0, datetime(2001, 3, 1), "1"),   # recent -> excludes 2
+        (11, 4, "O", 0.0, datetime(1999, 3, 1), "1"),   # old -> keeps 4
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q22", {
+        "customer": customer, "orders": orders,
+    })
+    rows = specs["lapsed_highvalue_customers"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.c_nationkey == 8 and r.numcust == 1 and r.totacctbal == 250.0

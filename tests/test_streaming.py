@@ -101,6 +101,54 @@ def test_stream_stream_interval_join(spark, stream_dir):
     assert rows[0].view_ts.minute == 5 and rows[0].purchase_ts.minute == 10
 
 
+def test_stream_stream_outer_join_emits_expired_views(spark, tmp_path_factory):
+    """LEFT OUTER variant: the matched view emits with its purchase; a
+    view whose 1-hour match window the final watermark has passed emits
+    with null purchase columns; views still inside the watermark are
+    withheld. Null-side rows are produced by state EVICTION, which Spark
+    only performs in a batch AFTER the watermark advanced — so the input
+    is split into two files (two micro-batches): batch 2's day-2 rows
+    push the global watermark past every day-1 view's match window."""
+    from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+        view_purchase_attribution_outer,
+    )
+
+    d = str(tmp_path_factory.mktemp("outer_join_stream"))
+    schema = "event_id long, user_id long, event_type string, ts timestamp, value double"
+    batch1 = [e for e in EVENTS if e[3] < T0 + timedelta(hours=12)]
+    batch2 = [
+        e for e in EVENTS if e[3] >= T0 + timedelta(hours=12)
+    ] + [_mk(10, 2, "purchase", 60 * 24 + 1)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(f"{d}/b1")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(f"{d}/b2")
+    import os as _os
+    import shutil as _shutil
+
+    for i, sub in enumerate(("b1", "b2")):
+        part = next(f for f in _os.listdir(f"{d}/{sub}") if f.startswith("part-"))
+        _shutil.move(f"{d}/{sub}/{part}", f"{d}/{i:03d}.parquet")
+        _shutil.rmtree(f"{d}/{sub}")
+
+    src = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = run_to_memory(
+        view_purchase_attribution_outer(src, max_gap="1 hour"),
+        "attrib_outer_t",
+        "append",
+    )
+    rows = {r.view_id: r for r in out.collect()}
+    # matched: user-1 view at +5 attributed to purchase at +10
+    assert 2 in rows and rows[2].purchase_id == 3 and rows[2].user_id == 1
+    # expired unconverted day-1 views emit null-side rows in batch 2
+    for vid in (4, 6, 7, 8):
+        assert vid in rows and rows[vid].purchase_id is None
+    # the day-2 view (event 9) is still inside the watermark -> withheld
+    assert 9 not in rows
+
+
 def test_checkpointed_restart_no_duplicates(spark, stream_dir, tmp_path):
     """Exactly-once file sink: re-running the query over the same
     checkpoint must not re-emit already-committed micro-batches."""

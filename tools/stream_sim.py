@@ -37,6 +37,7 @@ OPS = (
     "funnel_depth_stream",
     "idempotent_parquet_sink",
     "late_data_drop",
+    "view_purchase_attribution_outer",
 )
 
 
@@ -443,8 +444,65 @@ def main() -> int:
     run("curation_gate_stream", _curation)
     run("dedup_stream", _dedup)
     run("funnel_depth_stream", _depth)
+    # 9. LEFT OUTER stream-stream interval join — matched views emit with
+    #    their purchase; unconverted views emit null-side rows only when
+    #    the GLOBAL watermark (min of the two sides' per-stream watermarks)
+    #    proves their 1-hour match window closed. The batch twin replays
+    #    both rules; views still inside the final watermark must NOT
+    #    appear (an eager null emission would surface as extra rows).
+    def _attrib_outer():
+        from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+            view_purchase_attribution_outer,
+        )
+
+        s = drain(
+            view_purchase_attribution_outer(stream_src()), "ss_attrib_outer", "append"
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        max_view = views.agg(F.max("view_ts")).collect()[0][0]
+        max_purch = purchases.agg(F.max("purchase_ts")).collect()[0][0]
+        wm = min(max_view, max_purch) - __import__("datetime").timedelta(hours=2)
+        matched = views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") > F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        unmatched = (
+            views.join(
+                matched.select(F.col("view_id").alias("m_vid")),
+                views.view_id == F.col("m_vid"),
+                "left_anti",
+            )
+            .filter(F.col("view_ts") + F.expr("INTERVAL 1 HOUR") < F.lit(wm))
+            .select(
+                "user_id", "view_id", "view_ts",
+                F.lit(None).cast("long").alias("purchase_id"),
+                F.lit(None).cast("timestamp").alias("purchase_ts"),
+                F.lit(None).cast("double").alias("purchase_value"),
+            )
+        )
+        b = (
+            matched.select(
+                "user_id", "view_id", "view_ts", "purchase_id", "purchase_ts",
+                "purchase_value",
+            )
+            .unionByName(unmatched)
+            .toPandas()
+        )
+        return _canon_ok(s, b)
+
     run("idempotent_parquet_sink", _sink)
     run("late_data_drop", _late)
+    run("view_purchase_attribution_outer", _attrib_outer)
 
     n_pass = sum(1 for r in results.values() if r.get("hash_match"))
     print(f"{n_pass}/{len(results)} streaming ops batch-parity green")
