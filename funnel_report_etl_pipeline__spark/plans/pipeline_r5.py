@@ -1438,17 +1438,31 @@ def rrf_hybrid_fusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-order two-term sum of exact divisions, and every window is
     fully tie-broken. Both ranked lists are top-heavy small after their
     own pruning; fusion is a full-outer join on id + one TakeOrdered."""
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
-    toks = F.split(F.col("text"), " ")
-    f = docs.select(
-        "doc_id", F.size(F.filter(toks, lambda x: x == F.lit("table"))).alias("tf")
-    ).filter(F.col("tf") > 0)
-    lex = f.withColumn(
+    lex_scored, sem_scored = rrf_scored_lists(spark, sf_dir)
+    lex = lex_scored.withColumn(
         "lex_rank",
         F.row_number().over(Window.orderBy(F.col("tf").desc(), "doc_id")).cast("long"),
     ).select("doc_id", "lex_rank")
+    sem = sem_scored.withColumn(
+        "sem_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("__dot").desc(), "doc_id"))
+        .cast("long"),
+    ).select("doc_id", "sem_rank")
+    return rrf_fuse(lex, sem)
 
+
+def rrf_scored_lists(spark: SparkSession, sf_dir: str):
+    """Shared RRF inputs: the lexical (doc_id, tf) and semantic
+    (doc_id, __dot) scored frames — consumed by `rrf_hybrid_fusion`
+    (exact full-corpus ranks) and `rrf_fusion_topk` (TakeOrdered
+    list-capped ranks, the plan that survives an unbounded corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    toks = F.split(F.col("text"), " ")
+    lex_scored = docs.select(
+        "doc_id", F.size(F.filter(toks, lambda x: x == F.lit("table"))).alias("tf")
+    ).filter(F.col("tf") > 0)
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.transform("embedding", lambda x: x.cast("double")).alias("qv")
     )
@@ -1461,18 +1475,17 @@ def rrf_hybrid_fusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    sem = (
+    sem_scored = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
         .select(F.col("vec_id").alias("doc_id"), dot.alias("__dot"))
-        .withColumn(
-            "sem_rank",
-            F.row_number()
-            .over(Window.orderBy(F.col("__dot").desc(), "doc_id"))
-            .cast("long"),
-        )
-        .select("doc_id", "sem_rank")
     )
+    return lex_scored, sem_scored
+
+
+def rrf_fuse(lex: DataFrame, sem: DataFrame, k: int = 20) -> DataFrame:
+    """Fuse two (doc_id, *_rank) lists: rrf = Σ 1/(60 + rank), absent
+    rankings imputed rank 1000; top-k on (score DESC, doc_id)."""
     fused = lex.join(sem, "doc_id", "full_outer")
     score = (
         F.lit(1.0) / (F.lit(60.0) + F.coalesce(F.col("lex_rank"), F.lit(1000)).cast("double"))
@@ -1483,7 +1496,7 @@ def rrf_hybrid_fusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fused.select("doc_id", "lex_rank", "sem_rank", score.alias("rrf_score"))
         .withColumn("rnk", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rnk") <= 20)
+        .filter(F.col("rnk") <= k)
     )
 
 

@@ -595,3 +595,90 @@ def lapsed_highvalue_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion, list-capped variant (the last corpus-grain global window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rrf_fusion_topk",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    f AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> x = 'table')) AS tf
+      FROM t
+    ),
+    lex AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS BIGINT)
+                 AS lex_rank
+        FROM f WHERE tf > 0
+      ) WHERE lex_rank <= 100
+    ),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT doc_id, sem_rank FROM (
+        SELECT vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE) * qv[i])) DESC,
+                 vec_id) AS BIGINT) AS sem_rank
+        FROM embeddings, q WHERE vec_id <> 0
+      ) WHERE sem_rank <= 100
+    )
+    SELECT doc_id, lex_rank, sem_rank,
+           ((1.0 / (60.0 + CAST(COALESCE(lex_rank, 1000) AS DOUBLE)))
+            + (1.0 / (60.0 + CAST(COALESCE(sem_rank, 1000) AS DOUBLE))))
+             AS rrf_score,
+           rnk
+    FROM (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.lex_rank, sem.sem_rank,
+             CAST(ROW_NUMBER() OVER (ORDER BY
+               ((1.0 / (60.0 + CAST(COALESCE(lex_rank, 1000) AS DOUBLE)))
+                + (1.0 / (60.0 + CAST(COALESCE(sem_rank, 1000) AS DOUBLE)))) DESC,
+               COALESCE(lex.doc_id, sem.doc_id)) AS BIGINT) AS rnk
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ) r WHERE rnk <= 20
+    """,
+    tags=("pipeline-r7", "retrieval", "similarity"),
+)
+def rrf_fusion_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-capped RRF: each input list is cut to its top-100 by
+    TakeOrderedAndProject BEFORE ranks are assigned, so the rank windows
+    run over 100 already-selected rows instead of the whole matching
+    corpus — the standard production shape (rank lists are capped at the
+    retriever and fusion sees k₁+k₂ rows). Capping CHANGES tail scores by
+    definition: a doc ranked 101..999 in a list scores as the imputed
+    1000 here but as its true rank in the exact variant, so the two
+    variants only provably agree on docs whose ranks are all ≤ 100 or
+    absent (capping can only lower the others, so those stable docs can
+    only move up — the agreement a pytest asserts). This retires the
+    exact `rrf_hybrid_fusion`'s last corpus-grain window at scale; the
+    oracle replicates the capped semantics exactly."""
+    from funnel_report_etl_pipeline__spark.plans.pipeline_r5 import (
+        rrf_fuse,
+        rrf_scored_lists,
+    )
+
+    lex_scored, sem_scored = rrf_scored_lists(spark, sf_dir)
+    lex_top = lex_scored.orderBy(F.col("tf").desc(), "doc_id").limit(100)
+    lex = lex_top.withColumn(
+        "lex_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), "doc_id"))
+        .cast("long"),
+    ).select("doc_id", "lex_rank")
+    sem_top = sem_scored.orderBy(F.col("__dot").desc(), "doc_id").limit(100)
+    sem = sem_top.withColumn(
+        "sem_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("__dot").desc(), "doc_id"))
+        .cast("long"),
+    ).select("doc_id", "sem_rank")
+    return rrf_fuse(lex, sem)

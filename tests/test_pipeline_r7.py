@@ -316,3 +316,31 @@ def test_lapsed_highvalue_customers_anti_join(spark, specs, tmp_path_factory):
     assert len(rows) == 1
     r = rows[0]
     assert r.c_nationkey == 8 and r.numcust == 1 and r.totacctbal == 250.0
+
+
+def test_rrf_topk_agreement_with_exact_variant(spark, specs):
+    """Capped RRF's guarantee (and its honest limit): a doc whose list
+    ranks are all <= 100 or absent scores IDENTICALLY in both variants —
+    and since capping can only LOWER other docs' scores (rank 101..999
+    becomes the imputed 1000), such a doc can only move UP. So every
+    exact-top-20 doc with no rank in (100, 1000) must appear in the
+    capped top-20 with the same score. Docs WITH a tail rank legitimately
+    differ — at sf0.001 the semantic list ranks all 499 embeddings, so
+    exact-variant sem ranks run past 100 and strict equality is
+    unobtainable by construction (the first capped/exact divergence on
+    this data is rank 5)."""
+    a = specs["rrf_hybrid_fusion"].fn(spark, SF_SMALL).collect()
+    b = specs["rrf_fusion_topk"].fn(spark, SF_SMALL).collect()
+    assert len(a) == 20 and len(b) == 20
+    b_by_doc = {r.doc_id: r for r in b}
+    stable = [
+        r for r in a
+        if (r.lex_rank is None or r.lex_rank <= 100)
+        and (r.sem_rank is None or r.sem_rank <= 100)
+    ]
+    assert stable, "no rank-stable docs in the exact top-20 — fixture too weak"
+    for r in stable:
+        assert r.doc_id in b_by_doc, f"doc {r.doc_id} fell out of the capped top-20"
+        rb = b_by_doc[r.doc_id]
+        assert rb.rrf_score == r.rrf_score
+        assert rb.rnk <= r.rnk  # capping only demotes OTHER docs
