@@ -1,0 +1,61 @@
+"""Size-gated join hints.
+
+A hard ``F.broadcast(df)`` is an order, not a suggestion: Catalyst builds a
+BroadcastExchange regardless of the frame's actual size, so a hint placed on
+a table that *grows with the corpus* (customers, suppliers, parts in a real
+deployment — even though TPC-H convention treats them as dimensions) turns
+into a job-killing 8 GB+ broadcast at 100×. ``maybe_broadcast`` keeps the
+gate-scale plan (the hint fires, the fact side never shuffles) while
+degrading gracefully: past a size threshold it returns the frame un-hinted
+and AQE picks the join strategy from *runtime* statistics.
+
+The gate reads the optimizer's own cost-model estimate
+(``optimizedPlan().stats().sizeInBytes`` — the exact number the planner
+compares against ``spark.sql.autoBroadcastJoinThreshold``), so no job runs
+and no data is scanned to make the decision; it is a driver-side plan walk.
+For a bare parquet scan the estimate is the file footprint; for a filtered
+scan it includes Catalyst's selectivity estimate. Frames whose size is
+*architecturally* bounded (1-row aggregates, the 25-row nation table, a
+top-k output) keep their hard ``F.broadcast`` — the helper is for hints
+whose safety depends on deployment-scale assumptions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Default gate: 256 MiB *estimated* logical size. Broadcast frames are
+# compact-encoded on the wire, so a 256 MiB scan estimate lands well under
+# Spark's 8 GB hard broadcast cap with wide margin, while still letting every
+# gate-scale dimension table (sf0.1 customer ≈ 1 MiB) through. Override per
+# session with spark.funnel.broadcastGateBytes.
+DEFAULT_GATE_BYTES = 256 << 20
+
+_CONF_KEY = "spark.funnel.broadcastGateBytes"
+
+
+def estimated_size_bytes(df: DataFrame) -> int | None:
+    """The optimizer's sizeInBytes estimate for ``df``, or None when the
+    plan-stats walk is unavailable (e.g. Spark Connect has no _jdf)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes()))
+    except Exception:
+        return None
+
+
+def maybe_broadcast(df: DataFrame, gate_bytes: int | None = None) -> DataFrame:
+    """Hint ``broadcast(df)`` only while the optimizer's size estimate stays
+    under the gate; otherwise return ``df`` unchanged so AQE chooses the
+    strategy from runtime stats. Unknown estimate ⇒ no hint (fail safe:
+    worst case is a shuffle join, never an oversized broadcast)."""
+    if gate_bytes is None:
+        try:
+            gate_bytes = int(df.sparkSession.conf.get(_CONF_KEY, str(DEFAULT_GATE_BYTES)))
+        except Exception:
+            gate_bytes = DEFAULT_GATE_BYTES
+    est = estimated_size_bytes(df)
+    if est is None or est > gate_bytes:
+        return df
+    return F.broadcast(df)

@@ -187,13 +187,12 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
-    """Banding: split the signature into `bands` chunks of `rows`; docs
-    sharing any (band_idx, band_key) are candidates. The join key is the
-    band bucket — at 100 TB this is the only join, and each bucket holds a
-    near-dup cluster (skewed mega-clusters are handled by AQE skew-join).
-    The band key is the dash-joined decimal rendering of the band's minhash
-    values — engine-neutral (no murmur3), so the oracle groups identically."""
+def band_buckets(sigs: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
+    """(id, band_idx, band_hash) — each signature split into `bands` chunks
+    of `rows`; the band key is the dash-joined decimal rendering of the
+    band's minhash values — engine-neutral (no murmur3), so an oracle
+    groups identically. Shared by the LSH candidate join and the bucket
+    skew audit."""
     band = F.posexplode(
         F.array(
             *[
@@ -208,7 +207,15 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8, rows: int = 4) -> DataF
             ]
         )
     )
-    buckets = sigs.select("id", band.alias("band_idx", "band_hash"))
+    return sigs.select("id", band.alias("band_idx", "band_hash"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8, rows: int = 4) -> DataFrame:
+    """Banding: split the signature into `bands` chunks of `rows`; docs
+    sharing any (band_idx, band_key) are candidates. The join key is the
+    band bucket — at 100 TB this is the only join, and each bucket holds a
+    near-dup cluster (skewed mega-clusters are handled by AQE skew-join)."""
+    buckets = band_buckets(sigs, bands=bands, rows=rows)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -3,10 +3,14 @@ multimodal plumbing — registered over the driver's `documents` /
 `embeddings` tables with DuckDB oracles wherever SQL-expressible.
 
 Probabilistic-but-deterministic operators (MinHash-LSH, SimHash, hyperplane
-ANN) depend on Spark's murmur3/xxhash64 — not replicable in DuckDB SQL —
-so they register without an oracle (driver does a rows-only check); each
-has an exact-verified sibling (ngram_jaccard_pairs, similarity_topk_brute)
-covering the same semantics with a full value-hash oracle.
+ANN) hash with the cross-engine-reproducible md5 families (operators/
+dedup.py ``hash_family``) rather than Spark-private murmur3/xxhash64, so since round 5
+every one of them carries a FULL value-hash oracle — the DuckDB SQL
+reproduces the seeded pipeline end-to-end (md5-derived minhash band keys,
+simhash bit votes, quantized hyperplane signs) and the driver's strict
+compare covers them like any other query. Each also has an exact-verified
+sibling (ngram_jaccard_pairs, similarity_topk_brute) covering the same
+semantics without the seeded machinery.
 """
 
 from __future__ import annotations

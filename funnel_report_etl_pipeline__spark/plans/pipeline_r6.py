@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from funnel_report_etl_pipeline__spark.functions.hints import maybe_broadcast
 from funnel_report_etl_pipeline__spark.plans.registry import register
 from funnel_report_etl_pipeline__spark.schemas import (
     DISCOVERY_COLUMNS,
@@ -1130,7 +1131,7 @@ def shipping_priority_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(22,4)")
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -1582,10 +1583,10 @@ def local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     ).cast("decimal(22,4)")
     return (
-        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        li.join(orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(supp),
+            maybe_broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )

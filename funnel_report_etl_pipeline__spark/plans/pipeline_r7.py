@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from funnel_report_etl_pipeline__spark.functions.core import dsum
+from funnel_report_etl_pipeline__spark.functions.hints import maybe_broadcast
 from funnel_report_etl_pipeline__spark.plans.pipeline_r5 import (
     _bm25_oracle,
     bm25_scored_frame,
@@ -92,7 +93,10 @@ def user_rfm_segments_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     also tie-stable (tied users land together on both engines), unlike
     NTILE's rank split — the two variants differ there by design.
     Recency is compared in epoch micros (timestamp order ≡ integer
-    order)."""
+    order). A plan-embedded assert_true fails the job with an explicit
+    message if the purchasing-user count ever exceeds the accuracy
+    regime, instead of letting the gate surface an opaque hash
+    mismatch."""
     ev = _t(spark, sf_dir, "events")
     u = (
         ev.filter(F.col("event_type") == "purchase")
@@ -109,10 +113,30 @@ def user_rfm_segments_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"approx_percentile({m}, array(0.25, 0.5, 0.75), 1000000)"
             ).alias(f"__t_{m}")
             for m in _RFM_METRICS
-        ]
+        ],
+        F.count("*").cast("long").alias("__n_users"),
     )
     out = u.crossJoin(F.broadcast(th))
-    cols = ["user_id", *_RFM_METRICS]
+    # The exact-threshold premise (and therefore the registered value-hash
+    # oracle) only holds while n_users ≤ accuracy — past that the GK sketch
+    # compresses and thresholds become approximate. Fail LOUDLY with this
+    # message instead of surfacing an opaque hash mismatch at a larger
+    # gate. assert_true returns NULL on success, so wrapping user_id in
+    # when(guard.isNull(), ...) keeps the check in the plan (a bare
+    # withColumn().drop() would be pruned) without changing any value.
+    guard = F.assert_true(
+        F.col("__n_users") <= F.lit(1_000_000),
+        F.lit(
+            "user_rfm_segments_approx: purchasing-user count exceeds the"
+            " approx_percentile accuracy (1e6) — sketch thresholds are no"
+            " longer exact quantiles; re-gate this query as rows-only or"
+            " raise the accuracy parameter"
+        ),
+    )
+    cols = [
+        F.when(guard.isNull(), F.col("user_id")).alias("user_id"),
+        *_RFM_METRICS,
+    ]
     for m in _RFM_METRICS:
         t = F.col(f"__t_{m}")
         bucket = (
@@ -191,9 +215,11 @@ def nation_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     part revenue sold into AMERICA customers, by order year — an 8-table
     join tree. The plan the optimizer should pick, and .explain
     confirms: every dimension filter pushed to its scan; part, customer,
-    supplier, both nation legs, and region all BROADCAST (each is
-    key-grain and either filtered or tiny), so the only shuffles are the
-    lineitem⋈orders fact join and the final year-grain aggregate —
+    supplier, both nation legs, and region all BROADCAST — nation/region
+    (fixed 25/5 rows) as hard hints, part/customer/supplier through the
+    size-gated `maybe_broadcast` so a grown deployment degrades to AQE's
+    choice instead of an oversized forced broadcast — so the only
+    shuffles are the lineitem⋈orders fact join and the year-grain agg —
     lineitem rows are pre-pruned by the broadcast part filter before the
     orders join. Volume sums in decimal(22,4) (partition-invariant); the
     share is one double division per year row."""
@@ -207,12 +233,12 @@ def nation_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = nation.alias("cn")
     sn = nation.alias("sn")
     vol = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), cust.c_nationkey == F.col("cn.n_nationkey"))
         .join(F.broadcast(region), F.col("cn.n_regionkey") == region.r_regionkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(sn), sup.s_nationkey == F.col("sn.n_nationkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -258,6 +284,7 @@ def nation_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name, o_year
     """,
     tags=("pipeline-r7", "relational", "join"),
+    bench=True,
 )
 def product_type_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit by nation and year), adapted
@@ -266,7 +293,8 @@ def product_type_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression keeps Q9's exact form, revenue − cost·quantity). Plan:
     the p_name filter prunes part BEFORE it broadcasts into lineitem, so
     the fact table shrinks at the scan side of its first join; supplier
-    and nation broadcast; the orders join is the one fact-fact shuffle,
+    and part are size-gated broadcast hints, nation a hard one; the
+    orders join is the one fact-fact shuffle,
     on the key both sides already carry. Per-line profit is computed in
     decimal BEFORE the sum (one rounding point per row, same on both
     engines) so the grouped total is partition-invariant."""
@@ -280,8 +308,8 @@ def product_type_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
     ).cast("decimal(22,4)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
@@ -321,6 +349,7 @@ def product_type_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY supp_nation, cust_nation, l_year
     """,
     tags=("pipeline-r7", "relational", "join"),
+    bench=True,
 )
 def volume_shipping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (bilateral volume shipping): revenue flowing in each
@@ -328,8 +357,9 @@ def volume_shipping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies to the CROSS of two broadcast nation legs — Catalyst pushes
     each leg's half of the disjunction only as an IN(1,2) prune, so the
     pair predicate evaluates post-join, exactly like the reference query.
-    Supplier/customer/nation broadcast; the lineitem⋈orders fact join is
-    the single shuffle. Revenue in decimal(22,4)."""
+    Supplier/customer broadcast through size-gated hints (nation hard);
+    the lineitem⋈orders fact join is the single shuffle. Revenue in
+    decimal(22,4)."""
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
@@ -341,10 +371,10 @@ def volume_shipping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sn.n_name") == "NATION_1") & (F.col("cn.n_name") == "NATION_2")
     ) | ((F.col("sn.n_name") == "NATION_2") & (F.col("cn.n_name") == "NATION_1"))
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(maybe_broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(sn), sup.s_nationkey == F.col("sn.n_nationkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), cust.c_nationkey == F.col("cn.n_nationkey"))
         .filter(pair)
         .select(
@@ -379,12 +409,14 @@ def volume_shipping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("pipeline-r7", "relational", "join"),
+    bench=True,
 )
 def returned_item_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape (returned-item reporting): the top-20 customers by
     revenue lost to returns in one quarter. Both fact filters (order-date
-    range, returnflag = 'R') push to their scans; customer and nation
-    broadcast into the orders⋈lineitem shuffle join; the top-20 is a
+    range, returnflag = 'R') push to their scans; customer (size-gated
+    hint) and nation broadcast into the orders⋈lineitem shuffle join;
+    the top-20 is a
     TakeOrderedAndProject on (revenue DESC, c_custkey) — fully
     tie-broken, never a global sort."""
     cust = _t(spark, sf_dir, "customer")
@@ -396,7 +428,7 @@ def returned_item_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select(
             "c_custkey",
@@ -425,13 +457,16 @@ def returned_item_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) GROUP BY c_count
     """,
     tags=("pipeline-r7", "relational", "join"),
+    bench=True,
 )
 def customer_order_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (customer order-count distribution): LEFT join so
     zero-order customers land in the c_count = 0 bucket (the testdata's
-    o_comment filter is dropped — no such column). At scale both sides
-    are corpus-grain, so the custkey join shuffles both (AQE broadcasts
-    the 1500-row customer side locally); the two aggregations are
+    o_comment filter is dropped — no such column). Customer is the LEFT
+    (preserved) side, and BroadcastHashJoin supports LEFT OUTER only with
+    build-right, so the un-filterable orders side can never broadcast:
+    the correct — and scale-correct — plan is a shuffle join on custkey,
+    which is exactly what Catalyst picks; the two aggregations are
     key-grain with map-side partials. COUNT(o_orderkey) — not COUNT(*) —
     so the null-extended row counts zero."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
@@ -460,10 +495,12 @@ def customer_order_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame
       AND l_shipdate <  TIMESTAMP '1997-06-01 00:00:00'
     """,
     tags=("pipeline-r7", "relational", "join"),
+    bench=True,
 )
 def promo_revenue_pct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): PROMO share of one month's
-    revenue. Ship-date range pushes to the lineitem scan; part broadcasts;
+    revenue. Ship-date range pushes to the lineitem scan; part broadcasts
+    (size-gated hint — part grows with SF);
     the whole query is one map-side conditional aggregation — zero hash
     exchanges beyond the final 1-row gather. Both decimal sums are exact,
     so the single double division is the only rounding point."""
@@ -476,7 +513,7 @@ def promo_revenue_pct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(22,4)"
     )
     agg = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .select(
             F.when(F.col("p_type") == "PROMO", rev)
             .otherwise(F.lit(0).cast("decimal(22,4)"))
@@ -512,17 +549,22 @@ def promo_revenue_pct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
     """,
     tags=("pipeline-r7", "relational", "join"),
+    bench=True,
 )
 def large_volume_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): orders whose total line
     quantity exceeds 200 (the testdata's p95 is 207, so the gate is
     selective AND non-empty — the zero-signal-oracle rule). The HAVING
     subquery becomes a grouped pre-aggregation LEFT SEMI-joined back into
-    lineitem — at scale that semi-join key set is tiny (top ~5% of
-    orders) and broadcasts; customer broadcasts into the orders leg.
-    l_quantity sums are whole numbers stored as double (exact integers
-    < 2^53 — order-independent), cast through DOUBLE identically in the
-    oracle."""
+    lineitem. The `big` keyset is fact-derived — ~5% of ORDERS, so it
+    GROWS LINEARLY with the corpus — therefore it carries NO broadcast
+    hint: AQE broadcasts it at gate scale (runtime stats show a few KB)
+    and falls back to a shuffled semi-join at 100×, where a forced
+    broadcast would blow the 8 GB cap and fail the job
+    (tests/test_plan_shapes.py pins the absence of the hint). Customer is
+    a size-gated hint. l_quantity sums are whole numbers stored as double
+    (exact integers < 2^53 — order-independent), cast through DOUBLE
+    identically in the oracle."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -533,9 +575,9 @@ def large_volume_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        li.join(big, "l_orderkey", "left_semi")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
     )
@@ -561,6 +603,7 @@ def large_volume_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_nationkey
     """,
     tags=("pipeline-r7", "relational", "join"),
+    bench=True,
 )
 def lapsed_highvalue_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity), adapted: customers with

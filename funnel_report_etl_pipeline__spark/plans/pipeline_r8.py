@@ -1,0 +1,547 @@
+"""Round-8 queries: the two TPC-H shapes the registry's join evidence was
+still missing (Q17's decorrelated scalar subquery, Q21's multi-EXISTS /
+NOT-EXISTS anti-join chain — the round-7 verdict's ask #7), two more
+relational shapes that complete the family (Q15's scalar-max view join,
+Q19's disjunctive mixed-predicate join), and two LLM-pipeline additions:
+a per-label embedding-drift score (exact integer/decimal aggregation, so
+the floating pipeline still carries a value-hash oracle) and a MinHash
+band-bucket skew audit (the mega-bucket early-warning an LSH pipeline
+needs before its pair join at 100 TB).
+
+Reference parity note: the reference (report_engine.py / run_reports.py)
+has no relational query engine — these extend the registry's
+beyond-reference relational/pipeline surface following the same
+Spark-first rules as plans/relational.py: declarative DataFrame plans,
+pushed filters, size-gated broadcast hints, decimal/integer aggregation
+at every cross-row summation point so DuckDB reproduces values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.functions.hints import maybe_broadcast
+from funnel_report_etl_pipeline__spark.operators.dedup import (
+    band_buckets,
+    drop_frequent_grams,
+    gram_rows,
+    minhash_signatures,
+)
+from funnel_report_etl_pipeline__spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated scalar subquery, decorrelated
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,4)))
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = part.p_partkey
+      )
+    """,
+    tags=("pipeline-r8", "relational", "join", "subquery"),
+    bench=True,
+)
+def small_quantity_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from lines
+    whose quantity sits below 20% of that part's own average — the
+    classic CORRELATED scalar subquery, written here in its decorrelated
+    form (the rewrite Catalyst itself applies to the SQL): filter part by
+    brand, semi-reduce lineitem to those parts FIRST (a size-gated
+    broadcast of the filtered ~2% of part), compute the per-part average
+    over the pruned lines, join the threshold back at part grain, filter,
+    1-row aggregate. Both the per-part agg and the threshold join key on
+    l_partkey, so AQE reuses one exchange; nothing corpus-grain crosses
+    the driver. Determinism: l_quantity values are whole numbers in
+    double, so their sums (< 2^53) are exact and AVG = exact_sum/count is
+    partition-order-invariant; the 0.2·avg multiply and the `<` compare
+    are then identical IEEE ops on both engines. Revenue sums in
+    decimal(22,4); the /7.0 'yearly' scaling (Q17's constant) is the
+    single rounding point. Oracle keeps the textbook correlated form —
+    the green hash row proves the decorrelation is semantics-preserving."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li_b = li.join(maybe_broadcast(brand), li.l_partkey == brand.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thr = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__thr")
+    )
+    agg = (
+        li_b.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__thr"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(22,4)")).alias("__rev"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+    return agg.select(
+        (F.col("__rev").cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        "n_lines",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier via scalar-max view join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    tags=("pipeline-r8", "relational", "join", "subquery"),
+    bench=True,
+)
+def top_supplier_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with the maximum
+    quarterly revenue, via the revenue-view + scalar-max-subquery pattern.
+    Plan: ship-date range pushes to the lineitem scan; ONE suppkey-grain
+    aggregate builds the view (map-side partials); its 1-row MAX
+    broadcasts back over the view (supplier-grain, tiny) for the equality
+    filter — never a global sort; supplier joins through a size-gated
+    broadcast hint. Ties: revenue compares as exact decimal(22,4) — both
+    engines keep every max-tied supplier, no arbitrary pick; the final
+    cast to double happens after the comparison."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(22,4)"
+                )
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(maybe_broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive mixed-predicate join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "disjunctive_brand_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 15)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           AND l_quantity >= 10 AND l_quantity <= 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 20 AND l_quantity <= 35)
+    """,
+    tags=("pipeline-r8", "relational", "join"),
+    bench=True,
+)
+def disjunctive_brand_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under a three-way disjunction of
+    mixed part+lineitem predicates; the shipmode/shipinstruct conjuncts
+    are dropped — no such columns). The scale-relevant plan property:
+    Catalyst's CNF conversion extracts the part-only implication of the
+    OR — p_brand IN (1,2,3) AND p_size ≤ 25 — and pushes it to the part
+    SCAN, so part shrinks to the three brands before its (size-gated)
+    broadcast into lineitem; the full disjunction then evaluates post-join
+    as a codegen'd filter. One 1-row aggregate, no hash exchange at all.
+    Revenue in decimal(22,4); quantity bounds compare whole-number doubles
+    — exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1)
+            & (q <= 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & (q >= 10)
+            & (q <= 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 25)
+            & (q >= 20)
+            & (q <= 35)
+        )
+    )
+    return (
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(22,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: EXISTS + NOT-EXISTS anti-join chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sole_return_supplier",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("pipeline-r8", "relational", "join", "subquery"),
+    bench=True,
+)
+def sole_return_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to the
+    testdata's columns: lineitem has no commit/receipt dates, so the
+    "failed the order" predicate is l_returnflag = 'R' — the supplier who
+    was the SOLE returned-line supplier on a finalized multi-supplier
+    order. Keeps Q21's exact correlation chain: probe rows l1, an EXISTS
+    (another supplier on the same order) and a NOT EXISTS (another
+    supplier who ALSO returned), both correlated on (same order,
+    different supplier).
+
+    Plan: EXISTS → LEFT SEMI and NOT EXISTS → LEFT ANTI self-join, each
+    equi-keyed on l_orderkey with the `<>` supplier condition attached
+    (never a cartesian); the orders 'F' filter pushes to its scan and
+    semi-reduces l1 before the self-joins. All three lineitem legs and
+    the orders leg shuffle on the SAME key (l_orderkey), so AQE lines
+    them up on one exchange family; supplier joins via a size-gated
+    broadcast. Top-20 on the fully tie-broken (numwait DESC, s_name)
+    order is a TakeOrderedAndProject. numwait counts probe ROWS (l1
+    grain), exactly like the reference query."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    ord_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = ret.join(ord_f, ret.l_orderkey == ord_f.o_orderkey, "left_semi").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = ret.alias("l3")
+    has_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).alias("l1")
+    sole = has_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(maybe_broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift by label (LLM-pipeline: corpus/embedding monitoring)
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64
+_Q = 1_000_000  # micro-unit quantization — exact integers on both engines
+
+
+@register(
+    "embedding_drift_by_label",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_Q}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label, CAST(i AS BIGINT) AS dim, SUM(q[CAST(i AS INT)]) AS s
+      FROM e, LATERAL (SELECT unnest(range(1, {_EMB_DIM} + 1)) AS i) g
+      GROUP BY label, i
+    ),
+    n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM e GROUP BY label),
+    cent AS (
+      SELECT comp.label, n_vecs,
+             list(CAST(s AS DOUBLE) / n_vecs ORDER BY dim) AS cv
+      FROM comp JOIN n ON comp.label = n.label
+      GROUP BY comp.label, n_vecs
+    ),
+    cos AS (
+      SELECT e.label,
+             CAST(round(
+               list_dot_product(list_transform(q, x -> CAST(x AS DOUBLE)), cv)
+               / (sqrt(list_dot_product(list_transform(q, x -> CAST(x AS DOUBLE)),
+                                        list_transform(q, x -> CAST(x AS DOUBLE))))
+                  * sqrt(list_dot_product(cv, cv)))
+               * 1000000000) AS BIGINT) AS qcos
+      FROM e JOIN cent ON e.label = cent.label
+    )
+    SELECT cos.label, n.n_vecs,
+           CAST(CAST(SUM(qcos) AS DOUBLE) / n.n_vecs / 1000000000 AS DOUBLE)
+             AS avg_cohesion
+    FROM cos JOIN n ON cos.label = n.label
+    GROUP BY cos.label, n.n_vecs
+    """,
+    tags=("pipeline-r8", "embedding", "audit"),
+    bench=True,
+)
+def embedding_drift_by_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cohesion/drift score: mean cosine of each
+    vector to its label centroid — the monitoring metric that catches a
+    drifting encoder or a mislabeled shard before training (cohesion
+    dropping for one label = that slice's embeddings are scattering).
+
+    100 TB shape: centroids come from an EXPLODED (label, dim) integer
+    aggregate — vectors are quantized to micro-units (round(x·1e6), a
+    per-value op identical on both engines) so the cross-row component
+    sums are exact longs with map-side partials, never order-dependent
+    float adds. The (label → centroid) table is O(labels·dim) — tiny —
+    and broadcasts back; each row's cosine is then a fixed-order fold
+    over its own 64 dims (zip_with + aggregate, deterministic IEEE ops),
+    quantized to nano-units before the per-label mean so the LAST
+    cross-row sum is also exact integers. Two key-grain shuffles total
+    (component agg, final label agg); nothing scales beyond
+    O(labels·dim) on the driver."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * _Q).cast("long"),
+        ).alias("q"),
+    )
+    comp = (
+        e.select("label", F.posexplode("q").alias("pos", "qv"))
+        .groupBy("label", "pos")
+        .agg(F.sum("qv").alias("s"))
+    )
+    n = e.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
+    cent = (
+        comp.join(n, "label")
+        .groupBy("label", "n_vecs")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "s"))
+                ),
+                lambda st: st["s"].cast("double") / F.col("n_vecs"),
+            ).alias("cv")
+        )
+    )
+    qd = F.transform(F.col("q"), lambda x: x.cast("double"))
+    dot_qc = F.aggregate(
+        F.zip_with(qd, F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot_qq = F.aggregate(
+        F.zip_with(qd, qd, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot_cc = F.aggregate(
+        F.zip_with(F.col("cv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qcos = F.round(
+        dot_qc / (F.sqrt(dot_qq) * F.sqrt(dot_cc)) * F.lit(1_000_000_000)
+    ).cast("long")
+    return (
+        e.join(F.broadcast(cent), "label")
+        .select("label", "n_vecs", qcos.alias("__qcos"))
+        .groupBy("label", "n_vecs")
+        .agg(
+            (
+                F.sum("__qcos").cast("double")
+                / F.col("n_vecs")
+                / F.lit(1_000_000_000)
+            ).alias("avg_cohesion")
+        )
+        .select("label", "n_vecs", "avg_cohesion")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash band-bucket skew audit (LLM-pipeline: LSH ops at scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_band_skew",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g0 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    g AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g0
+      ) WHERE df <= 1000
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h1
+      FROM g
+    ),
+    h2 AS (SELECT doc_id, h1, (h1 % 140737488355328) | 1 AS hb FROM h),
+    m AS (
+      SELECT doc_id, i, MIN(h1 + i * hb) AS mh
+      FROM h2 CROSS JOIN (SELECT unnest(range(0, 32)) AS i) perms
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band_idx,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
+      FROM m GROUP BY doc_id, i // 4
+    ),
+    buckets AS (
+      SELECT band_idx, band_key, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM bands GROUP BY band_idx, band_key
+    )
+    SELECT CAST(band_idx AS BIGINT) AS band_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) FILTER (WHERE sz >= 2) AS BIGINT) AS multi_buckets,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(COALESCE(SUM(sz) FILTER (WHERE sz >= 2), 0) AS BIGINT)
+             AS docs_in_multi,
+           CAST(COALESCE(SUM(sz * (sz - 1) / 2) FILTER (WHERE sz >= 2), 0)
+                AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band_idx
+    """,
+    tags=("pipeline-r8", "dedup", "lsh", "audit"),
+    bench=True,
+)
+def minhash_band_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-skew audit for the fast (md5w) MinHash family: per band,
+    how many buckets exist, how many hold ≥2 docs, the largest bucket,
+    and the candidate-pair count Σ sz·(sz−1)/2 the band would feed into
+    the pair join. This is the mega-bucket early-warning every LSH dedup
+    needs at 100 TB — a viral boilerplate cluster shows up here as one
+    band bucket whose sz² dominates the candidate count, BEFORE the pair
+    join materializes it (the stop-gram guard caps it; this query is how
+    an operator verifies that on real data, per corpus, per band).
+
+    Plan: same gram → signature pipeline as `dedup_minhash_fast` (shared
+    code, one l_orderkey-free chain: gram window, stop-gram guard,
+    32-way min-agg), then bucket sizes are a (band_idx, band_key)-grain
+    count with map-side partials and the audit itself is a 8-row final
+    agg. Only (doc_id, band) pairs ever shuffle — never text. All
+    outputs are integers: bit-exact on any engine and any partitioning."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = drop_frequent_grams(
+        gram_rows(docs, id_col="doc_id", text_col="text", ngram=3), 1000
+    )
+    sigs = minhash_signatures(grams, num_perm=32, hash_family="md5w")
+    buckets = (
+        band_buckets(sigs, bands=8, rows=4)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("sz"))
+    )
+    sz = F.col("sz")
+    return (
+        buckets.groupBy(F.col("band_idx").cast("long").alias("band_idx"))
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum(F.when(sz >= 2, 1).otherwise(0)).cast("long").alias(
+                "multi_buckets"
+            ),
+            F.max(sz).cast("long").alias("max_bucket"),
+            F.sum(F.when(sz >= 2, sz).otherwise(0)).cast("long").alias(
+                "docs_in_multi"
+            ),
+            F.sum(F.when(sz >= 2, (sz * (sz - 1) / 2).cast("long")).otherwise(0))
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+    )

@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline_r5,  # round-5 batch, same post-window placement
         pipeline_r6,  # round-6 batch (entity waterfall + additions)
         pipeline_r7,  # round-7 batch (scale-safe rank variants + Q8/Q9)
+        pipeline_r8,  # round-8 batch (Q15/Q17/Q19/Q21 + drift/skew audits)
     )
 
     return REGISTRY
@@ -78,15 +79,15 @@ def load_all() -> dict[str, QuerySpec]:
 # part of the scoreboard contract.  The window is an explicit curated list:
 # the 13 SURVEY §2 parity queries stay pinned; the rest rotates each round
 # so every registered query eventually holds an EXTERNAL green row.
-# Round 7 (per the round-6 verdict's top item) rotates in the 22 queries
-# that had never held a FULL external row — including approx_distinct_users
-# / approx_percentiles, whose round-2 appearance predates their oracles
-# (CORRECTNESS_r02 records them as rows-only `no_oracle`) — plus the four
-# round-7 additions; the remaining 11 slots go to the least-recently
-# verified (external row last held in round 2).  Rotated-out queries still
+# Round 8 rotates in (a) the 7 round-7 registrations that sat past the
+# window (the only never-externally-verified names after round 7), (b) the
+# 6 round-8 registrations — INSIDE the window from day one, so this round
+# creates no new rotation debt — and (c) the least-recently-verified
+# fillers: the 20 queries whose last external row is round 2 and the first
+# 4 (registration order) of the round-4 cohort.  Rotated-out queries still
 # register — tools/verify_parity.py and driver_sim check ALL entries, and
 # every rotated-out name holds at least one external green row
-# (CORRECTNESS_r0{2..6}.json).
+# (CORRECTNESS_r0{2..7}.json).
 DRIVER_WINDOW = 50
 
 # Exactly DRIVER_WINDOW names, every one with a full value-hash oracle.
@@ -106,49 +107,48 @@ _WINDOW: tuple[str, ...] = (
     "scalar_crossjoin",
     "pct_bround",
     "funnel_waterfall",
-    # never externally verified before round 7: round-5/6 additions that
-    # always landed past the 50-slot cap, plus the two approx queries
-    # whose only external run was rows-only (pre-oracle, round 2)
-    "similarity_ann_ivf",
-    "dedup_minhash_fast",
-    "bigram_lm_support",
-    "balanced_source_sample",
-    "length_buckets",
-    "price_histogram",
-    "winnow_containment_pairs",
-    "boilerplate_passages",
-    "approx_distinct_users",
-    "approx_percentiles",
-    "length_outliers",
-    "kmeans_lloyd_clusters",
-    "ks_drift_value",
-    "shipping_priority_topk",
-    "kmeans_balanced_sample",
-    "hard_negative_mining",
-    "referential_integrity_audit",
-    "partition_freshness_audit",
-    "cross_source_duplication",
-    "kmeans_cluster_purity",
-    "local_supplier_volume",
-    "revenue_anomaly_days",
-    # round-7 additions (zero external rows yet): the scale-safe variants
-    # of the two global-window rank plans + the TPC-H Q8/Q9 shapes
-    "user_rfm_segments_approx",
-    "bm25_search_topk",
-    "nation_market_share",
-    "product_type_profit",
+    # round-7 registrations: never externally verified (sat past the
+    # window last round — the round-7 verdict's top rotation ask)
+    "volume_shipping",
+    "returned_item_report",
+    "customer_order_distribution",
+    "promo_revenue_pct",
+    "large_volume_orders",
+    "lapsed_highvalue_customers",
+    "rrf_fusion_topk",
+    # round-8 registrations: in the window from day one (no new debt)
+    "small_quantity_revenue",
+    "top_supplier_revenue",
+    "disjunctive_brand_revenue",
+    "sole_return_supplier",
+    "embedding_drift_by_label",
+    "minhash_band_skew",
     # least-recently verified (external green row last held in round 2)
-    "sessionize",
-    "join_broadcast_dims",
-    "window_rank",
-    "topk_orders",
-    "range_join_pricebands",
-    "semi_anti_join",
-    "sql_correlated_subquery",
-    "pivot_daily_values",
-    "rollup_hierarchy",
-    "value_percentiles",
-    "event_funnel_users",
+    "part_supplier_revenue",
+    "distinct_count",
+    "having_filter",
+    "set_ops",
+    "grouped_count_salted",
+    "running_total",
+    "event_funnel_windowed",
+    "cube_segment_priority",
+    "string_funcs",
+    "date_parts",
+    "unpivot_part_measures",
+    "daily_rollup",
+    "grouped_collect",
+    "join_salted",
+    "json_roundtrip",
+    "window_nav_funcs",
+    "range_window_frame",
+    "sql_lateral_topk",
+    "regexp_funcs",
+    "map_funcs",
+    # next-least-recently verified (last external row round 4)
+    "dedup_exact_norm",
+    "token_counts",
+    "lang_id_heuristic",
+    "lang_id_char_ngrams",
 )
 
 

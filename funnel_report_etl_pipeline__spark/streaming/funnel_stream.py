@@ -333,6 +333,7 @@ def write_stream_parquet_idempotent(
     out_path: str,
     checkpoint: str,
     query_name: str = "parquet_sink",
+    trigger: dict | None = None,
 ):
     """Exactly-once parquet sink via ``foreachBatch``: each micro-batch is
     written to ``out_path/batch_id=N`` with dynamic overwrite, so a batch
@@ -342,7 +343,12 @@ def write_stream_parquet_idempotent(
     (batch_id → partition) mapping, the standard recipe for sinks without
     transactional commit. Downstream readers see
     ``spark.read.parquet(out_path)`` with ``batch_id`` as an ordinary
-    partition column. Returns the started StreamingQuery."""
+    partition column. Returns the started StreamingQuery.
+
+    ``trigger`` defaults to ``{"availableNow": True}`` (drain the backlog
+    and stop); pass e.g. ``{"processingTime": "3 seconds"}`` for a
+    continuously running sink — the crash-replay soak
+    (tools/stream_sim.py restart_replay) drives it that way."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         # per-writer option, not a session-conf set/restore: a concurrent
@@ -360,6 +366,6 @@ def write_stream_parquet_idempotent(
         stream.writeStream.foreachBatch(_write)
         .queryName(query_name)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

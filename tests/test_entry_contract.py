@@ -52,7 +52,7 @@ def test_driver_window_composition_pinned():
     window = list(mod.queries())[:DRIVER_WINDOW]
     assert window == list(_WINDOW), "driver window drifted from curated _WINDOW"
     assert len(_WINDOW) == DRIVER_WINDOW == 50
-    assert window[-1] == "event_funnel_users"
+    assert window[-1] == "lang_id_char_ngrams"
     specs = load_all()
     parity = [n for n, s in specs.items() if s.fn.__module__.endswith(".parity")]
     # parity must come first (driver smoke-checks the reference surface first)
@@ -62,47 +62,49 @@ def test_driver_window_composition_pinned():
     # driver's weaker rows-only check and pytest cover them
     oracles = mod.oracle_sql()
     assert all(n in oracles for n in window), "no-oracle query inside the window"
-    # round-7 rotation: the 22 queries that had never held a FULL external
-    # row (approx_distinct_users/approx_percentiles ran rows-only in round 2,
-    # before their oracles existed) plus the 4 round-7 additions sit INSIDE
-    # the window — after CORRECTNESS_r07 every registered query will have
-    # held at least one external value-hash row
-    rotated_in_r7 = {
-        "similarity_ann_ivf", "dedup_minhash_fast", "bigram_lm_support",
-        "balanced_source_sample", "length_buckets", "price_histogram",
-        "winnow_containment_pairs", "boilerplate_passages",
-        "approx_distinct_users", "approx_percentiles", "length_outliers",
-        "kmeans_lloyd_clusters", "ks_drift_value", "shipping_priority_topk",
-        "kmeans_balanced_sample", "hard_negative_mining",
-        "referential_integrity_audit", "partition_freshness_audit",
-        "cross_source_duplication", "kmeans_cluster_purity",
-        "local_supplier_volume", "revenue_anomaly_days",
-        # new in round 7
-        "user_rfm_segments_approx", "bm25_search_topk",
-        "nation_market_share", "product_type_profit",
-    }
-    assert rotated_in_r7 <= set(window)
-    # every query OUTSIDE the window must already hold an external green
-    # row in a committed CORRECTNESS artifact (rounds 2-6) — the rotation's
-    # whole point; checked against the recorded history, not hand-lists.
-    # Exemption: queries REGISTERED this round land past the full window
-    # by design and earn their first external row in a future rotation
-    # (they are driver_sim + pytest verified meanwhile).
-    new_this_round = {
+    # round-8 rotation: the 7 round-7 registrations (the only names with
+    # zero external rows after round 7) AND the 6 round-8 registrations sit
+    # INSIDE the window — new queries now enter the window the round they
+    # are registered, so the rotation creates no fresh debt and after
+    # CORRECTNESS_r08 every registered query will have held at least one
+    # external value-hash row
+    rotated_in_r8 = {
         "volume_shipping", "returned_item_report",
         "customer_order_distribution", "promo_revenue_pct",
         "large_volume_orders", "lapsed_highvalue_customers",
         "rrf_fusion_topk",
+        # registered in round 8 — windowed from day one
+        "small_quantity_revenue", "top_supplier_revenue",
+        "disjunctive_brand_revenue", "sole_return_supplier",
+        "embedding_drift_by_label", "minhash_band_skew",
     }
+    assert rotated_in_r8 <= set(window)
+    # every query OUTSIDE the window must already hold an external green
+    # row in a committed CORRECTNESS artifact — the rotation's whole
+    # point; checked against the recorded history, not hand-lists. The
+    # round-7 `new_this_round` exemption is GONE (round-7 verdict ask #1):
+    # round-8 registrations sit inside the window, so no query is exempt.
     import json
     from pathlib import Path
 
+    # anchor to the repo root so the check is cwd-independent, and count
+    # only git-tracked artifacts so it reflects committed history rather
+    # than whatever uncommitted file happens to sit in the worktree
+    import subprocess
+
+    repo_root = Path(__file__).resolve().parents[1]
+    tracked = set(
+        subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r0*.json"],
+            cwd=repo_root, capture_output=True, text=True, check=True,
+        ).stdout.split()
+    )
     verified = set()
-    for p in Path(".").glob("CORRECTNESS_r0*.json"):
+    for p in sorted(repo_root.glob("CORRECTNESS_r0*.json")):
+        if p.name not in tracked:
+            continue
         for name, row in json.loads(p.read_text()).items():
             if row.get("hash_match"):
                 verified.add(name)
     outside = set(mod.queries()) - set(window)
-    assert outside <= verified | new_this_round, sorted(
-        outside - verified - new_this_round
-    )
+    assert outside <= verified, sorted(outside - verified)

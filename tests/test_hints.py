@@ -1,0 +1,77 @@
+"""Size-gated broadcast helper: both sides of the threshold, plus the
+conf override (round-7 verdict ask #3 — a hard hint obeys unconditionally,
+so every deployment-scale-dependent hint must degrade to AQE's choice past
+the gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.functions.hints import (
+    DEFAULT_GATE_BYTES,
+    estimated_size_bytes,
+    maybe_broadcast,
+)
+
+from .conftest import SF_SMALL
+
+
+def _has_broadcast_hint(df) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Hint" in plan and "broadcast" in plan.lower()
+
+
+def test_estimate_is_positive_and_plan_side(spark):
+    nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    est = estimated_size_bytes(nation)
+    assert est is not None and 0 < est < DEFAULT_GATE_BYTES
+
+
+def test_hints_below_gate(spark):
+    nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    assert _has_broadcast_hint(maybe_broadcast(nation))
+    assert _has_broadcast_hint(maybe_broadcast(nation, gate_bytes=10**9))
+
+
+def test_no_hint_above_gate(spark):
+    nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    out = maybe_broadcast(nation, gate_bytes=1)
+    assert not _has_broadcast_hint(out)
+    # and the frame is returned untouched — same plan object semantics
+    assert out.schema == nation.schema
+
+
+def test_gate_reads_session_conf(spark):
+    nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    key = "spark.funnel.broadcastGateBytes"
+    try:
+        spark.conf.set(key, "1")
+        assert not _has_broadcast_hint(maybe_broadcast(nation))
+        spark.conf.set(key, str(10**9))
+        assert _has_broadcast_hint(maybe_broadcast(nation))
+    finally:
+        spark.conf.unset(key)
+
+
+def test_filtered_dimension_estimate_shrinks(spark):
+    part = spark.read.parquet(f"{SF_SMALL}/part.parquet")
+    full = estimated_size_bytes(part)
+    filtered = estimated_size_bytes(part.filter(F.col("p_brand") == "Brand#13"))
+    assert full is not None and filtered is not None
+    # Catalyst applies a selectivity estimate below the filter
+    assert filtered <= full
+
+
+def test_values_unchanged_either_side_of_gate(spark):
+    """The helper is plan-only: hinted and unhinted joins return identical
+    rows."""
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    base = lambda c: (
+        orders.join(c, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+    a = {(r.c_nationkey, r.n) for r in base(maybe_broadcast(cust)).collect()}
+    b = {(r.c_nationkey, r.n) for r in base(maybe_broadcast(cust, gate_bytes=1)).collect()}
+    assert a == b and a

@@ -1,0 +1,238 @@
+"""Round-8 operators: planted-fixture behavior tests (oracle parity is
+covered by driver_sim / CORRECTNESS; these pin the semantics on inputs
+where the right answer is computable by hand)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.plans.registry import load_all
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all()
+
+
+def _write_sf(spark, tmp_path_factory, name: str, frames: dict):
+    d = tmp_path_factory.mktemp(name)
+    for t, df in frames.items():
+        df.coalesce(1).write.mode("overwrite").parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _li(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+
+
+# --- Q17 shape --------------------------------------------------------------
+
+
+def test_small_quantity_revenue_planted(spark, specs, tmp_path_factory):
+    # part 1 (Brand#13): quantities 10, 10, 100 -> avg 40, threshold 8:
+    # NO line qualifies. part 2 (Brand#13): quantities 1, 99 -> avg 50,
+    # threshold 10: the qty-1 line (price 70) qualifies. part 3 (other
+    # brand, qty 0.5 below any threshold) must be excluded by the brand
+    # filter entirely.
+    ship = datetime(1996, 1, 1)
+    part = spark.createDataFrame(
+        [(1, "a", "Brand#13", "PROMO", 1, 1.0),
+         (2, "b", "Brand#13", "PROMO", 1, 1.0),
+         (3, "c", "Brand#9", "PROMO", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size long, p_retailprice double",
+    )
+    li = _li(spark, [
+        (1, 1, 1, 1, 10.0, 11.0, 0.0, 0.0, "N", "O", ship),
+        (2, 1, 1, 1, 10.0, 12.0, 0.0, 0.0, "N", "O", ship),
+        (3, 1, 1, 1, 100.0, 13.0, 0.0, 0.0, "N", "O", ship),
+        (4, 2, 1, 1, 1.0, 70.0, 0.0, 0.0, "N", "O", ship),
+        (5, 2, 1, 1, 99.0, 14.0, 0.0, 0.0, "N", "O", ship),
+        (6, 3, 1, 1, 0.5, 999.0, 0.0, 0.0, "N", "O", ship),
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q17", {"lineitem": li, "part": part})
+    rows = specs["small_quantity_revenue"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0].n_lines == 1
+    assert abs(rows[0].avg_yearly - 70.0 / 7.0) < 1e-9
+
+
+# --- Q15 shape --------------------------------------------------------------
+
+
+def test_top_supplier_keeps_every_max_tie(spark, specs, tmp_path_factory):
+    # suppliers 1 and 2 tie at 100.0 revenue inside the quarter; supplier 3
+    # leads OUTSIDE the quarter window and must not count
+    inq = datetime(1997, 2, 1)
+    outq = datetime(1997, 6, 1)
+    sup = spark.createDataFrame(
+        [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0), (3, "s3", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    li = _li(spark, [
+        (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", inq),
+        (2, 1, 2, 1, 1.0, 40.0, 0.0, 0.0, "N", "O", inq),
+        (3, 1, 2, 1, 1.0, 60.0, 0.0, 0.0, "N", "O", inq),
+        (4, 1, 3, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", outq),
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q15", {"lineitem": li, "supplier": sup})
+    rows = specs["top_supplier_revenue"].fn(spark, sf).collect()
+    assert [(r.s_suppkey, r.total_revenue) for r in rows] == [(1, 100.0), (2, 100.0)]
+
+
+# --- Q19 shape --------------------------------------------------------------
+
+
+def test_disjunctive_brand_revenue_clause_isolation(spark, specs, tmp_path_factory):
+    # one qualifying line per clause; one line matching Brand#1's part
+    # predicate but the WRONG clause's quantity band must not count
+    ship = datetime(1996, 1, 1)
+    part = spark.createDataFrame(
+        [(1, "a", "Brand#1", "T", 10, 1.0),
+         (2, "b", "Brand#2", "T", 15, 1.0),
+         (3, "c", "Brand#3", "T", 20, 1.0),
+         (4, "d", "Brand#1", "T", 40, 1.0)],  # size out of every band
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size long, p_retailprice double",
+    )
+    li = _li(spark, [
+        (1, 1, 1, 1, 5.0, 10.0, 0.0, 0.0, "N", "O", ship),    # clause 1 ok
+        (2, 1, 1, 1, 20.0, 100.0, 0.0, 0.0, "N", "O", ship),  # qty outside c1
+        (3, 2, 1, 1, 15.0, 20.0, 0.5, 0.0, "N", "O", ship),   # clause 2 ok
+        (4, 3, 1, 1, 30.0, 40.0, 0.0, 0.0, "N", "O", ship),   # clause 3 ok
+        (5, 4, 1, 1, 5.0, 1000.0, 0.0, 0.0, "N", "O", ship),  # size excluded
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q19", {"lineitem": li, "part": part})
+    rows = specs["disjunctive_brand_revenue"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0].n_lines == 3
+    assert abs(rows[0].revenue - (10.0 + 10.0 + 40.0)) < 1e-9
+
+
+# --- Q21 shape --------------------------------------------------------------
+
+
+def test_sole_return_supplier_chain(spark, specs, tmp_path_factory):
+    # order 10 (F): s1 returned, s2 shipped clean -> s1 counts.
+    # order 11 (F): s1 AND s2 both returned -> NOT EXISTS kills both.
+    # order 12 (F): only s1 on the order -> EXISTS kills it.
+    # order 13 (O): would qualify but is not finalized -> excluded.
+    ship = datetime(1996, 1, 1)
+    sup = spark.createDataFrame(
+        [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    li = _li(spark, [
+        (10, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "R", "F", ship),
+        (10, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "F", ship),
+        (11, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "R", "F", ship),
+        (11, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "R", "F", ship),
+        (12, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "R", "F", ship),
+        (13, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "R", "F", ship),
+        (13, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "F", ship),
+    ])
+    orders = _orders(spark, [
+        (10, 1, "F", 0.0, ship, "1"),
+        (11, 1, "F", 0.0, ship, "1"),
+        (12, 1, "F", 0.0, ship, "1"),
+        (13, 1, "O", 0.0, ship, "1"),
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q21", {
+        "lineitem": li, "orders": orders, "supplier": sup,
+    })
+    rows = specs["sole_return_supplier"].fn(spark, sf).collect()
+    assert [(r.s_name, r.numwait) for r in rows] == [("s1", 1)]
+
+
+# --- embedding drift --------------------------------------------------------
+
+
+def test_embedding_drift_cohesion_bounds_and_separation(spark, specs, tmp_path_factory):
+    # label 0: two identical vectors -> centroid == vector, cohesion 1.0.
+    # label 1: two orthogonal-ish vectors -> cohesion = cos(v, (v1+v2)/2)
+    # = 1/sqrt(2) for unit orthogonal pair.
+    dim = 64
+    a = [1.0] + [0.0] * (dim - 1)
+    b = [0.0, 1.0] + [0.0] * (dim - 2)
+    emb = spark.createDataFrame(
+        [(0, a, 0), (1, a, 0), (2, a, 1), (3, b, 1)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "drift", {"embeddings": emb})
+    out = {r.label: r for r in specs["embedding_drift_by_label"].fn(spark, sf).collect()}
+    assert out[0].n_vecs == 2 and out[1].n_vecs == 2
+    assert abs(out[0].avg_cohesion - 1.0) < 1e-6
+    assert abs(out[1].avg_cohesion - 1.0 / math.sqrt(2.0)) < 1e-6
+    # the scattered label must score strictly lower — the drift signal
+    assert out[1].avg_cohesion < out[0].avg_cohesion - 0.2
+
+
+def test_embedding_drift_runs_on_real_testdata(spark, specs):
+    rows = specs["embedding_drift_by_label"].fn(spark, SF_SMALL).collect()
+    assert len(rows) >= 2
+    assert all(-1.0 <= r.avg_cohesion <= 1.0 for r in rows)
+    assert all(r.n_vecs > 0 for r in rows)
+
+
+# --- minhash band skew ------------------------------------------------------
+
+
+def test_minhash_band_skew_counts_planted_duplicates(spark, specs, tmp_path_factory):
+    # two exact-duplicate docs share EVERY band bucket; two unrelated docs
+    # share none. Per band: >=1 multi bucket of size exactly 2, and the
+    # candidate-pair count from the dup pair is exactly 1 per band.
+    text_dup = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, text_dup, "en", "web", len(text_dup)),
+            (1, text_dup, "en", "web", len(text_dup)),
+            (2, "completely different content about spark partitions and shuffles here", "en", "web", 70),
+            (3, "yet another unrelated string of words for the audit fixture case", "en", "web", 64),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "skew", {"documents": docs})
+    rows = {r.band_idx: r for r in specs["minhash_band_skew"].fn(spark, sf).collect()}
+    assert sorted(rows) == list(range(8))
+    for r in rows.values():
+        assert r.max_bucket == 2  # the dup pair, and nothing larger
+        assert r.multi_buckets >= 1
+        assert r.candidate_pairs >= 1
+        assert r.docs_in_multi >= 2
+        # buckets partition docs: 4 docs -> between 3 (dup merged) and 4
+        assert 3 <= r.n_buckets + (r.docs_in_multi - r.multi_buckets) <= 4
+
+
+def test_minhash_band_skew_conserves_docs_on_real_data(spark, specs):
+    rows = specs["minhash_band_skew"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 8
+    docs_with_grams = None
+    for r in rows:
+        # every doc lands in exactly one bucket per band, so per band:
+        # singleton docs + docs in multi-buckets = corpus (with >=3-token
+        # text); the total is identical across bands
+        total = (r.n_buckets - r.multi_buckets) + r.docs_in_multi
+        docs_with_grams = docs_with_grams or total
+        assert total == docs_with_grams
+        # candidate pairs must never be quadratic in the corpus here
+        assert r.candidate_pairs <= r.docs_in_multi * 3

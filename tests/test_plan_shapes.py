@@ -214,6 +214,28 @@ WINDOW_SHUFFLE_BUDGET = {
     "topk_orders": 0, "range_join_pricebands": 1, "semi_anti_join": 0,
     "sql_correlated_subquery": 1, "pivot_daily_values": 2,
     "rollup_hierarchy": 1, "value_percentiles": 1, "event_funnel_users": 1,
+    # round-8 window: the r7 TPC-H batch (each exactly its fact shuffles —
+    # Q14/Q19 shapes and the capped RRF are map-side / TakeOrdered only),
+    # the r8 additions, and the r2/r4-era fillers rotated back in.
+    # minhash_band_skew shares dedup_minhash_lsh's gram subtree, so cache
+    # substitution makes a numeric count order-dependent (None — covered
+    # structurally below, like the minhash siblings).
+    "volume_shipping": 1, "returned_item_report": 1,
+    "customer_order_distribution": 2, "promo_revenue_pct": 0,
+    "large_volume_orders": 2, "lapsed_highvalue_customers": 2,
+    "rrf_fusion_topk": 0,
+    "small_quantity_revenue": 2, "top_supplier_revenue": 2,
+    "disjunctive_brand_revenue": 0, "sole_return_supplier": 2,
+    "embedding_drift_by_label": 4, "minhash_band_skew": None,
+    "part_supplier_revenue": 1, "distinct_count": 2, "having_filter": 1,
+    "set_ops": 2, "grouped_count_salted": 2, "running_total": 1,
+    "event_funnel_windowed": 1, "cube_segment_priority": 1,
+    "string_funcs": 0, "date_parts": 1, "unpivot_part_measures": 0,
+    "daily_rollup": 2, "grouped_collect": 1, "join_salted": 1,
+    "json_roundtrip": 0, "window_nav_funcs": 1, "range_window_frame": 1,
+    "sql_lateral_topk": 1, "regexp_funcs": 0, "map_funcs": 0,
+    "dedup_exact_norm": 1, "token_counts": 0, "lang_id_heuristic": 0,
+    "lang_id_char_ngrams": 0,
 }
 
 
@@ -272,3 +294,88 @@ def test_minhash_verify_is_array_intersect_not_gram_join(spark):
     p = plan_of(spark, "dedup_minhash_lsh")
     assert "array_intersect" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def logical_of(spark, name: str) -> str:
+    return SPECS[name].fn(spark, SF_SMALL)._jdf.queryExecution().logical().toString()
+
+
+def test_no_broadcast_hint_on_fact_derived_frames(spark):
+    """Round-7 verdict fix: `large_volume_orders` used to force-broadcast
+    its HAVING keyset — a frame that grows linearly with the facts, which
+    at 100× blows the 8 GB broadcast cap (a hint is an order, not a
+    suggestion). Pin the repair across the whole TPC-H batch: every
+    broadcast hint in the logical plan must wrap a base parquet relation
+    (a dimension scan, possibly filtered), never a computed/aggregated
+    subtree. AQE remains free to broadcast `big` at small scale from
+    runtime stats — that is the desired degrade path."""
+    import re
+
+    def content_col(line: str) -> int:
+        return len(line) - len(re.sub(r"^[\s:|+-]*", "", line))
+
+    grouped_agg = re.compile(r"Aggregate \[[^\]]+\], \[")  # two bracket lists
+
+    checked_hints = 0
+    for name in (
+        "large_volume_orders", "volume_shipping", "returned_item_report",
+        "promo_revenue_pct", "lapsed_highvalue_customers",
+        "nation_market_share", "product_type_profit",
+        "small_quantity_revenue", "top_supplier_revenue",
+        "disjunctive_brand_revenue", "sole_return_supplier",
+    ):
+        lines = logical_of(spark, name).splitlines()
+        for i, line in enumerate(lines):
+            if "ResolvedHint (strategy=broadcast" not in line:
+                continue
+            checked_hints += 1
+            col = content_col(line)
+            subtree = []
+            for nxt in lines[i + 1 :]:
+                if content_col(nxt) <= col:
+                    break
+                subtree.append(nxt)
+            sub = "\n".join(subtree)
+            # walk the hinted subtree top-down: the first size-determining
+            # node decides. A parquet Relation (possibly under
+            # Project/Filter) is a dimension scan — OK. An UNGROUPED
+            # Aggregate is architecturally 1 row — OK, whatever feeds it.
+            # A GROUPED Aggregate is key-grain: it grows with the corpus,
+            # so hinting it is the exact round-7 scale-killer.
+            verdict = None
+            for nd in subtree:
+                if "Aggregate [" in nd:
+                    verdict = "grouped" if grouped_agg.search(nd) else "scalar"
+                    break
+                if "Relation" in nd and "parquet" in nd:
+                    verdict = "scan"
+                    break
+            assert verdict in ("scan", "scalar"), (
+                f"{name}: broadcast hint wraps a {verdict or 'scanless'} "
+                f"subtree (fact-derived, grows with the corpus):\n{sub}"
+            )
+    # the check must not be vacuous: the batch carries many dim hints
+    assert checked_hints >= 10, checked_hints
+
+
+def test_sole_return_supplier_semi_anti_chain(spark):
+    """Q21 shape: the EXISTS/NOT-EXISTS chain must stay semi/anti joins on
+    the order key — never an inner self-join + dedup, and never a
+    cartesian with a post-filter."""
+    p = plan_of(spark, "sole_return_supplier")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p  # the top-20 is a bounded heap
+
+
+def test_small_quantity_revenue_decorrelated_single_key_family(spark):
+    """Q17 shape: the correlated avg threshold must be the decorrelated
+    grouped-agg + join form — every hash exchange keys on l_partkey (one
+    exchange family AQE can line up), and the brand filter reaches the
+    part scan."""
+    p = plan_of(spark, "small_quantity_revenue")
+    import re
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", p))
+    assert keys <= {"l_partkey"}, keys
+    assert "Brand#13" in p  # pushed brand literal visible in scan filters

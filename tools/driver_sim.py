@@ -8,7 +8,15 @@ what the external gate does — runs ``entry(spark)`` plus every
 ``oracle_sql()`` SQL run in DuckDB with RAW value equality (no
 stringification; rows sorted by all columns, columns sorted by name).
 
-Usage: python tools/driver_sim.py [sf_dir] [query ...]
+Usage: python tools/driver_sim.py [--json OUT.json] [--changed-since REV]
+       [sf_dir] [query ...]
+
+``--changed-since REV`` selects the affected query subset from ``git diff
+REV``: a query runs iff its plan module changed, or a changed package
+module's name appears in its plan module's source (a deliberate SUPERSET —
+textual reference tracing over-selects rather than misses), or the entry
+module itself changed (then everything runs). With 161 registered queries
+the full sweep is ~8 min; a 5-query change gates in under a minute.
 """
 
 from __future__ import annotations
@@ -72,15 +80,59 @@ def cell_equal(a, b) -> bool:
     return a == b
 
 
+def changed_query_names(rev: str, qs: dict) -> set[str] | None:
+    """Names affected by ``git diff rev``; None means "run everything"
+    (entry module or registry-wide change). Superset semantics: a changed
+    non-plans module selects every query whose plan module's source
+    mentions the changed module's basename."""
+    import re
+    import subprocess
+
+    changed = set(
+        subprocess.run(
+            ["git", "diff", "--name-only", rev, "--",
+             "funnel_report_etl_pipeline__spark", "__spark_entry__.py"],
+            capture_output=True, text=True, check=True,
+        ).stdout.split()
+    )
+    if "__spark_entry__.py" in changed:
+        return None
+    sel: set[str] = set()
+    src_cache: dict[str, str] = {}
+    bases = {
+        os.path.splitext(os.path.basename(c))[0]
+        for c in changed
+        if os.path.basename(c) != "__init__.py"
+    }
+    for name, fn in qs.items():
+        m = sys.modules.get(fn.__module__)
+        if m is None or not getattr(m, "__file__", None):
+            sel.add(name)  # can't trace — run it
+            continue
+        rel = os.path.relpath(m.__file__, os.getcwd())
+        if rel in changed:
+            sel.add(name)
+            continue
+        src = src_cache.setdefault(rel, open(m.__file__).read())
+        if any(re.search(rf"\b{re.escape(b)}\b", src) for b in bases):
+            sel.add(name)
+    return sel
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv):
-            print("usage: driver_sim.py [--json OUT.json] [sf_dir] [query ...]", file=sys.stderr)
+            print("usage: driver_sim.py [--json OUT.json] [--changed-since REV] [sf_dir] [query ...]", file=sys.stderr)
             return 2
         json_path = argv[i + 1]
+        del argv[i : i + 2]
+    changed_rev = None
+    if "--changed-since" in argv:
+        i = argv.index("--changed-since")
+        changed_rev = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -99,6 +151,16 @@ def main() -> int:
     print(f"entry(): {n} rows, schema={[f.name for f in edf.schema.fields]}")
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    if changed_rev is not None:
+        sel = changed_query_names(changed_rev, qs)
+        if sel is None:
+            print(f"--changed-since {changed_rev}: entry-level change, running ALL")
+        else:
+            only = (only & sel) if only else sel
+            print(f"--changed-since {changed_rev}: {len(only)} affected queries")
+            if not only:
+                print("no registered query affected by the diff")
+                return 0
     failures = []
     results: dict[str, dict] = {}
     for name in sorted(qs):

@@ -38,7 +38,58 @@ OPS = (
     "idempotent_parquet_sink",
     "late_data_drop",
     "view_purchase_attribution_outer",
+    "restart_replay",
 )
+
+
+# ---------------------------------------------------------------------------
+# restart_replay phase 1: a CONTINUOUS rate-source stream in its OWN process
+# (own JVM), so the parent's SIGKILL is a genuine crash — no graceful commit,
+# and the parent session never touches the checkpoint before the restart
+# (avoiding Spark 4.1's same-session commit-log modification guard).
+# ---------------------------------------------------------------------------
+
+RATE_ROWS_PER_SEC = 400
+
+
+def _rate_events(stream):
+    """Deterministic typed rows from the rate source: value is the global
+    monotonic row number, so exactly-once output = a contiguous dup-free
+    value range regardless of where batches were cut."""
+    return stream.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 97).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("signup"), F.lit("purchase")),
+            (F.col("value") % 4 + 1).cast("int"),
+        ).alias("event_type"),
+        ((F.col("value") % 1000) / 10.0).alias("value"),
+    )
+
+
+def _phase1_rate(out: str, ckpt: str, seconds: float) -> None:
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+        write_stream_parquet_idempotent,
+    )
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", RATE_ROWS_PER_SEC)
+        .load()
+    )
+    q = write_stream_parquet_idempotent(
+        _rate_events(src), out, ckpt, "rate_sink",
+        trigger={"processingTime": "3 seconds"},
+    )
+    # run until the parent kills us; the timeout is only a backstop
+    q.awaitTermination(timeout=seconds + 60)
 
 
 def _prep_event_files(spark: SparkSession, sf_dir: str, out: str, n_files: int = 4):
@@ -95,6 +146,9 @@ def _canon_ok(sdf: pd.DataFrame, bdf: pd.DataFrame) -> dict:
 
 def main() -> int:
     argv = list(sys.argv[1:])
+    if argv[:1] == ["--phase1-rate"]:
+        _phase1_rate(argv[1], argv[2], float(argv[3]))
+        return 0
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
@@ -426,7 +480,13 @@ def main() -> int:
                 .cast("double")
                 .alias("total_value"),
             )
-            .filter(F.col("w.end") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
+            # STRICT cutoff, and the boundary-coincident window (end ==
+            # watermark exactly) is excluded from BOTH sides below: Spark's
+            # append-mode eviction predicate at the boundary is an
+            # implementation detail we must not bake an assumption about —
+            # a day window ending exactly on max_ts - 1h would otherwise
+            # make parity hinge on <= vs < (advisor finding, round 7)
+            .filter(F.col("w.end") < F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
             .select(
                 F.col("w.start").alias("day_start"),
                 "event_type",
@@ -436,7 +496,9 @@ def main() -> int:
             )
             .toPandas()
         )
-        return _canon_ok(s, b)
+        wm_cut = pd.Timestamp(max_ts) - pd.Timedelta(hours=1)
+        s = s[(pd.to_datetime(s["day_start"]) + pd.Timedelta(days=1)) < wm_cut]
+        return _canon_ok(s.reset_index(drop=True), b)
 
     run("daily_rollup_stream", _daily)
     run("session_stream", _session)
@@ -500,9 +562,121 @@ def main() -> int:
         )
         return _canon_ok(s, b)
 
+    # 10. crash/restart replay soak (round-7 verdict ask #6) — a CONTINUOUS
+    #     rate source runs >75 s in a CHILD process (own JVM) through the
+    #     idempotent parquet sink with a 3 s processing-time trigger, then
+    #     is SIGKILLed mid-run (a genuine crash: no graceful commit). The
+    #     newest commit marker is then removed so the restart — in THIS
+    #     process, from the same checkpoint — must REPLAY that batch over
+    #     its recorded offset range before streaming on. Exactly-once
+    #     proof: rate-source `value` is the global row number, so after
+    #     the restart the committed output must be a contiguous, dup-free
+    #     0..max range — an appended (non-idempotent) replay would
+    #     duplicate the replayed batch's rows; a skipped replay would
+    #     leave a gap.
+    def _restart():
+        import signal
+        import subprocess
+        import time
+
+        out, ckpt = f"{tmp}/rate_out", f"{tmp}/rate_ckpt"
+        commits_dir = f"{ckpt}/commits"
+        t0 = time.time()
+        child = subprocess.Popen(
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--phase1-rate", out, ckpt, "300",
+            ],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            cwd=os.getcwd(),
+        )
+        # let it stream for 75+ s of wall clock with a healthy commit count
+        deadline = time.time() + 240
+        try:
+            while time.time() < deadline:
+                n = (
+                    len([f for f in os.listdir(commits_dir) if f.isdigit()])
+                    if os.path.isdir(commits_dir)
+                    else 0
+                )
+                if n >= 8 and time.time() - t0 >= 75:
+                    break
+                time.sleep(2)
+            child.send_signal(signal.SIGKILL)
+        finally:
+            child.wait()
+        committed = sorted(
+            int(f) for f in os.listdir(commits_dir) if f.isdigit()
+        )
+        if len(committed) < 3:
+            raise RuntimeError(f"phase 1 committed only {committed}")
+        last = committed[-1]
+        pre_rows = (
+            spark.read.parquet(out)
+            .filter(F.col("batch_id").isin(committed))
+            .count()
+        )
+        # guarantee a replay: drop the newest commit marker — the restart
+        # sees offsets[last] without commits[last] and re-runs that batch
+        os.remove(f"{commits_dir}/{last}")
+        from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+            write_stream_parquet_idempotent,
+        )
+
+        src2 = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", RATE_ROWS_PER_SEC)
+            .load()
+        )
+        q2 = write_stream_parquet_idempotent(
+            _rate_events(src2), out, ckpt, "rate_sink_resume",
+            trigger={"processingTime": "3 seconds"},
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            cs = sorted(int(f) for f in os.listdir(commits_dir) if f.isdigit())
+            if cs and cs[-1] >= last + 3:
+                break
+            time.sleep(2)
+        q2.stop()
+        q2.awaitTermination(60)
+        cs = sorted(int(f) for f in os.listdir(commits_dir) if f.isdigit())
+        replayed = last in cs and max(cs) > last
+        contiguous_commits = cs == list(range(cs[0], cs[-1] + 1)) and cs[0] == 0
+        spark.catalog.refreshByPath(out)
+        vals = (
+            spark.read.parquet(out)
+            .filter(F.col("batch_id").isin(cs))  # committed batches only
+            .select("event_id")
+            .toPandas()["event_id"]
+        )
+        n, d = len(vals), vals.nunique()
+        mn, mx = (int(vals.min()), int(vals.max())) if n else (-1, -1)
+        ok = (
+            replayed
+            and contiguous_commits
+            and n == d  # no duplicates despite the forced replay
+            and mn == 0
+            and mx == n - 1  # no gaps: every produced row exactly once
+            and n > pre_rows  # the restart also made forward progress
+        )
+        return {
+            "rows_match": n == d,
+            "schema_match": mn == 0 and mx == n - 1,
+            "hash_match": ok,
+            "stream_rows": n,
+            "batch_rows": d,
+            "err": None,
+            "replayed_batch": last,
+            "commits_after_restart": len(cs),
+            "pre_crash_committed_rows": pre_rows,
+        }
+
     run("idempotent_parquet_sink", _sink)
     run("late_data_drop", _late)
     run("view_purchase_attribution_outer", _attrib_outer)
+    run("restart_replay", _restart)
 
     n_pass = sum(1 for r in results.values() if r.get("hash_match"))
     print(f"{n_pass}/{len(results)} streaming ops batch-parity green")
