@@ -1303,7 +1303,10 @@ def referential_integrity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame
     not once per edge. One summary row per edge."""
 
     def audit(fk: str, child: DataFrame, ck: str, parent: DataFrame, pk: str) -> DataFrame:
-        keys = F.broadcast(parent.select(pk).distinct())
+        # parent key sets are dimension-key-grain: bounded at gate scale
+        # but they DO grow with a real deployment's dims, so the hint is
+        # size-gated like every other deployment-scale-dependent broadcast
+        keys = maybe_broadcast(parent.select(pk).distinct())
         orphans = child.join(keys, child[ck] == keys[pk], "left_anti")
         return (
             child.agg(F.count("*").cast("long").alias("n_child"))
@@ -1326,7 +1329,7 @@ def referential_integrity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame
     li_audit = (
         li.select("l_orderkey", "l_partkey")
         .join(okeys, F.col("l_orderkey") == F.col("__ok"), "left")
-        .join(F.broadcast(pkeys), F.col("l_partkey") == F.col("__pk"), "left")
+        .join(maybe_broadcast(pkeys), F.col("l_partkey") == F.col("__pk"), "left")
         .agg(
             F.count("*").cast("long").alias("n_child"),
             F.sum(F.col("__ok").isNull().cast("int")).cast("long").alias("__o_orph"),

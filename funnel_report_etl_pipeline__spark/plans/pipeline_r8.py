@@ -1,8 +1,9 @@
 """Round-8 queries: the two TPC-H shapes the registry's join evidence was
 still missing (Q17's decorrelated scalar subquery, Q21's multi-EXISTS /
-NOT-EXISTS anti-join chain — the round-7 verdict's ask #7), two more
+NOT-EXISTS anti-join chain — the round-7 verdict's ask #7), three more
 relational shapes that complete the family (Q15's scalar-max view join,
-Q19's disjunctive mixed-predicate join), and two LLM-pipeline additions:
+Q19's disjunctive mixed-predicate join, Q4's EXISTS + priority count),
+and two LLM-pipeline additions:
 a per-label embedding-drift score (exact integer/decimal aggregation, so
 the floating pipeline still carries a value-hash oracle) and a MinHash
 band-bucket skew audit (the mega-bucket early-warning an LSH pipeline
@@ -544,4 +545,52 @@ def minhash_band_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("candidate_pairs"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS semi-join + priority count
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_priority_return_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("pipeline-r8", "relational", "join", "subquery"),
+    bench=True,
+)
+def order_priority_return_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in one quarter with
+    at least one problem line, counted by priority (the reference's
+    commitdate-vs-receiptdate predicate becomes l_returnflag = 'R' — the
+    testdata has no commit/receipt dates). The EXISTS compiles to a LEFT
+    SEMI join on the order key: the probe side is the date-pruned orders
+    scan (filter pushed), the build side only ever carries (l_orderkey)
+    for returned lines — no payload columns cross the exchange — and the
+    semi join stops at the first match per key instead of multiplying
+    rows like an inner join + distinct would. One priority-grain count
+    follows with map-side partials. All outputs integers."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    ret = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(ret, orders.o_orderkey == ret.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
     )

@@ -236,3 +236,28 @@ def test_minhash_band_skew_conserves_docs_on_real_data(spark, specs):
         assert total == docs_with_grams
         # candidate pairs must never be quadratic in the corpus here
         assert r.candidate_pairs <= r.docs_in_multi * 3
+
+
+# --- Q4 shape ---------------------------------------------------------------
+
+
+def test_order_priority_return_check_semi_semantics(spark, specs, tmp_path_factory):
+    # order 1: two returned lines -> still counts ONCE (semi, not inner).
+    # order 2: no returned line -> excluded. order 3: returned but outside
+    # the quarter -> excluded.
+    inq = datetime(1997, 2, 1)
+    outq = datetime(1997, 6, 1)
+    li = _li(spark, [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "R", "F", inq),
+        (1, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "R", "F", inq),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "F", inq),
+        (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "R", "F", outq),
+    ])
+    orders = _orders(spark, [
+        (1, 1, "F", 0.0, inq, "1-URGENT"),
+        (2, 1, "F", 0.0, inq, "1-URGENT"),
+        (3, 1, "F", 0.0, outq, "2-HIGH"),
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q4", {"lineitem": li, "orders": orders})
+    rows = specs["order_priority_return_check"].fn(spark, sf).collect()
+    assert [(r.o_orderpriority, r.order_count) for r in rows] == [("1-URGENT", 1)]

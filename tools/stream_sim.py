@@ -618,8 +618,16 @@ def main() -> int:
             .count()
         )
         # guarantee a replay: drop the newest commit marker — the restart
-        # sees offsets[last] without commits[last] and re-runs that batch
+        # sees offsets[last] without commits[last] and re-runs that batch.
+        # The local FS checkpoint keeps a hidden Hadoop checksum sidecar
+        # (.N.crc) next to each marker; leave it behind and the replayed
+        # commit's rename fails with FileAlreadyExistsException, which
+        # Spark surfaces as the misleading "multiple streaming queries
+        # concurrently using <ckpt>/commits" guard error.
         os.remove(f"{commits_dir}/{last}")
+        crc = f"{commits_dir}/.{last}.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
         from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
             write_stream_parquet_idempotent,
         )

@@ -34,6 +34,11 @@ QUERIES = (
     "returned_item_report",
     "large_volume_orders",
     "shipping_priority_topk",
+    # round-8 shapes
+    "small_quantity_revenue",
+    "top_supplier_revenue",
+    "disjunctive_brand_revenue",
+    "sole_return_supplier",
 )
 _KEY_STRIDE = 100_000_000
 
