@@ -261,3 +261,13 @@ def test_order_priority_return_check_semi_semantics(spark, specs, tmp_path_facto
     sf = _write_sf(spark, tmp_path_factory, "q4", {"lineitem": li, "orders": orders})
     rows = specs["order_priority_return_check"].fn(spark, sf).collect()
     assert [(r.o_orderpriority, r.order_count) for r in rows] == [("1-URGENT", 1)]
+
+
+def test_sole_return_agg_twin_equals_chain_form(spark, specs):
+    """The aggregate form must return byte-identical rows to the
+    EXISTS/NOT-EXISTS chain form on real testdata — same oracle SQL
+    registers both, so this is the local replica of that equivalence."""
+    key = lambda r: (r.s_name, r.numwait)
+    a = sorted(map(key, specs["sole_return_supplier"].fn(spark, SF_SMALL).collect()))
+    b = sorted(map(key, specs["sole_return_supplier_agg"].fn(spark, SF_SMALL).collect()))
+    assert a == b and a
