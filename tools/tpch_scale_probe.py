@@ -39,6 +39,8 @@ QUERIES = (
     "top_supplier_revenue",
     "disjunctive_brand_revenue",
     "sole_return_supplier",
+    "sole_return_supplier_agg",
+    "order_priority_return_check",
 )
 _KEY_STRIDE = 100_000_000
 
