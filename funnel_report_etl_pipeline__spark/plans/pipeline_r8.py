@@ -689,3 +689,68 @@ def sole_return_supplier_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG / training chunking: overlapping token windows (LLM-pipeline)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32
+_STRIDE = 24
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), {_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start / {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(least({_CHUNK}, len(toks) - start) AS BIGINT) AS n_tokens,
+           array_to_string(toks[start + 1 : start + {_CHUNK}], ' ')
+             AS chunk_text
+    FROM s
+    """,
+    tags=("pipeline-r8", "text", "chunking"),
+    bench=True,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 32, stride
+    24) — the standard RAG-indexing / context-window prep step:
+    every document becomes ceil(len/stride) chunks, consecutive chunks
+    sharing an 8-token overlap so no boundary sentence is
+    lost to a cut. Distinct from `pack_sequences` (which concatenates
+    docs INTO fixed windows; this splits docs ACROSS them).
+
+    100 TB shape: entirely map-side — `sequence` generates each doc's
+    chunk starts, `posexplode` fans them out, `slice` + `concat_ws`
+    materialize each chunk from the doc's OWN token array; there is no
+    exchange anywhere in the plan (shuffle budget pins 0), so chunking
+    runs at scan speed and parallelizes with the input files. Chunk grain
+    is deterministic arithmetic — identical on any engine, no windows, no
+    state. (Tail chunks are shorter than the window; every token position
+    is covered by construction since stride < window.)"""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("__toks")
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("__toks") - F.lit(1), F.lit(_STRIDE)
+    )
+    ex = docs.select(
+        "doc_id", "__toks", F.posexplode(starts).alias("__i", "__start")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("__i").cast("long").alias("chunk_idx"),
+        F.col("__start").cast("long").alias("start_tok"),
+        F.least(F.lit(_CHUNK), F.size("__toks") - F.col("__start"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice("__toks", F.col("__start") + F.lit(1), F.lit(_CHUNK))
+        ).alias("chunk_text"),
+    )

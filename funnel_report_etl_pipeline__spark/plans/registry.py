@@ -81,10 +81,10 @@ def load_all() -> dict[str, QuerySpec]:
 # so every registered query eventually holds an EXTERNAL green row.
 # Round 8 rotates in (a) the 7 round-7 registrations that sat past the
 # window (the only never-externally-verified names after round 7), (b) the
-# 8 round-8 registrations — INSIDE the window from day one, so this round
+# 9 round-8 registrations — INSIDE the window from day one, so this round
 # creates no new rotation debt — and (c) the least-recently-verified
 # fillers: the 20 queries whose last external row is round 2 and the first
-# 2 (registration order) of the round-4 cohort.  Rotated-out queries still
+# 1 (registration order) of the round-4 cohort.  Rotated-out queries still
 # register — tools/verify_parity.py and driver_sim check ALL entries, and
 # every rotated-out name holds at least one external green row
 # (CORRECTNESS_r0{2..7}.json).
@@ -125,6 +125,7 @@ _WINDOW: tuple[str, ...] = (
     "sole_return_supplier_agg",
     "embedding_drift_by_label",
     "minhash_band_skew",
+    "chunk_documents",
     # least-recently verified (external green row last held in round 2)
     "part_supplier_revenue",
     "distinct_count",
@@ -148,7 +149,6 @@ _WINDOW: tuple[str, ...] = (
     "map_funcs",
     # next-least-recently verified (last external row round 4)
     "dedup_exact_norm",
-    "token_counts",
 )
 
 

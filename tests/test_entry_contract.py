@@ -52,7 +52,7 @@ def test_driver_window_composition_pinned():
     window = list(mod.queries())[:DRIVER_WINDOW]
     assert window == list(_WINDOW), "driver window drifted from curated _WINDOW"
     assert len(_WINDOW) == DRIVER_WINDOW == 50
-    assert window[-1] == "token_counts"
+    assert window[-1] == "dedup_exact_norm"
     specs = load_all()
     parity = [n for n, s in specs.items() if s.fn.__module__.endswith(".parity")]
     # parity must come first (driver smoke-checks the reference surface first)
@@ -63,7 +63,7 @@ def test_driver_window_composition_pinned():
     oracles = mod.oracle_sql()
     assert all(n in oracles for n in window), "no-oracle query inside the window"
     # round-8 rotation: the 7 round-7 registrations (the only names with
-    # zero external rows after round 7) AND the 8 round-8 registrations sit
+    # zero external rows after round 7) AND the 9 round-8 registrations sit
     # INSIDE the window — new queries now enter the window the round they
     # are registered, so the rotation creates no fresh debt and after
     # CORRECTNESS_r08 every registered query will have held at least one
@@ -77,6 +77,7 @@ def test_driver_window_composition_pinned():
         "small_quantity_revenue", "top_supplier_revenue",
         "disjunctive_brand_revenue", "sole_return_supplier",
         "order_priority_return_check", "sole_return_supplier_agg",
+        "chunk_documents",
         "embedding_drift_by_label", "minhash_band_skew",
     }
     assert rotated_in_r8 <= set(window)

@@ -271,3 +271,46 @@ def test_sole_return_agg_twin_equals_chain_form(spark, specs):
     a = sorted(map(key, specs["sole_return_supplier"].fn(spark, SF_SMALL).collect()))
     b = sorted(map(key, specs["sole_return_supplier_agg"].fn(spark, SF_SMALL).collect()))
     assert a == b and a
+
+
+# --- chunking ---------------------------------------------------------------
+
+
+def test_chunk_documents_overlap_and_tail(spark, specs, tmp_path_factory):
+    # 80 tokens, window 32 / stride 24 -> starts 0,24,48,72 with
+    # n_tokens 32,32,32,8; consecutive chunks share exactly 8 tokens
+    toks = [f"w{i}" for i in range(80)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks), "en", "web", 80)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "chunks", {"documents": docs})
+    rows = sorted(
+        specs["chunk_documents"].fn(spark, sf).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [(r.chunk_idx, r.start_tok, r.n_tokens) for r in rows] == [
+        (0, 0, 32), (1, 24, 32), (2, 48, 32), (3, 72, 8),
+    ]
+    c0, c1 = rows[0].chunk_text.split(" "), rows[1].chunk_text.split(" ")
+    assert c0[24:] == c1[:8]  # the 8-token overlap
+    assert c0 == toks[:32] and rows[3].chunk_text.split(" ") == toks[72:]
+
+
+def test_chunk_documents_covers_every_token(spark, specs):
+    # conservation on real testdata: distinct (doc, token position)
+    # coverage equals total token count, and chunking is map-side only
+    out = specs["chunk_documents"].fn(spark, SF_SMALL)
+    covered = (
+        out.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start_tok"), F.col("start_tok") + F.col("n_tokens") - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+        .count()
+    )
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    total = docs.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    assert covered == total

@@ -227,6 +227,7 @@ WINDOW_SHUFFLE_BUDGET = {
     "small_quantity_revenue": 2, "top_supplier_revenue": 2,
     "disjunctive_brand_revenue": 0, "sole_return_supplier": 2,
     "order_priority_return_check": 1, "sole_return_supplier_agg": 4,
+    "chunk_documents": 0,
     "embedding_drift_by_label": 4, "minhash_band_skew": None,
     "part_supplier_revenue": 1, "distinct_count": 2, "having_filter": 1,
     "set_ops": 2, "grouped_count_salted": 2, "running_total": 1,
