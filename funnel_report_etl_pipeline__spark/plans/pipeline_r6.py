@@ -556,7 +556,11 @@ def pagerank_coorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     co = co.localCheckpoint()  # reused every iteration
-    deg = co.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    # deg is referenced twice per iteration plus the node count — without
+    # its own checkpoint each reference re-runs the edge-grain groupBy
+    # (~7 recomputes of the biggest aggregate in the query); node-grain,
+    # so the checkpoint is |V| rows
+    deg = co.groupBy("src").agg(F.count("*").cast("long").alias("deg")).localCheckpoint()
     n = deg.count()  # node count: bounded by |part| — a write-planning scalar
     if n == 0:
         # empty co-order graph (no order holds two distinct parts):
