@@ -34,7 +34,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every registered query — since
-    round 5 the coverage is total (123/123; DRIVERSIM_r05.json): even the
+    round 5 the coverage is total (164/164 as of round 8;
+    DRIVERSIM_r08.json): even the
     hash-seeded operators are formulated over md5-derived integers /
     deterministic medoids so they verify value-exactly. A spec with
     ``oracle=None`` would fall back to the driver's rows-only check, but
