@@ -10,6 +10,7 @@ from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
     curation_gate_stream,
     daily_rollup_stream,
     dedup_stream,
+    enrich_stream,
     funnel_depth_stream,
     read_document_stream,
     read_event_stream,
@@ -24,6 +25,7 @@ __all__ = [
     "daily_rollup_stream",
     "curation_gate_stream",
     "dedup_stream",
+    "enrich_stream",
     "session_stream",
     "funnel_depth_stream",
     "view_purchase_attribution",

@@ -254,6 +254,25 @@ def dedup_stream(
     )
 
 
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-STATIC enrichment join — the standard production shape for
+    attaching precomputed attributes (user segment, account tier,
+    acquisition channel) to a live event feed. LEFT join so events from
+    unknown keys pass through null-extended instead of being dropped (an
+    inner join would silently lose traffic when the dim lags ingestion).
+
+    Scale shape: the static side is broadcast — each micro-batch is a
+    map-side hash join against the dim snapshot, no shuffle of the stream
+    and NO state store at all (unlike stream-stream joins, a static side
+    needs no watermark; Spark re-plans the static subtree per batch, so a
+    dim refreshed in place is picked up on the next trigger). For a dim
+    too large to broadcast, drop the hint and pre-bucket both sides on
+    the key — the join becomes a co-located shuffle join per batch."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 _DEPTH_STATE_TTL_MS = 24 * 3600 * 1000  # evict users inactive 24h past the watermark
 
 

@@ -266,16 +266,19 @@ def test_stream_static_broadcast_enrichment(spark, stream_dir):
          ("purchase", "revenue"), ("error", "ops")],
         "event_type string, category string",
     )
-    enriched = read_event_stream(spark, stream_dir).join(
-        F.broadcast(dim), "event_type"
+    from funnel_report_etl_pipeline__spark.streaming import enrich_stream
+
+    enriched = enrich_stream(
+        read_event_stream(spark, stream_dir), dim, on="event_type"
     )
     out = run_to_memory(enriched, "enriched_t", "append")
     rows = out.collect()
     batch = spark.read.parquet(stream_dir)
-    assert len(rows) == batch.join(dim, "event_type").count()
+    # LEFT join semantics: every stream row comes back exactly once
+    assert len(rows) == batch.count()
     cats = {r.event_type: r.category for r in rows}
     assert cats.get("purchase") == "revenue"
-    assert all(r.category is not None for r in rows)
+    assert all(r.category is not None for r in rows)  # dim covers all types
 
 
 def test_foreachbatch_parquet_sink_idempotent_replay(spark, stream_dir, tmp_path):

@@ -38,6 +38,7 @@ OPS = (
     "idempotent_parquet_sink",
     "late_data_drop",
     "view_purchase_attribution_outer",
+    "enrich_stream",
     "restart_replay",
 )
 
@@ -681,9 +682,38 @@ def main() -> int:
             "pre_crash_committed_rows": pre_rows,
         }
 
+    # 11. stream-STATIC enrichment join — each user's acquisition channel
+    #     (their chronologically first event type, tie-broken by event_id)
+    #     is PRECOMPUTED as a static dim table, then the live stream is
+    #     left-joined against it per micro-batch. Stateless: the batch
+    #     twin is the identical join in one pass; every event row must
+    #     come back exactly once with its channel attached (a dropped or
+    #     duplicated row = stream-static machinery failure).
+    def _enrich():
+        from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+            enrich_stream,
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        dim = (
+            ev.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", F.col("event_type").alias("acq_channel"))
+        )
+        dim_dir = f"{tmp}/user_dim"
+        dim.coalesce(1).write.mode("overwrite").parquet(dim_dir)
+        static_dim = spark.read.parquet(dim_dir)
+        s = drain(
+            enrich_stream(stream_src(), static_dim), "ss_enrich", "append"
+        )
+        b = ev.join(static_dim, "user_id", "left").toPandas()
+        return _canon_ok(s, b)
+
     run("idempotent_parquet_sink", _sink)
     run("late_data_drop", _late)
     run("view_purchase_attribution_outer", _attrib_outer)
+    run("enrich_stream", _enrich)
     run("restart_replay", _restart)
 
     n_pass = sum(1 for r in results.values() if r.get("hash_match"))
