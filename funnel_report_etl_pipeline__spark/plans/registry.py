@@ -81,9 +81,9 @@ def load_all() -> dict[str, QuerySpec]:
 # so every registered query eventually holds an EXTERNAL green row.
 # Round 8 rotates in (a) the 7 round-7 registrations that sat past the
 # window (the only never-externally-verified names after round 7), (b) the
-# 9 round-8 registrations — INSIDE the window from day one, so this round
+# 13 round-8 registrations — INSIDE the window from day one, so this round
 # creates no new rotation debt — and (c) the least-recently-verified
-# fillers: the 20 queries whose last external row is round 2 and the first
+# fillers: 16 queries whose last external row is round 2 and the first
 # 1 (registration order) of the round-4 cohort.  Rotated-out queries still
 # register — tools/verify_parity.py and driver_sim check ALL entries, and
 # every rotated-out name holds at least one external green row
@@ -126,6 +126,13 @@ _WINDOW: tuple[str, ...] = (
     "embedding_drift_by_label",
     "minhash_band_skew",
     "chunk_documents",
+    # round-8 late batch: the remaining TPC-H subquery shapes
+    # (Q2 min-per-group, Q11 share-vs-global-scalar, Q16 NOT-IN +
+    # COUNT DISTINCT, Q20 nested-IN correlated threshold)
+    "min_cost_supplier",
+    "important_nation_value",
+    "supplier_part_variety",
+    "excess_shipment_suppliers",
     # least-recently verified (external green row last held in round 2)
     "part_supplier_revenue",
     "distinct_count",
@@ -142,10 +149,6 @@ _WINDOW: tuple[str, ...] = (
     "grouped_collect",
     "join_salted",
     "json_roundtrip",
-    "window_nav_funcs",
-    "range_window_frame",
-    "sql_lateral_topk",
-    "regexp_funcs",
     "map_funcs",
     # next-least-recently verified (last external row round 4)
     "dedup_exact_norm",

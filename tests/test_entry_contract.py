@@ -79,6 +79,9 @@ def test_driver_window_composition_pinned():
         "order_priority_return_check", "sole_return_supplier_agg",
         "chunk_documents",
         "embedding_drift_by_label", "minhash_band_skew",
+        # round-8 late batch: the remaining TPC-H subquery shapes
+        "min_cost_supplier", "important_nation_value",
+        "supplier_part_variety", "excess_shipment_suppliers",
     }
     assert rotated_in_r8 <= set(window)
     # every query OUTSIDE the window must already hold an external green

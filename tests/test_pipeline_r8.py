@@ -314,3 +314,157 @@ def test_chunk_documents_covers_every_token(spark, specs):
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     total = docs.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
     assert covered == total
+
+
+# --- Q2 shape ---------------------------------------------------------------
+
+
+def _geo(spark):
+    region = spark.createDataFrame(
+        [(0, "EUROPE"), (1, "ASIA")], "r_regionkey int, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(0, "FRANCE", 0), (1, "CHINA", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    return region, nation
+
+
+def test_min_cost_supplier_ties_and_region_exclusion(
+    spark, specs, tmp_path_factory
+):
+    # part 1 (PROMO): s1 lines at unit 10 and 30, s2 at unit 10 -> s1/s2
+    # tie at the min and BOTH must survive; s3 offers unit 1 but sits in
+    # ASIA so it must not define (or win) the minimum. part 2 is not
+    # PROMO and must vanish entirely.
+    region, nation = _geo(spark)
+    sup = spark.createDataFrame(
+        [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0), (3, "s3", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    part = spark.createDataFrame(
+        [(1, "a", "B", "PROMO", 1, 1.0), (2, "b", "B", "LARGE", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size long, p_retailprice double",
+    )
+    ship = datetime(1996, 1, 1)
+    li = _li(spark, [
+        (1, 1, 1, 1, 10.0, 100.0, 0.0, 0.0, "N", "O", ship),  # s1 unit 10
+        (2, 1, 1, 1, 2.0, 60.0, 0.0, 0.0, "N", "O", ship),    # s1 unit 30
+        (3, 1, 2, 1, 5.0, 50.0, 0.0, 0.0, "N", "O", ship),    # s2 unit 10
+        (4, 1, 3, 1, 10.0, 10.0, 0.0, 0.0, "N", "O", ship),   # s3 unit 1 (ASIA)
+        (5, 2, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),     # non-PROMO part
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q2", {
+        "region": region, "nation": nation, "supplier": sup,
+        "part": part, "lineitem": li,
+    })
+    rows = sorted(
+        specs["min_cost_supplier"].fn(spark, sf).collect(),
+        key=lambda r: r.s_name,
+    )
+    assert [(r.p_partkey, r.s_name, r.n_name, r.unit_cost) for r in rows] == [
+        (1, "s1", "FRANCE", 10.0), (1, "s2", "FRANCE", 10.0),
+    ]
+
+
+# --- Q11 shape --------------------------------------------------------------
+
+
+def test_important_nation_value_share_threshold(spark, specs, tmp_path_factory):
+    # nation A carries 95% of total value, nation B 5%: only A clears the
+    # 6% bar, and its reported value must be the exact decimal sum.
+    region, nation = _geo(spark)
+    nation = spark.createDataFrame(
+        [(0, "A", 0), (1, "B", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    sup = spark.createDataFrame(
+        [(1, "s1", 0, 0.0), (2, "s2", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    ship = datetime(1996, 1, 1)
+    li = _li(spark, [
+        (1, 1, 1, 1, 1.0, 95.0, 0.0, 0.0, "N", "O", ship),
+        (2, 1, 2, 1, 1.0, 5.0, 0.0, 0.0, "N", "O", ship),
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q11", {
+        "nation": nation, "supplier": sup, "lineitem": li,
+    })
+    rows = specs["important_nation_value"].fn(spark, sf).collect()
+    assert [(r.n_name, r.nation_value) for r in rows] == [("A", 95.0)]
+
+
+# --- Q16 shape --------------------------------------------------------------
+
+
+def test_supplier_part_variety_denylist_and_boundary(
+    spark, specs, tmp_path_factory
+):
+    # supplier 2 (acctbal 1000) is denylisted; supplier 3 sits EXACTLY at
+    # the 1800 boundary and must survive (< is strict). Brand#1's part
+    # disappears entirely. Distinct count must not double-count s1's two
+    # lines.
+    sup = spark.createDataFrame(
+        [(1, "s1", 0, 2000.0), (2, "s2", 0, 1000.0), (3, "s3", 0, 1800.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    part = spark.createDataFrame(
+        [(1, "a", "Brand#2", "T", 1, 1.0), (2, "b", "Brand#1", "T", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size long, p_retailprice double",
+    )
+    ship = datetime(1996, 1, 1)
+    li = _li(spark, [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),  # s1 again
+        (3, 1, 2, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),  # denylisted
+        (4, 1, 3, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),  # boundary: kept
+        (5, 2, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),  # Brand#1: gone
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q16", {
+        "supplier": sup, "part": part, "lineitem": li,
+    })
+    rows = specs["supplier_part_variety"].fn(spark, sf).collect()
+    assert [(r.p_brand, r.p_type, r.supplier_cnt, r.n_lines) for r in rows] == [
+        ("Brand#2", "T", 2, 3)
+    ]
+
+
+# --- Q20 shape --------------------------------------------------------------
+
+
+def test_excess_shipment_suppliers_dominance_boundary(
+    spark, specs, tmp_path_factory
+):
+    # part 1 ('large bolt', 1996 total 10): s1 ships 9 (90% -> passes),
+    # s2 ships 1 (fails). part 2 ('small bolt'): s3 dominates but the
+    # name filter excludes the part. part 3 ('large rod', total 10): s5
+    # ships EXACTLY 8 -> 8*5 > 10*4 is false, the 80% boundary is strict.
+    # s4's 1997 shipment of part 1 sits outside the date window.
+    sup = spark.createDataFrame(
+        [(i, f"s{i}", 0, 0.0) for i in range(1, 6)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    part = spark.createDataFrame(
+        [(1, "large bolt", "B", "T", 1, 1.0),
+         (2, "small bolt", "B", "T", 1, 1.0),
+         (3, "large rod", "B", "T", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size long, p_retailprice double",
+    )
+    in96 = datetime(1996, 6, 1)
+    in97 = datetime(1997, 6, 1)
+    li = _li(spark, [
+        (1, 1, 1, 1, 9.0, 1.0, 0.0, 0.0, "N", "O", in96),
+        (2, 1, 2, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", in96),
+        (3, 2, 3, 1, 100.0, 1.0, 0.0, 0.0, "N", "O", in96),
+        (4, 3, 5, 1, 8.0, 1.0, 0.0, 0.0, "N", "O", in96),
+        (5, 3, 4, 1, 2.0, 1.0, 0.0, 0.0, "N", "O", in96),
+        (6, 1, 4, 1, 100.0, 1.0, 0.0, 0.0, "N", "O", in97),  # outside window
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q20", {
+        "supplier": sup, "part": part, "lineitem": li,
+    })
+    rows = specs["excess_shipment_suppliers"].fn(spark, sf).collect()
+    assert [(r.s_suppkey, r.s_name) for r in rows] == [(1, "s1")]

@@ -41,6 +41,11 @@ QUERIES = (
     "sole_return_supplier",
     "sole_return_supplier_agg",
     "order_priority_return_check",
+    # round-8 late batch (Q2/Q11/Q16/Q20 shapes)
+    "min_cost_supplier",
+    "important_nation_value",
+    "supplier_part_variety",
+    "excess_shipment_suppliers",
 )
 _KEY_STRIDE = 100_000_000
 
