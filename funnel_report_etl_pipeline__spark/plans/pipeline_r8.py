@@ -34,6 +34,7 @@ from funnel_report_etl_pipeline__spark.operators.dedup import (
     band_buckets,
     drop_frequent_grams,
     gram_rows,
+    lsh_candidate_pairs,
     minhash_signatures,
 )
 from funnel_report_etl_pipeline__spark.plans.registry import register
@@ -886,22 +887,24 @@ def min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_name, CAST(value_sum AS DOUBLE) AS nation_value
     FROM val
-    WHERE CAST(value_sum AS DOUBLE) * 100.0 >
-          CAST((SELECT SUM(value_sum) FROM val) AS DOUBLE) * 6.0
+    WHERE CAST(value_sum AS DOUBLE) * 10000.0 >
+          CAST((SELECT SUM(value_sum) FROM val) AS DOUBLE) * 475.0
     """,
     tags=("pipeline-r8", "relational", "join", "subquery"),
     bench=True,
 )
 def important_nation_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock): nations whose supplier-shipped
-    line value exceeds 6% of the GLOBAL total — a grouped aggregate
+    line value exceeds 4.75% of the GLOBAL total (tuned so the answer is
+    non-empty AND selective at every test scale: 10/10 nations pass at
+    sf0.001's uniform shares, 9/25 at sf0.01, 3/25 at sf0.1) — a grouped aggregate
     filtered against a scalar subquery over its own result. Decorrelated
     Spark form: one nation-grain aggregate (supplier x nation dims
     broadcast into the fact scan, so lineitem shuffles once on n_name),
     then the 1-row global re-aggregate of that ~25-row frame broadcasts
     back via crossJoin — the HAVING-vs-scalar compare never moves the
     fact again. Determinism: value sums in decimal(22,4) (exact);
-    both sides of the 6% compare go through one correctly-rounded
+    both sides of the share compare go through one correctly-rounded
     decimal-to-double cast and one IEEE multiply each, identical ops on
     both engines. The output cast to double reuses the same exact sum."""
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -921,8 +924,8 @@ def important_nation_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         val.crossJoin(F.broadcast(tot))
         .filter(
-            F.col("__v").cast("double") * F.lit(100.0)
-            > F.col("__t").cast("double") * F.lit(6.0)
+            F.col("__v").cast("double") * F.lit(10000.0)
+            > F.col("__t").cast("double") * F.lit(475.0)
         )
         .select("n_name", F.col("__v").cast("double").alias("nation_value"))
     )
@@ -1061,3 +1064,153 @@ def excess_shipment_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.join(
         keys, sup.s_suppkey == keys.l_suppkey, "left_semi"
     ).orderBy("s_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration: signature-agreement estimate vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_jaccard_calibration",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g0 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    g AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g0
+      ) WHERE df <= 1000
+    ),
+    h AS (
+      SELECT doc_id, gram,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h1
+      FROM g
+    ),
+    h2 AS (SELECT doc_id, h1, (h1 % 140737488355328) | 1 AS hb FROM h),
+    m AS (
+      SELECT doc_id, i, MIN(h1 + i * hb) AS mh
+      FROM h2 CROSS JOIN (SELECT unnest(range(0, 32)) AS i) perms
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band_idx,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
+      FROM m GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+      SELECT c.id_a, c.id_b,
+             COUNT(*) FILTER (WHERE sa.mh = sb.mh) AS agree_cnt
+      FROM cand c
+      JOIN m sa ON sa.doc_id = c.id_a
+      JOIN m sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS isz
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.id_a
+      JOIN g gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT a.agree_cnt, COALESCE(i.isz, 0) AS isz,
+             sa.sz + sb.sz - COALESCE(i.isz, 0) AS usz
+      FROM agree a
+      LEFT JOIN inter i ON i.id_a = a.id_a AND i.id_b = a.id_b
+      JOIN sizes sa ON sa.doc_id = a.id_a
+      JOIN sizes sb ON sb.doc_id = a.id_b
+    )
+    SELECT CAST(agree_cnt AS BIGINT) AS agree_cnt,
+           CAST(agree_cnt AS DOUBLE) / 32.0 AS est_jaccard,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(isz) AS BIGINT) AS sum_inter,
+           CAST(SUM(usz) AS BIGINT) AS sum_union,
+           CAST(SUM(isz) AS DOUBLE) / CAST(SUM(usz) AS DOUBLE)
+             AS micro_jaccard
+    FROM pairs GROUP BY agree_cnt
+    """,
+    tags=("pipeline-r8", "dedup", "lsh", "audit"),
+    bench=True,
+)
+def minhash_jaccard_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration audit: for every LSH candidate pair, how well
+    does the signature-agreement estimate (matching permutations / 32 —
+    each permutation matches with probability exactly J) track the TRUE
+    gram Jaccard? Grouped by agreement count, reporting the pair census
+    and the micro-averaged exact Jaccard (Σ|∩| / Σ|∪|). This is how an
+    operator picks band/row parameters and the verify threshold for a
+    100 TB dedup run from a sample, instead of trusting the sketch blind
+    — a sketch that over-estimates J near the threshold inflates the
+    candidate set quadratically.
+
+    Plan: the same shared gram → signature → banded-candidate chain as
+    `dedup_minhash_fast` / `minhash_band_skew` (md5w family, stop-gram
+    guard 1000, 8x4 banding). Everything downstream is candidate-set-
+    sized: agreement is a zip_with/filter over the two 32-long signature
+    arrays (CodegenFallback HOFs — acceptable OFF the corpus-grain hot
+    path), the exact intersection is the per-pair array_intersect probe
+    (round-5 verify shape — no gram row ever shuffles at pair grain),
+    and the calibration table is a ≤29-row final aggregate. Integer
+    counts everywhere; the two ratios are single IEEE divisions of exact
+    integers — bit-identical on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = drop_frequent_grams(
+        gram_rows(docs, id_col="doc_id", text_col="text", ngram=3), 1000
+    )
+    sigs = minhash_signatures(grams, num_perm=32, hash_family="md5w")
+    cands = lsh_candidate_pairs(sigs, bands=8, rows=4)
+    sets_ = grams.groupBy("id").agg(F.collect_list("gram").alias("gs"))
+    j = (
+        cands.join(sigs.withColumnsRenamed({"id": "id_a", "sig": "siga"}), "id_a")
+        .join(sigs.withColumnsRenamed({"id": "id_b", "sig": "sigb"}), "id_b")
+        .join(sets_.withColumnsRenamed({"id": "id_a", "gs": "ga"}), "id_a")
+        .join(sets_.withColumnsRenamed({"id": "id_b", "gs": "gb"}), "id_b")
+        .select(
+            F.size(
+                F.filter(
+                    F.zip_with("siga", "sigb", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            .cast("long")
+            .alias("agree_cnt"),
+            F.size(F.array_intersect("ga", "gb")).cast("long").alias("__i"),
+            (
+                (F.size("ga") + F.size("gb")).cast("long")
+                - F.size(F.array_intersect("ga", "gb")).cast("long")
+            ).alias("__u"),
+        )
+    )
+    return (
+        j.groupBy("agree_cnt")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("__i").cast("long").alias("sum_inter"),
+            F.sum("__u").cast("long").alias("sum_union"),
+        )
+        .select(
+            "agree_cnt",
+            (F.col("agree_cnt").cast("double") / F.lit(32.0)).alias(
+                "est_jaccard"
+            ),
+            "n_pairs",
+            "sum_inter",
+            "sum_union",
+            (
+                F.col("sum_inter").cast("double")
+                / F.col("sum_union").cast("double")
+            ).alias("micro_jaccard"),
+        )
+    )

@@ -133,6 +133,7 @@ _WINDOW: tuple[str, ...] = (
     "important_nation_value",
     "supplier_part_variety",
     "excess_shipment_suppliers",
+    "minhash_jaccard_calibration",
     # least-recently verified (external green row last held in round 2)
     "part_supplier_revenue",
     "distinct_count",
@@ -148,7 +149,6 @@ _WINDOW: tuple[str, ...] = (
     "daily_rollup",
     "grouped_collect",
     "join_salted",
-    "json_roundtrip",
     "map_funcs",
     # next-least-recently verified (last external row round 4)
     "dedup_exact_norm",

@@ -372,8 +372,8 @@ def test_min_cost_supplier_ties_and_region_exclusion(
 
 
 def test_important_nation_value_share_threshold(spark, specs, tmp_path_factory):
-    # nation A carries 95% of total value, nation B 5%: only A clears the
-    # 6% bar, and its reported value must be the exact decimal sum.
+    # nation A carries 96% of total value, nation B 4%: only A clears the
+    # 4.75% bar, and its reported value must be the exact decimal sum.
     region, nation = _geo(spark)
     nation = spark.createDataFrame(
         [(0, "A", 0), (1, "B", 0)],
@@ -385,14 +385,14 @@ def test_important_nation_value_share_threshold(spark, specs, tmp_path_factory):
     )
     ship = datetime(1996, 1, 1)
     li = _li(spark, [
-        (1, 1, 1, 1, 1.0, 95.0, 0.0, 0.0, "N", "O", ship),
-        (2, 1, 2, 1, 1.0, 5.0, 0.0, 0.0, "N", "O", ship),
+        (1, 1, 1, 1, 1.0, 96.0, 0.0, 0.0, "N", "O", ship),
+        (2, 1, 2, 1, 1.0, 4.0, 0.0, 0.0, "N", "O", ship),
     ])
     sf = _write_sf(spark, tmp_path_factory, "q11", {
         "nation": nation, "supplier": sup, "lineitem": li,
     })
     rows = specs["important_nation_value"].fn(spark, sf).collect()
-    assert [(r.n_name, r.nation_value) for r in rows] == [("A", 95.0)]
+    assert [(r.n_name, r.nation_value) for r in rows] == [("A", 96.0)]
 
 
 # --- Q16 shape --------------------------------------------------------------
@@ -468,3 +468,39 @@ def test_excess_shipment_suppliers_dominance_boundary(
     })
     rows = specs["excess_shipment_suppliers"].fn(spark, sf).collect()
     assert [(r.s_suppkey, r.s_name) for r in rows] == [(1, "s1")]
+
+
+# --- MinHash calibration ------------------------------------------------------
+
+
+def test_minhash_jaccard_calibration_planted_exact_dup(
+    spark, specs, tmp_path_factory
+):
+    # docs 1 and 2 are identical -> every band collides, all 32
+    # permutations agree, exact Jaccard is 1; doc 3 shares no gram, so no
+    # candidate pair involves it. The calibration table must be the single
+    # perfectly-calibrated bucket.
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", "en", "s", 30),
+         (2, "alpha beta gamma delta epsilon", "en", "s", 30),
+         (3, "one two three four five six", "en", "s", 27)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "mhcal", {"documents": docs})
+    rows = specs["minhash_jaccard_calibration"].fn(spark, sf).collect()
+    # 5 tokens -> 3 distinct trigram shingles per doc
+    assert [
+        (r.agree_cnt, r.est_jaccard, r.n_pairs, r.sum_inter, r.sum_union,
+         r.micro_jaccard)
+        for r in rows
+    ] == [(32, 1.0, 1, 3, 3, 1.0)]
+
+
+def test_minhash_calibration_invariants_on_real_data(spark, specs):
+    rows = specs["minhash_jaccard_calibration"].fn(spark, SF_SMALL).collect()
+    assert rows, "no candidate pairs at sf0.001 — zero-signal calibration"
+    for r in rows:
+        assert 4 <= r.agree_cnt <= 32  # candidates share >= one 4-row band
+        assert r.sum_inter <= r.sum_union
+        assert 0.0 < r.micro_jaccard <= 1.0
+        assert abs(r.est_jaccard - r.agree_cnt / 32.0) < 1e-12

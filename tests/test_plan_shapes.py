@@ -237,6 +237,9 @@ WINDOW_SHUFFLE_BUDGET = {
     # carry a static hint)
     "min_cost_supplier": 2, "important_nation_value": 2,
     "supplier_part_variety": 2, "excess_shipment_suppliers": 5,
+    # shares the minhash gram subtree (cache-state-dependent count, like
+    # the dedup_minhash_* siblings) — structural coverage only
+    "minhash_jaccard_calibration": None,
     "part_supplier_revenue": 1, "distinct_count": 2, "having_filter": 1,
     "set_ops": 2, "grouped_count_salted": 2, "running_total": 1,
     "event_funnel_windowed": 1, "cube_segment_priority": 1,
