@@ -1214,3 +1214,59 @@ def minhash_jaccard_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("micro_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy census: k-anonymity profile over quasi-identifiers (LLM-pipeline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "k_anonymity_profile",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+             COUNT(*) AS sz
+      FROM customer
+      GROUP BY c_mktsegment, c_nationkey, bal_bucket
+    )
+    SELECT CAST(sz AS BIGINT) AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(sz) AS BIGINT) AS n_individuals
+    FROM g GROUP BY sz
+    """,
+    tags=("pipeline-r8", "privacy", "audit"),
+    bench=True,
+)
+def k_anonymity_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity profile — the privacy census a training-data release
+    runs before shipping user-derived records: group every individual by
+    their quasi-identifier tuple (market segment, nation, account-balance
+    band — the generalized attributes an adversary could link on) and
+    report the anonymity histogram: how many QI groups have exactly k
+    members, and how many individuals sit in them. A release targeting
+    k-anonymity 5 reads the k<5 rows as its re-identification exposure
+    and picks coarser generalization bands until they empty.
+
+    100 TB shape: two stacked aggregates — QI grain then group-size grain
+    — both with map-side partials; output is bounded by the largest group
+    size, never by corpus. The balance band is FLOOR(x/2000): one IEEE
+    division + floor on both engines, exact at any partitioning (banding
+    IS the generalization step of the k-anonymity protocol, so the audit
+    and the release transform share code by construction)."""
+    cust = _t(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(2000)).cast("long").alias(
+            "bal_bucket"
+        ),
+    ).agg(F.count("*").alias("sz"))
+    return (
+        g.groupBy(F.col("sz").cast("long").alias("group_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("sz").cast("long").alias("n_individuals"),
+        )
+    )

@@ -134,6 +134,7 @@ _WINDOW: tuple[str, ...] = (
     "supplier_part_variety",
     "excess_shipment_suppliers",
     "minhash_jaccard_calibration",
+    "k_anonymity_profile",
     # least-recently verified (external green row last held in round 2)
     "part_supplier_revenue",
     "distinct_count",
@@ -149,7 +150,6 @@ _WINDOW: tuple[str, ...] = (
     "daily_rollup",
     "grouped_collect",
     "join_salted",
-    "map_funcs",
     # next-least-recently verified (last external row round 4)
     "dedup_exact_norm",
 )

@@ -82,7 +82,7 @@ def test_driver_window_composition_pinned():
         # round-8 late batch: the remaining TPC-H subquery shapes
         "min_cost_supplier", "important_nation_value",
         "supplier_part_variety", "excess_shipment_suppliers",
-        "minhash_jaccard_calibration",
+        "minhash_jaccard_calibration", "k_anonymity_profile",
     }
     assert rotated_in_r8 <= set(window)
     # every query OUTSIDE the window must already hold an external green

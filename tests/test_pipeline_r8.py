@@ -504,3 +504,29 @@ def test_minhash_calibration_invariants_on_real_data(spark, specs):
         assert r.sum_inter <= r.sum_union
         assert 0.0 < r.micro_jaccard <= 1.0
         assert abs(r.est_jaccard - r.agree_cnt / 32.0) < 1e-12
+
+
+# --- k-anonymity profile -----------------------------------------------------
+
+
+def test_k_anonymity_profile_planted_histogram(spark, specs, tmp_path_factory):
+    # QI = (segment, nation, floor(acctbal/2000)): customers 1-3 share one
+    # QI tuple (sizes 3), customers 4-5 share another (size 2), customer 6
+    # is unique — and 7 differs from 6 ONLY by crossing the 2000 balance
+    # band (1999.99 vs 2000.0), so banding must separate them.
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 100.0, "AUTO"), (2, "b", 0, 150.0, "AUTO"),
+         (3, "c", 0, 1999.99, "AUTO"), (4, "d", 1, 2500.0, "AUTO"),
+         (5, "e", 1, 3999.0, "AUTO"), (6, "f", 2, 2000.0, "HOUSE"),
+         (7, "g", 2, 1999.99, "HOUSE")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "kanon", {"customer": cust})
+    rows = sorted(
+        specs["k_anonymity_profile"].fn(spark, sf).collect(),
+        key=lambda r: r.group_size,
+    )
+    assert [(r.group_size, r.n_groups, r.n_individuals) for r in rows] == [
+        (1, 2, 2), (2, 1, 2), (3, 1, 3),
+    ]

@@ -240,6 +240,8 @@ WINDOW_SHUFFLE_BUDGET = {
     # shares the minhash gram subtree (cache-state-dependent count, like
     # the dedup_minhash_* siblings) — structural coverage only
     "minhash_jaccard_calibration": None,
+    # privacy census: QI-grain agg + group-size-grain re-agg
+    "k_anonymity_profile": 2,
     "part_supplier_revenue": 1, "distinct_count": 2, "having_filter": 1,
     "set_ops": 2, "grouped_count_salted": 2, "running_total": 1,
     "event_funnel_windowed": 1, "cube_segment_priority": 1,
