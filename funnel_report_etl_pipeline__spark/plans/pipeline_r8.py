@@ -1270,3 +1270,113 @@ def k_anonymity_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sz").cast("long").alias("n_individuals"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 + Q12 shapes: the last two of the 22 — the registry now carries
+# every TPC-H query shape adapted to the testdata's columns.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount > CAST(0.045 AS DOUBLE)
+      AND l_discount < CAST(0.075 AS DOUBLE)
+      AND l_quantity < 24
+    """,
+    tags=("pipeline-r8", "relational", "scan"),
+    bench=True,
+)
+def forecast_revenue_change_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): revenue that would
+    have been gained by eliminating mid-band discounts on
+    small-quantity lines in one ship year. The canonical
+    pushdown-or-bust query: ALL three predicates (timestamp range,
+    discount band, quantity cap) push to the parquet scan as min/max
+    row-group prunes, and the plan is a single map-side partial sum —
+    zero hash exchanges, one 1-row gather. At 100 TB this reads only the
+    row groups whose shipdate stats overlap 1996, i.e. ~1/7 of the
+    corpus before a single row is materialized. The discount band uses
+    open midpoint thresholds (0.045/0.075) so no stored value (0.01
+    grid) sits near a comparison boundary; revenue accumulates in
+    decimal(22,4) after the one IEEE multiply both engines round
+    identically. Selectivity checked at every SF: 152/6k rows at
+    sf0.001, 1.25k/60k at 0.01, 12.2k/600k at 0.1."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") > 0.045)
+            & (F.col("l_discount") < 0.075)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            (F.col("l_extendedprice") * F.col("l_discount"))
+            .cast("decimal(22,4)")
+            .alias("__v")
+        )
+        .agg(
+            F.sum("__v").cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "shipping_class_priority",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY ship_class
+    """,
+    tags=("pipeline-r8", "relational", "join"),
+    bench=True,
+)
+def shipping_class_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority), adapted: the
+    testdata's lineitem has no l_shipmode / commit / receipt dates
+    (noted like the Q21 adaptation), so the shipping class is
+    l_returnflag with the classic two-member IN-list, and the
+    late-delivery predicate becomes a ship-year range. Structure is
+    preserved exactly: fact-fact equi-join, IN-list + date range pushed
+    to the lineitem scan, then a low-cardinality group with TWO
+    conditional counts splitting the priority domain (URGENT/HIGH vs
+    the rest). Plan: the lineitem side arrives ~10%-filtered, both
+    facts shuffle once on orderkey (no broadcast hint — both sides
+    scale with the corpus, AQE may still pick one at toy SF), and the
+    2-group final agg is map-side-combined. Counting only — every value
+    integer-exact on any partitioning."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )

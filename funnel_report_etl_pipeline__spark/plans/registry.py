@@ -135,6 +135,10 @@ _WINDOW: tuple[str, ...] = (
     "excess_shipment_suppliers",
     "minhash_jaccard_calibration",
     "k_anonymity_profile",
+    # round-8 final batch: Q6 + Q12 — the registry now carries all 22
+    # TPC-H query shapes
+    "forecast_revenue_change",
+    "shipping_class_priority",
     # least-recently verified (external green row last held in round 2)
     "part_supplier_revenue",
     "distinct_count",
@@ -147,8 +151,6 @@ _WINDOW: tuple[str, ...] = (
     "string_funcs",
     "date_parts",
     "unpivot_part_measures",
-    "daily_rollup",
-    "grouped_collect",
     "join_salted",
     # next-least-recently verified (last external row round 4)
     "dedup_exact_norm",

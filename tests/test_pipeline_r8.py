@@ -530,3 +530,58 @@ def test_k_anonymity_profile_planted_histogram(spark, specs, tmp_path_factory):
     assert [(r.group_size, r.n_groups, r.n_individuals) for r in rows] == [
         (1, 2, 2), (2, 1, 2), (3, 1, 3),
     ]
+
+
+# --- Q6 + Q12 shapes --------------------------------------------------------
+
+
+def test_forecast_revenue_change_planted(spark, specs, tmp_path_factory):
+    # Only line 1 passes all three predicates (1996 ship year, discount
+    # 0.05-0.07 band, qty < 24): revenue = 1000 * 0.06 = 60. Line 2 fails
+    # the discount band (0.04), line 3 the quantity cap (24 is NOT < 24),
+    # line 4 the ship year, line 5 the band's upper edge (0.08).
+    def l(ok, qty, price, disc, year):
+        return (ok, 1, 1, 1, qty, price, disc, 0.0, "N", "O",
+                datetime(year, 6, 15))
+
+    li = _li(spark, [
+        l(1, 10.0, 1000.0, 0.06, 1996),
+        l(2, 10.0, 1000.0, 0.04, 1996),
+        l(3, 24.0, 1000.0, 0.06, 1996),
+        l(4, 10.0, 1000.0, 0.06, 1997),
+        l(5, 10.0, 1000.0, 0.08, 1996),
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "q6", {"lineitem": li})
+    rows = specs["forecast_revenue_change"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0].n_lines == 1
+    assert abs(rows[0].revenue - 60.0) < 1e-9
+
+
+def test_shipping_class_priority_planted(spark, specs, tmp_path_factory):
+    # Class A: one URGENT line + one LOW line -> (1, 1). Class R: two
+    # lines of one HIGH order -> (2, 0) (line grain, not order grain).
+    # Class N excluded by the IN-list; the 1997 'A' line by the date
+    # range — either leaking would disturb class A's counts.
+    def l(ok, flag, year):
+        return (ok, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, flag, "O",
+                datetime(year, 3, 1))
+
+    li = _li(spark, [
+        l(1, "A", 1998), l(2, "A", 1998), l(3, "R", 1998),
+        l(3, "R", 1998), l(1, "N", 1998), l(1, "A", 1997),
+    ])
+    orders = _orders(spark, [
+        (1, 1, "O", 0.0, datetime(1998, 1, 1), "1-URGENT"),
+        (2, 1, "O", 0.0, datetime(1998, 1, 1), "5-LOW"),
+        (3, 1, "O", 0.0, datetime(1998, 1, 1), "2-HIGH"),
+    ])
+    sf = _write_sf(
+        spark, tmp_path_factory, "q12", {"lineitem": li, "orders": orders}
+    )
+    rows = sorted(
+        specs["shipping_class_priority"].fn(spark, sf).collect(),
+        key=lambda r: r.ship_class,
+    )
+    assert [(r.ship_class, r.high_line_count, r.low_line_count)
+            for r in rows] == [("A", 1, 1), ("R", 2, 0)]

@@ -242,6 +242,13 @@ WINDOW_SHUFFLE_BUDGET = {
     "minhash_jaccard_calibration": None,
     # privacy census: QI-grain agg + group-size-grain re-agg
     "k_anonymity_profile": 2,
+    # Q6: all predicates pushed to the scan, map-side 1-row sum — the
+    # registry's canonical zero-exchange fact query
+    "forecast_revenue_change": 0,
+    # Q12: one fact-fact orderkey exchange at pin scale (AQE broadcasts
+    # the ~10%-filtered lineitem side at toy SF); headroom for the
+    # full shuffle-join + group-agg path at scale
+    "shipping_class_priority": 2,
     "part_supplier_revenue": 1, "distinct_count": 2, "having_filter": 1,
     "set_ops": 2, "grouped_count_salted": 2, "running_total": 1,
     "event_funnel_windowed": 1, "cube_segment_priority": 1,
@@ -371,6 +378,8 @@ def test_no_broadcast_hint_on_fact_derived_frames(spark):
         # round-8 late batch (Q2/Q11/Q16/Q20 shapes)
         "min_cost_supplier", "important_nation_value",
         "supplier_part_variety", "excess_shipment_suppliers",
+        # round-8 final batch (Q12 shape; Q6 joins nothing)
+        "shipping_class_priority",
     ):
         lines = logical_of(spark, name).splitlines()
         for i, line in enumerate(lines):
