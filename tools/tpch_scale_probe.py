@@ -46,6 +46,9 @@ QUERIES = (
     "important_nation_value",
     "supplier_part_variety",
     "excess_shipment_suppliers",
+    # round-8 final batch (Q6 pushdown scan, Q12 fact-fact join)
+    "forecast_revenue_change",
+    "shipping_class_priority",
 )
 _KEY_STRIDE = 100_000_000
 
