@@ -1380,3 +1380,69 @@ def shipping_class_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "l_diversity_profile",
+    oracle="""
+    WITH qi AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey,
+             CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bucket
+      FROM customer
+    ), s AS (
+      SELECT qi.c_mktsegment, qi.c_nationkey, qi.bal_bucket,
+             COUNT(DISTINCT o.o_orderpriority) AS l_div,
+             COUNT(DISTINCT qi.c_custkey) AS n_ind
+      FROM qi JOIN orders o ON o.o_custkey = qi.c_custkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(l_div AS BIGINT) AS l_diversity,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_ind) AS BIGINT) AS n_individuals
+    FROM s GROUP BY l_div
+    """,
+    tags=("pipeline-r8", "privacy", "audit", "join"),
+    bench=True,
+)
+def l_diversity_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity profile — the second half of the privacy audit that
+    [[k_anonymity_profile]] starts: k-anonymity alone is defeated by a
+    homogeneity attack (a group of 50 indistinguishable people whose
+    sensitive value is IDENTICAL still leaks it), so for each
+    quasi-identifier group (same generalization: segment, nation,
+    balance band) count the DISTINCT sensitive values observed among its
+    members' orders (order priority stands in for the sensitive
+    attribute) and report the l histogram. A release targeting
+    3-diversity reads the l<3 rows as its homogeneity exposure.
+
+    100 TB shape: the orders fact joins customer once on custkey
+    (size-gated broadcast — customer grows with SF), then two stacked
+    aggs, QI grain then l grain, both map-side-combinable; the two
+    COUNT DISTINCTs share one Expand (×2 row multiplier at the pruned
+    3-column grain, not corpus grain). Counting only — integer-exact on
+    any partitioning. Customers with no orders have no observed
+    sensitive value and drop out (inner join), matching the release
+    semantics: only rows that WOULD ship can leak."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(2000)).cast("long").alias(
+            "bal_bucket"
+        ),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    grp = (
+        orders.join(
+            maybe_broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .groupBy("c_mktsegment", "c_nationkey", "bal_bucket")
+        .agg(
+            F.countDistinct("o_orderpriority").cast("long").alias("l_div"),
+            F.countDistinct("c_custkey").cast("long").alias("n_ind"),
+        )
+    )
+    return grp.groupBy(F.col("l_div").alias("l_diversity")).agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("n_ind").cast("long").alias("n_individuals"),
+    )

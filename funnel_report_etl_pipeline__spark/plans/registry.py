@@ -139,6 +139,7 @@ _WINDOW: tuple[str, ...] = (
     # TPC-H query shapes
     "forecast_revenue_change",
     "shipping_class_priority",
+    "l_diversity_profile",
     # least-recently verified (external green row last held in round 2)
     "part_supplier_revenue",
     "distinct_count",
@@ -148,7 +149,6 @@ _WINDOW: tuple[str, ...] = (
     "running_total",
     "event_funnel_windowed",
     "cube_segment_priority",
-    "string_funcs",
     "date_parts",
     "unpivot_part_measures",
     "join_salted",

@@ -83,8 +83,10 @@ def test_driver_window_composition_pinned():
         "min_cost_supplier", "important_nation_value",
         "supplier_part_variety", "excess_shipment_suppliers",
         "minhash_jaccard_calibration", "k_anonymity_profile",
-        # round-8 final batch: Q6 + Q12 complete the 22 TPC-H shapes
+        # round-8 final batch: Q6 + Q12 complete the 22 TPC-H shapes,
+        # l-diversity completes the privacy-audit pair
         "forecast_revenue_change", "shipping_class_priority",
+        "l_diversity_profile",
     }
     assert rotated_in_r8 <= set(window)
     # every query OUTSIDE the window must already hold an external green

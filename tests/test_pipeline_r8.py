@@ -585,3 +585,33 @@ def test_shipping_class_priority_planted(spark, specs, tmp_path_factory):
     )
     assert [(r.ship_class, r.high_line_count, r.low_line_count)
             for r in rows] == [("A", 1, 1), ("R", 2, 0)]
+
+
+def test_l_diversity_profile_planted_homogeneity(spark, specs, tmp_path_factory):
+    # QI group 1 = customers 1-2: orders carry ONLY 'URGENT' -> l=1 (the
+    # homogeneity leak the audit exists to surface). QI group 2 =
+    # customers 3-4: priorities {URGENT, LOW} -> l=2. Customer 5 has no
+    # orders and must drop out entirely; repeated same-priority orders
+    # (customer 1 has two URGENT) must not inflate l or n_individuals.
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 100.0, "AUTO"), (2, "b", 0, 150.0, "AUTO"),
+         (3, "c", 1, 100.0, "AUTO"), (4, "d", 1, 150.0, "AUTO"),
+         (5, "e", 2, 100.0, "HOUSE")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "1-URGENT"), (11, 1, "1-URGENT"), (12, 2, "1-URGENT"),
+         (13, 3, "1-URGENT"), (14, 4, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    sf = _write_sf(
+        spark, tmp_path_factory, "ldiv", {"customer": cust, "orders": orders}
+    )
+    rows = sorted(
+        specs["l_diversity_profile"].fn(spark, sf).collect(),
+        key=lambda r: r.l_diversity,
+    )
+    assert [(r.l_diversity, r.n_groups, r.n_individuals) for r in rows] == [
+        (1, 1, 2), (2, 1, 2),
+    ]

@@ -249,6 +249,9 @@ WINDOW_SHUFFLE_BUDGET = {
     # the ~10%-filtered lineitem side at toy SF); headroom for the
     # full shuffle-join + group-agg path at scale
     "shipping_class_priority": 2,
+    # l-diversity: custkey join (broadcast at pin scale) + QI-grain
+    # distinct agg + l-grain histogram re-agg
+    "l_diversity_profile": 3,
     "part_supplier_revenue": 1, "distinct_count": 2, "having_filter": 1,
     "set_ops": 2, "grouped_count_salted": 2, "running_total": 1,
     "event_funnel_windowed": 1, "cube_segment_priority": 1,
