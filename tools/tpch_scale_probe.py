@@ -49,6 +49,13 @@ QUERIES = (
     # round-8 final batch (Q6 pushdown scan, Q12 fact-fact join)
     "forecast_revenue_change",
     "shipping_class_priority",
+    # the five shapes that predate the probe — included so the probe
+    # covers every TPC-H query shape in the registry
+    "pricing_summary",
+    "local_supplier_volume",
+    "customer_order_distribution",
+    "promo_revenue_pct",
+    "lapsed_highvalue_customers",
 )
 _KEY_STRIDE = 100_000_000
 
