@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from funnel_report_etl_pipeline__spark.functions.core import dsum
 from funnel_report_etl_pipeline__spark.functions.hints import maybe_broadcast
 from funnel_report_etl_pipeline__spark.operators.dedup import (
     band_buckets,
@@ -1445,4 +1446,123 @@ def l_diversity_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grp.groupBy(F.col("l_div").alias("l_diversity")).agg(
         F.count("*").cast("long").alias("n_groups"),
         F.sum("n_ind").cast("long").alias("n_individuals"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hand-rolled bloom runtime filter: prune a fact BEFORE its shuffle
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 20  # bits → 16384-long mask, 128 KiB broadcast
+BLOOM_K = 3  # hash probes per key
+
+
+def bloom_mask(keys: DataFrame, key: str, m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Distributed bloom-filter build: 1-row DataFrame ``{__mask:
+    array<bigint>}`` with bit ``pmod(xxhash64(key, seed), m)`` set for
+    every key and seed 0..k-1.
+
+    Everything runs executor-side; the only structure whose size reaches
+    one place is the mask itself, and that is bounded by ``m`` (constant
+    128 KiB at the default) NO MATTER how many keys feed it — the
+    "nothing collected scales with the corpus" invariant holds. At real
+    corpus scale, size ``m`` to the build-side row estimate exactly the
+    way Spark's own InjectRuntimeFilter sizes its bloom creation
+    aggregate; a saturated undersized mask only costs prune selectivity
+    (false positives pass), never correctness."""
+    n_words = m // 64
+    probes = ", ".join(f"pmod(xxhash64({key}, {i}), {m})" for i in range(k))
+    words = (
+        keys.selectExpr(f"explode(array({probes})) AS pos")
+        .selectExpr(
+            "CAST(shiftright(pos, 6) AS BIGINT) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS bit",
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("word")))
+        ).alias("wm")
+    ).selectExpr(
+        f"transform(sequence(CAST(0 AS BIGINT), CAST({n_words - 1} AS BIGINT)),"
+        " i -> coalesce(try_element_at(wm, i), CAST(0 AS BIGINT))) AS __mask"
+    )
+
+
+def bloom_member_cond(key: str, m: int = BLOOM_M, k: int = BLOOM_K):
+    """Membership predicate against a crossJoin-ed ``__mask`` column:
+    AND over the k probe bits. Pure JVM expressions (xxhash64 /
+    shiftright / element_at) — stays inside whole-stage codegen."""
+    cond = F.lit(True)
+    for i in range(k):
+        pos = f"pmod(xxhash64({key}, {i}), {m})"
+        probe = F.expr(
+            f"(try_element_at(__mask, CAST(shiftright({pos}, 6) AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0"
+        )
+        cond = cond & probe
+    return cond
+
+
+@register(
+    "bloom_prefilter_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    tags=("pipeline-r8", "relational", "join", "runtime-filter"),
+    bench=True,
+)
+def bloom_prefilter_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order revenue by return flag, with the lineitem side pruned
+    by a hand-rolled bloom runtime filter BEFORE its join exchange — the
+    InjectRuntimeFilter pattern made explicit for build sides derived
+    from a filter/aggregate, where Catalyst's own injection (which keys
+    off scan-level selectivity estimates) may decline to fire.
+
+    Plan: the ~20%-selective urgent keyset feeds `bloom_mask` (m-bounded
+    128 KiB build, executor-side); lineitem crossJoins the 1-row mask
+    (BroadcastNestedLoopJoin over ONE row — free) and keeps only rows
+    whose 3 probe bits are all set, so the orderkey exchange that feeds
+    the exact join carries ~20% of the fact instead of all of it. The
+    exact inner join downstream makes false positives invisible to the
+    result — the oracle is the PLAIN join, and the green hash row is the
+    proof the prune is sound. The final join is unhinted (both sides are
+    fact-derived; AQE broadcasts at gate scale, shuffles at corpus
+    scale), and the revenue sum is decimal-exact (`dsum`) so the value
+    hash is partitioning-independent.
+
+    100 TB posture: prune selectivity = build selectivity + FP rate;
+    with m sized to the build estimate (see `bloom_mask`), the pattern
+    cuts the dominant fact shuffle by the filter's selectivity for the
+    cost of one 128 KiB broadcast and k codegen'd probes per row.
+    Beyond-reference (the reference has no relational engine)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    mask = bloom_mask(urgent, "o_orderkey")
+    pruned = (
+        li.select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+        .crossJoin(F.broadcast(mask))
+        .filter(bloom_member_cond("l_orderkey"))
+        .drop("__mask")
+    )
+    return (
+        pruned.join(urgent, pruned.l_orderkey == urgent.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("revenue"),
+        )
     )

@@ -140,6 +140,7 @@ _WINDOW: tuple[str, ...] = (
     "forecast_revenue_change",
     "shipping_class_priority",
     "l_diversity_profile",
+    "bloom_prefilter_join",
     # least-recently verified (external green row last held in round 2)
     "part_supplier_revenue",
     "distinct_count",
@@ -149,7 +150,6 @@ _WINDOW: tuple[str, ...] = (
     "running_total",
     "event_funnel_windowed",
     "cube_segment_priority",
-    "date_parts",
     "unpivot_part_measures",
     "join_salted",
     # next-least-recently verified (last external row round 4)

@@ -87,6 +87,8 @@ def test_driver_window_composition_pinned():
         # l-diversity completes the privacy-audit pair
         "forecast_revenue_change", "shipping_class_priority",
         "l_diversity_profile",
+        # round-8 close: the hand-rolled bloom runtime-filter prune
+        "bloom_prefilter_join",
     }
     assert rotated_in_r8 <= set(window)
     # every query OUTSIDE the window must already hold an external green

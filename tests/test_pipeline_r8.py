@@ -615,3 +615,83 @@ def test_l_diversity_profile_planted_homogeneity(spark, specs, tmp_path_factory)
     assert [(r.l_diversity, r.n_groups, r.n_individuals) for r in rows] == [
         (1, 1, 2), (2, 1, 2),
     ]
+
+
+# --- bloom runtime-filter prune --------------------------------------------
+
+
+def _bloom_fixture(spark, tmp_path_factory):
+    dt = datetime(2024, 3, 1)
+    orders = _orders(
+        spark,
+        [
+            (k, 100 + k, "O", 1000.0, dt,
+             "1-URGENT" if k % 3 == 0 else "5-LOW")
+            for k in range(1, 13)
+        ],
+    )
+    li = _li(
+        spark,
+        [
+            (k, 1, 1, j, 5.0, 100.0 * k, 0.1, 0.0, "A" if j == 1 else "R",
+             "O", dt)
+            for k in range(1, 13)
+            for j in (1, 2)
+        ],
+    )
+    return _write_sf(spark, tmp_path_factory, "bloomfx", {
+        "orders": orders, "lineitem": li,
+    })
+
+
+def test_bloom_prefilter_join_matches_plain_join(spark, specs, tmp_path_factory):
+    """The registered bloom-pruned plan must equal the plain exact join —
+    false positives are invisible (killed by the downstream join), false
+    negatives would LOSE rows and are the failure this test plants for."""
+    sf = _bloom_fixture(spark, tmp_path_factory)
+    got = {
+        r["l_returnflag"]: (r["n_lines"], r["revenue"])
+        for r in specs["bloom_prefilter_join"].fn(spark, sf).collect()
+    }
+    # urgent orderkeys are 3,6,9,12 → 4 orders × 1 line per flag;
+    # revenue = sum(100k * 0.9) over k in {3,6,9,12} = 2700.0 per flag
+    assert got == {"A": (4, 2700.0), "R": (4, 2700.0)}
+
+
+def test_bloom_prune_no_false_negatives_and_bites(spark, specs, tmp_path_factory):
+    from funnel_report_etl_pipeline__spark.plans.pipeline_r8 import (
+        bloom_mask,
+        bloom_member_cond,
+    )
+
+    sf = _bloom_fixture(spark, tmp_path_factory)
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    mask = bloom_mask(urgent, "o_orderkey")
+    kept = {
+        r["l_orderkey"]
+        for r in li.crossJoin(F.broadcast(mask))
+        .filter(bloom_member_cond("l_orderkey"))
+        .select("l_orderkey")
+        .distinct()
+        .collect()
+    }
+    truth = {r["o_orderkey"] for r in urgent.collect()}
+    assert truth <= kept, "bloom dropped a genuinely matching key"
+    # at 4 keys against a 2^20-bit mask the FP odds are ~(12/2^20*3)^3 per
+    # probe set — the prune must visibly bite on the 12-key fact
+    assert len(kept) < 12
+
+
+def test_bloom_mask_size_is_m_bounded_not_key_bounded(spark):
+    from funnel_report_etl_pipeline__spark.plans.pipeline_r8 import (
+        BLOOM_M,
+        bloom_mask,
+    )
+
+    keys = spark.range(0, 5000).withColumnRenamed("id", "k")
+    row = bloom_mask(keys, "k").collect()[0]
+    assert len(row["__mask"]) == BLOOM_M // 64  # 16384 words, 128 KiB

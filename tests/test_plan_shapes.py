@@ -252,6 +252,10 @@ WINDOW_SHUFFLE_BUDGET = {
     # l-diversity: custkey join (broadcast at pin scale) + QI-grain
     # distinct agg + l-grain histogram re-agg
     "l_diversity_profile": 3,
+    # bloom runtime filter: word-grain mask-build agg + final returnflag
+    # agg; the mask reaches lineitem via a 1-row BroadcastNestedLoopJoin
+    # and the SinglePartition mask collapse doesn't hash-partition
+    "bloom_prefilter_join": 2,
     "part_supplier_revenue": 1, "distinct_count": 2, "having_filter": 1,
     "set_ops": 2, "grouped_count_salted": 2, "running_total": 1,
     "event_funnel_windowed": 1, "cube_segment_priority": 1,
