@@ -1576,3 +1576,69 @@ def bloom_prefilter_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (priority sampling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS weight,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS u
+      FROM documents
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY CAST(u AS DOUBLE) / CAST(weight AS DOUBLE), doc_id)
+           AS BIGINT) AS rnk,
+           doc_id, weight,
+           CAST(u AS DOUBLE) / CAST(weight AS DOUBLE) AS priority
+    FROM p
+    ORDER BY priority, doc_id
+    LIMIT 64
+    """,
+    tags=("pipeline-r8", "sampling", "topk"),
+    bench=True,
+)
+def weighted_reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-biased sample WITHOUT replacement via priority sampling
+    (Duffield–Lund–Thorup): each doc gets priority u/w where u is a
+    uniform 52-bit md5-derived integer and w its weight (chars here —
+    stand-in for a quality score), and the sample is the k smallest
+    priorities. Longer/higher-quality docs draw proportionally more
+    often, no element twice, and the scheme supports unbiased
+    subset-sum estimation — the curation primitive behind
+    quality-weighted training-subset selection.
+
+    Engine-exactness: u uses 13 hex chars (52 bits), exactly
+    representable as a double, and priority is ONE IEEE division —
+    correctly rounded, so both engines order identically (doc_id
+    tiebreak regardless). 100 TB shape: `orderBy().limit(k)` plans as
+    TakeOrderedAndProject — a bounded per-partition heap, merged on the
+    driver; no global sort, no corpus-grain window (the rnk window runs
+    over the 64 already-selected rows). Beyond-reference."""
+    docs = _t(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    w = F.length("text").cast("long")
+    picked = (
+        docs.select(
+            F.col("doc_id"),
+            w.alias("weight"),
+            (u.cast("double") / w.cast("double")).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(64)
+    )
+    rnk_w = Window.orderBy("priority", "doc_id")  # 64 constant rows post-limit
+    return picked.select(
+        F.row_number().over(rnk_w).cast("long").alias("rnk"),
+        "doc_id",
+        "weight",
+        "priority",
+    )

@@ -141,6 +141,7 @@ _WINDOW: tuple[str, ...] = (
     "shipping_class_priority",
     "l_diversity_profile",
     "bloom_prefilter_join",
+    "weighted_reservoir_sample",
     # least-recently verified (external green row last held in round 2)
     "part_supplier_revenue",
     "distinct_count",
@@ -150,7 +151,6 @@ _WINDOW: tuple[str, ...] = (
     "running_total",
     "event_funnel_windowed",
     "cube_segment_priority",
-    "unpivot_part_measures",
     "join_salted",
     # next-least-recently verified (last external row round 4)
     "dedup_exact_norm",

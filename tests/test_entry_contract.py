@@ -87,8 +87,10 @@ def test_driver_window_composition_pinned():
         # l-diversity completes the privacy-audit pair
         "forecast_revenue_change", "shipping_class_priority",
         "l_diversity_profile",
-        # round-8 close: the hand-rolled bloom runtime-filter prune
+        # round-8 close: the hand-rolled bloom runtime-filter prune and
+        # the priority-sampling weighted reservoir
         "bloom_prefilter_join",
+        "weighted_reservoir_sample",
     }
     assert rotated_in_r8 <= set(window)
     # every query OUTSIDE the window must already hold an external green

@@ -695,3 +695,42 @@ def test_bloom_mask_size_is_m_bounded_not_key_bounded(spark):
     keys = spark.range(0, 5000).withColumnRenamed("id", "k")
     row = bloom_mask(keys, "k").collect()[0]
     assert len(row["__mask"]) == BLOOM_M // 64  # 16384 words, 128 KiB
+
+
+# --- weighted reservoir (priority) sampling --------------------------------
+
+
+def test_weighted_reservoir_sample_matches_python_priorities(
+    spark, specs, tmp_path_factory
+):
+    """Priority = md5_52bit(doc_id)/len(text) must reproduce the Python
+    float computation exactly (52-bit u is an exact double; one IEEE
+    division) — and the plan must stay a TakeOrderedAndProject, not a
+    global sort or corpus-grain window."""
+    import hashlib
+
+    texts = {i: "x" * (10 * i + 3) for i in range(1, 11)}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    sf = _write_sf(spark, tmp_path_factory, "wrsfx", {"documents": docs})
+    rows = specs["weighted_reservoir_sample"].fn(spark, sf).collect()
+
+    def prio(i):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        return u / len(texts[i])
+
+    expect = sorted(texts, key=lambda i: (prio(i), i))
+    assert [r["doc_id"] for r in rows] == expect
+    assert [r["rnk"] for r in rows] == list(range(1, 11))
+    assert all(r["priority"] == prio(r["doc_id"]) for r in rows)
+    assert all(r["weight"] == len(texts[r["doc_id"]]) for r in rows)
+
+    plan = (
+        specs["weighted_reservoir_sample"]
+        .fn(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

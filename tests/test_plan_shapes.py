@@ -256,6 +256,9 @@ WINDOW_SHUFFLE_BUDGET = {
     # agg; the mask reaches lineitem via a 1-row BroadcastNestedLoopJoin
     # and the SinglePartition mask collapse doesn't hash-partition
     "bloom_prefilter_join": 2,
+    # priority sampling: TakeOrderedAndProject + 64-row rnk window — no
+    # hash exchange anywhere
+    "weighted_reservoir_sample": 0,
     "part_supplier_revenue": 1, "distinct_count": 2, "having_filter": 1,
     "set_ops": 2, "grouped_count_salted": 2, "running_total": 1,
     "event_funnel_windowed": 1, "cube_segment_priority": 1,
