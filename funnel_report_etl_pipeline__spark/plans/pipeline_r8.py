@@ -1642,3 +1642,500 @@ def weighted_reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         "priority",
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy triad completion: t-closeness profile (k-anonymity -> l-diversity
+# -> t-closeness is the canonical escalation; the first two are above)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_closeness_profile",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment, c.c_nationkey,
+             CAST(FLOOR(c.c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+             c.c_custkey, o.o_orderpriority
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    gv AS (
+      SELECT c_mktsegment, c_nationkey, bal_bucket, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_gv
+      FROM j GROUP BY 1, 2, 3, 4
+    ),
+    v AS (SELECT o_orderpriority, CAST(SUM(n_gv) AS BIGINT) AS n_v
+          FROM gv GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n FROM v),
+    gsize AS (
+      SELECT c_mktsegment, c_nationkey, bal_bucket,
+             CAST(SUM(n_gv) AS BIGINT) AS n_g
+      FROM gv GROUP BY 1, 2, 3
+    ),
+    ind AS (
+      SELECT c_mktsegment, c_nationkey, bal_bucket,
+             CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_ind
+      FROM j GROUP BY 1, 2, 3
+    ),
+    tg AS (
+      SELECT gv.c_mktsegment, gv.c_nationkey, gv.bal_bucket,
+             gsize.n_g, tot.n,
+             CAST(SUM(ABS(gv.n_gv * tot.n - v.n_v * gsize.n_g)) AS BIGINT)
+               AS s_abs,
+             CAST(SUM(v.n_v) AS BIGINT) AS s_nv
+      FROM gv
+      JOIN v USING (o_orderpriority)
+      JOIN gsize USING (c_mktsegment, c_nationkey, bal_bucket)
+      CROSS JOIN tot
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    tvals AS (
+      SELECT c_mktsegment, c_nationkey, bal_bucket,
+             CAST(s_abs + n_g * (n - s_nv) AS DOUBLE)
+               / CAST(2 * n_g * n AS DOUBLE) AS t
+      FROM tg
+    )
+    SELECT CAST(FLOOR(t * 20.0) AS BIGINT) AS t_band,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(ind.n_ind) AS BIGINT) AS n_individuals
+    FROM tvals
+    JOIN ind USING (c_mktsegment, c_nationkey, bal_bucket)
+    GROUP BY t_band
+    """,
+    tags=("pipeline-r8", "privacy", "audit", "join"),
+    bench=True,
+)
+def t_closeness_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness profile — the third rung of the privacy-audit ladder
+    after [[k_anonymity_profile]] and [[l_diversity_profile]]: l-diversity
+    is defeated by a SKEWNESS attack (a group whose sensitive values are
+    diverse but distributed very differently from the corpus still leaks —
+    e.g. 90% URGENT where the corpus runs 20%), so for each
+    quasi-identifier group (same generalization: segment, nation, balance
+    band) measure the distance between the group's sensitive-value
+    distribution and the global one.  For a categorical attribute with
+    uniform ground distance the Earth Mover's Distance reduces to total
+    variation: t = 1/2 * sum_v |p_v(group) - p_v(global)|.  Report the
+    t histogram in 0.05-wide bands: a release targeting t-closeness 0.2
+    reads bands >= 4 as its skew exposure.
+
+    Cross-engine exactness: the sum runs entirely on INTEGERS —
+    |n_gv*N - n_v*n_g| with the absent-value mass folded in as
+    n_g*(N - sum_present(n_v)) — and only the final t divides (one IEEE
+    division, correctly rounded in both engines), so the value-hash
+    holds on any partitioning.  At this SF the products are bounded by
+    n_g*N < 2^63; past N ~ 3e9 rows switch the two products to
+    DECIMAL(38,0) (both engines exact) — noted rather than done because
+    the bigint path is what DuckDB replays bit-for-bit here.
+
+    100 TB shape: orders joins customer once (size-gated broadcast),
+    then every frame is group-grain or smaller: gv is (QI x 5
+    priorities), v is 5 rows and n one row (both bounded by the
+    sensitive DOMAIN, not the corpus — broadcasting them is scale-safe),
+    and the gv -> gsize -> tg chain re-aggregates the same QI keys so
+    the exchanges are QI-cardinality-sized.  Output is the band
+    histogram: <= 21 rows, never corpus-grain."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(2000)).cast("long").alias("bal_bucket"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    qi = ["c_mktsegment", "c_nationkey", "bal_bucket"]
+    j = orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+    gv = j.groupBy(*qi, "o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_gv")
+    )
+    v = gv.groupBy("o_orderpriority").agg(
+        F.sum("n_gv").cast("long").alias("n_v")
+    )
+    tot = v.agg(F.sum("n_v").cast("long").alias("n"))
+    gsize = gv.groupBy(*qi).agg(F.sum("n_gv").cast("long").alias("n_g"))
+    ind = j.groupBy(*qi).agg(
+        F.countDistinct("c_custkey").cast("long").alias("n_ind")
+    )
+    # v has <= |priority domain| = 5 rows and tot exactly 1: bounded by the
+    # attribute domain, not the corpus, so the broadcasts never outgrow it
+    terms = (
+        gv.join(F.broadcast(v), "o_orderpriority")
+        .join(gsize, qi)
+        .crossJoin(F.broadcast(tot))
+    )
+    tg = terms.groupBy(*qi, "n_g", "n").agg(
+        F.sum(
+            F.abs(F.col("n_gv") * F.col("n") - F.col("n_v") * F.col("n_g"))
+        )
+        .cast("long")
+        .alias("s_abs"),
+        F.sum("n_v").cast("long").alias("s_nv"),
+    )
+    tvals = tg.select(
+        *qi,
+        (
+            (F.col("s_abs") + F.col("n_g") * (F.col("n") - F.col("s_nv")))
+            .cast("double")
+            / (F.lit(2) * F.col("n_g") * F.col("n")).cast("double")
+        ).alias("t"),
+    )
+    return (
+        tvals.join(ind, qi)
+        .groupBy(F.floor(F.col("t") * F.lit(20.0)).cast("long").alias("t_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("n_ind").cast("long").alias("n_individuals"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: point-estimate calibration (sketch family, after
+# minhash_jaccard_calibration's pattern — the approximate structure and its
+# exact ground truth in one verified frame)
+# ---------------------------------------------------------------------------
+
+CMS_W = 8192  # buckets per row
+CMS_D = 3  # hash rows
+CMS_PROBE_MAX = 20  # probe partkeys 0..19 (present at every SF)
+
+
+def _cms_bucket_spark(col, seed: int):
+    """md5-derived bucket for one sketch row: 60 deterministic hash bits,
+    reduced mod CMS_W — same value DuckDB computes from the same string."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % CMS_W
+
+
+@register(
+    "cms_frequency_calibration",
+    oracle=f"""
+    WITH sk AS (
+      SELECT s.s AS seed,
+             CAST(('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' ||
+                                      CAST(l_partkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {CMS_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem CROSS JOIN (SELECT unnest([0, 1, 2]) AS s) s
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT DISTINCT l_partkey AS probe_key FROM lineitem
+      WHERE l_partkey < {CMS_PROBE_MAX}
+    ),
+    est AS (
+      SELECT p.probe_key, CAST(MIN(sk.cnt) AS BIGINT) AS est_count
+      FROM probes p
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS s) s
+      JOIN sk ON sk.seed = s.s
+             AND sk.bucket = CAST(('0x' || substr(md5(CAST(s.s AS VARCHAR)
+                                  || ':' || CAST(p.probe_key AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % {CMS_W}
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT l_partkey AS probe_key, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM lineitem WHERE l_partkey < {CMS_PROBE_MAX} GROUP BY 1
+    )
+    SELECT e.probe_key, x.exact_count, e.est_count,
+           CAST(e.est_count - x.exact_count AS BIGINT) AS overcount
+    FROM est e JOIN exact x USING (probe_key)
+    ORDER BY probe_key
+    """,
+    tags=("pipeline-r8", "sketch", "audit"),
+    bench=True,
+)
+def cms_frequency_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, calibrated against exact
+    counts — the constant-memory answer to "how often does key X occur in
+    a 100 TB stream" that [[minhash_jaccard_calibration]]'s pattern
+    applies to frequencies: build the approximate structure AND its exact
+    ground truth in one frame, so the sketch's guarantee (est >= exact,
+    overcount ~ N*e/w per row, minimized over d independent rows) is
+    value-hash-verified rather than asserted.  A φN heavy-hitter readout
+    at scale keeps the same sketch and thresholds est at φN; the probe
+    set here is partkeys 0..19 (present at every SF) so the output stays
+    a fixed 20-row calibration table.
+
+    Determinism: bucket = md5("seed:key") -> 60-bit int mod 8192 — the
+    registry's standard engine-portable hash (no xxhash: DuckDB can't
+    reproduce Spark's seed mixing) — and every value is an integer
+    count; no floats anywhere.
+
+    100 TB shape: the sketch build is ONE map-side-combinable groupBy
+    whose grain is (d x w) = 24576 CONSTANT rows — each task emits at
+    most d*w partial counters no matter how many rows it scans, exactly
+    the sketch's memory contract; the d-per-key explode multiplies rows
+    3x before the partial agg but never reaches the exchange at corpus
+    grain.  The probe stage joins a fixed key list against the
+    broadcast-sized sketch (24k rows, corpus-independent).  The only
+    corpus-sized exchange is... none: lineitem is scanned twice (sketch
+    + exact), both aggregating into bounded frames."""
+    li = _t(spark, sf_dir, "lineitem")
+    seeds = F.array(*[F.lit(s) for s in range(CMS_D)])
+    exploded = li.select(
+        F.col("l_partkey"), F.explode(seeds).alias("seed")
+    )
+    bucket = F.when(F.col("seed") == 0, _cms_bucket_spark(F.col("l_partkey"), 0))
+    for s in range(1, CMS_D):
+        bucket = bucket.when(
+            F.col("seed") == s, _cms_bucket_spark(F.col("l_partkey"), s)
+        )
+    sketch = (
+        exploded.select("seed", bucket.alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    probes = (
+        li.filter(F.col("l_partkey") < CMS_PROBE_MAX)
+        .select(F.col("l_partkey").alias("probe_key"))
+        .distinct()
+    )
+    probe_rows = probes.select(
+        "probe_key", F.explode(seeds).alias("seed")
+    )
+    pbucket = F.when(
+        F.col("seed") == 0, _cms_bucket_spark(F.col("probe_key"), 0)
+    )
+    for s in range(1, CMS_D):
+        pbucket = pbucket.when(
+            F.col("seed") == s, _cms_bucket_spark(F.col("probe_key"), s)
+        )
+    est = (
+        probe_rows.select("probe_key", "seed", pbucket.alias("bucket"))
+        # the sketch is (d x w)-bounded — 24k rows whatever the corpus —
+        # so broadcasting it is the scale-safe direction
+        .join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("probe_key")
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )
+    exact = (
+        li.filter(F.col("l_partkey") < CMS_PROBE_MAX)
+        .groupBy(F.col("l_partkey").alias("probe_key"))
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "probe_key")
+        .select(
+            "probe_key",
+            "exact_count",
+            "est_count",
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy("probe_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B statistics: two-proportion z-test (weekend vs weekday purchase rate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conversion_lift_ztest",
+    oracle="""
+    WITH c AS (
+      SELECT
+        CAST(COUNT(*) FILTER (WHERE isodow(ts) >= 6) AS BIGINT) AS n_weekend,
+        CAST(COUNT(*) FILTER (WHERE isodow(ts) >= 6
+                              AND event_type = 'purchase') AS BIGINT)
+          AS x_weekend,
+        CAST(COUNT(*) FILTER (WHERE isodow(ts) < 6) AS BIGINT) AS n_weekday,
+        CAST(COUNT(*) FILTER (WHERE isodow(ts) < 6
+                              AND event_type = 'purchase') AS BIGINT)
+          AS x_weekday
+      FROM events
+    ),
+    p AS (
+      SELECT *,
+        CAST(x_weekend AS DOUBLE) / CAST(n_weekend AS DOUBLE) AS rate_weekend,
+        CAST(x_weekday AS DOUBLE) / CAST(n_weekday AS DOUBLE) AS rate_weekday,
+        CAST(x_weekend + x_weekday AS DOUBLE)
+          / CAST(n_weekend + n_weekday AS DOUBLE) AS pooled
+      FROM c
+    )
+    SELECT n_weekend, x_weekend, n_weekday, x_weekday,
+           rate_weekend, rate_weekday,
+           rate_weekend - rate_weekday AS lift,
+           (rate_weekend - rate_weekday)
+             / sqrt((pooled * (1.0 - pooled))
+                    * ((1.0 / CAST(n_weekend AS DOUBLE))
+                       + (1.0 / CAST(n_weekday AS DOUBLE)))) AS z_score
+    FROM p
+    """,
+    tags=("pipeline-r8", "stats", "audit"),
+    bench=True,
+)
+def conversion_lift_ztest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: is the weekend purchase RATE different from
+    the weekday one?  The significance gate every experimentation / data-
+    mix decision runs before acting on a rate difference — here at event
+    grain (user-grain conversion saturates near 1.0 on this fixture: ~67
+    events/user, 20% purchases), split on a real calendar dimension.
+    z = (p1-p0) / sqrt(p(1-p) * (1/n1 + 1/n0)) with p pooled.
+
+    Cross-engine exactness: the four inputs are integer counts from ONE
+    ungrouped conditional aggregate; every derived value is a FIXED
+    scalar expression tree over them (parenthesized identically in both
+    engines), so each step is one correctly-rounded IEEE op — division,
+    multiply, sqrt — and the doubles match bit-for-bit.  Weekend uses
+    ISO day-of-week (Spark ``weekday(ts) >= 5`` == DuckDB
+    ``isodow(ts) >= 6``), avoiding the engines' different Sunday=1/0
+    conventions.
+
+    100 TB shape: a single scan with map-side conditional-count partials
+    into ONE row — no hash exchange at all (the one Exchange is the
+    SinglePartition gather every scalar aggregate pays), no join, output
+    bounded at 1 row."""
+    ev = _t(spark, sf_dir, "events")
+    weekend = F.weekday("ts") >= 5
+    purchase = F.col("event_type") == "purchase"
+    c = ev.agg(
+        F.count(F.when(weekend, 1)).cast("long").alias("n_weekend"),
+        F.count(F.when(weekend & purchase, 1)).cast("long").alias("x_weekend"),
+        F.count(F.when(~weekend, 1)).cast("long").alias("n_weekday"),
+        F.count(F.when(~weekend & purchase, 1)).cast("long").alias("x_weekday"),
+    )
+    rate_we = F.col("x_weekend").cast("double") / F.col("n_weekend").cast("double")
+    rate_wd = F.col("x_weekday").cast("double") / F.col("n_weekday").cast("double")
+    pooled = (F.col("x_weekend") + F.col("x_weekday")).cast("double") / (
+        F.col("n_weekend") + F.col("n_weekday")
+    ).cast("double")
+    p = c.select(
+        "*",
+        rate_we.alias("rate_weekend"),
+        rate_wd.alias("rate_weekday"),
+        pooled.alias("pooled"),
+    )
+    return p.select(
+        "n_weekend",
+        "x_weekend",
+        "n_weekday",
+        "x_weekday",
+        "rate_weekend",
+        "rate_weekday",
+        (F.col("rate_weekend") - F.col("rate_weekday")).alias("lift"),
+        (
+            (F.col("rate_weekend") - F.col("rate_weekday"))
+            / F.sqrt(
+                (F.col("pooled") * (F.lit(1.0) - F.col("pooled")))
+                * (
+                    (F.lit(1.0) / F.col("n_weekend").cast("double"))
+                    + (F.lit(1.0) / F.col("n_weekday").cast("double"))
+                )
+            )
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: Zipf slope of the token frequency spectrum
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 200  # cap the ranked spectrum — constant frame at any corpus
+
+
+@register(
+    "zipf_token_slope",
+    oracle=f"""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM t GROUP BY term),
+    top AS (SELECT term, freq FROM f ORDER BY freq DESC, term LIMIT {ZIPF_TOP}),
+    ranked AS (
+      SELECT freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS BIGINT)
+               AS rnk
+      FROM top
+    ),
+    m AS (
+      SELECT CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS lx,
+             CAST(ROUND(ln(CAST(freq AS DOUBLE)) * 1000000.0) AS BIGINT) AS ly
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+             CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+             CAST(SUM(lx * lx) AS BIGINT) AS sxx
+      FROM m
+    )
+    SELECT n AS n_terms,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+           ((CAST(sy AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE)) / 1000000.0 AS intercept_ln
+    FROM s
+    """,
+    tags=("pipeline-r8", "text", "stats"),
+    bench=True,
+)
+def zipf_token_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the corpus token spectrum: OLS fit of ln(freq) on
+    ln(rank) over the top-200 token types — the one-number heavy-tail
+    health check a pre-training corpus gets (natural text ~ -1; this
+    synthetic fixture's 31-term near-uniform vocabulary fits ~0, and the
+    COMPUTATION is what's under test, the same stance as
+    [[dedup_embedding_cosine]]'s threshold).  A drifting slope between
+    snapshots flags boilerplate floods or template collapse before
+    training does.
+
+    Cross-engine exactness: ln is the registry's one transcendental and
+    gets [[tfidf_topterms]]'s treatment — rounded to integer MICRO-units
+    in both engines before anything downstream — so the OLS moments
+    (sx, sy, sxy, sxx) are exact BIGINT sums (order-independent on any
+    partitioning; magnitudes < 1e16 at the 200-term cap), the
+    slope numerator/denominator are exact integers, and the final slope
+    is ONE IEEE division.  The intercept re-uses the same two exact
+    integers, so its expression tree is fixed too.
+
+    100 TB shape: explode -> term-grain count (map-side partials) ->
+    ``orderBy().limit(200)`` plans as TakeOrderedAndProject (bounded
+    per-partition heaps, no global sort); the rank window runs over the
+    200-row constant frame, and the moments collapse to 1 row."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    f = t.groupBy("term").agg(F.count("*").cast("long").alias("freq"))
+    top = f.orderBy(F.col("freq").desc(), "term").limit(ZIPF_TOP)
+    rnk_w = Window.orderBy(F.col("freq").desc(), "term")  # constant 200 rows
+    ranked = top.select(
+        "freq", F.row_number().over(rnk_w).cast("long").alias("rnk")
+    )
+    m = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("lx"),
+        F.round(F.log(F.col("freq").cast("double")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("ly"),
+    )
+    s = m.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("long").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        F.col("n").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        (
+            (
+                F.col("sy").cast("double")
+                - slope * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+            / F.lit(1000000.0)
+        ).alias("intercept_ln"),
+    )

@@ -142,11 +142,17 @@ _WINDOW: tuple[str, ...] = (
     "l_diversity_profile",
     "bloom_prefilter_join",
     "weighted_reservoir_sample",
+    # round-8 extension batch: t-closeness completes the privacy-audit
+    # triad, count-min joins the sketch family, plus the A/B z-test and
+    # the Zipf spectrum fit — windowed from day one (no rotation debt),
+    # displacing four round-2-era fillers that each hold committed
+    # external green rows (part_supplier_revenue, distinct_count,
+    # having_filter, set_ops)
+    "t_closeness_profile",
+    "cms_frequency_calibration",
+    "conversion_lift_ztest",
+    "zipf_token_slope",
     # least-recently verified (external green row last held in round 2)
-    "part_supplier_revenue",
-    "distinct_count",
-    "having_filter",
-    "set_ops",
     "grouped_count_salted",
     "running_total",
     "event_funnel_windowed",

@@ -91,6 +91,12 @@ def test_driver_window_composition_pinned():
         # the priority-sampling weighted reservoir
         "bloom_prefilter_join",
         "weighted_reservoir_sample",
+        # round-8 extension: privacy-triad completion, sketch family,
+        # A/B stats, corpus spectrum fit
+        "t_closeness_profile",
+        "cms_frequency_calibration",
+        "conversion_lift_ztest",
+        "zipf_token_slope",
     }
     assert rotated_in_r8 <= set(window)
     # every query OUTSIDE the window must already hold an external green

@@ -734,3 +734,120 @@ def test_weighted_reservoir_sample_matches_python_priorities(
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# --- round-8 extension batch ------------------------------------------------
+
+
+def test_t_closeness_planted_bands(spark, specs, tmp_path_factory):
+    # Three QI groups (nation 0/1/2, same segment + balance band), two
+    # priorities. Global mix: 7 URGENT, 5 HIGH (q = 7/12, 5/12).
+    #   G1 sees 4xURGENT only        -> t = 5/12  (~0.4167, band 8)
+    #      (exercises the absent-value mass path: HIGH never occurs in G1)
+    #   G2 sees 2xURGENT + 2xHIGH    -> t = 1/12  (~0.0833, band 1)
+    #   G3 sees 1xURGENT + 3xHIGH    -> t = 1/3   (~0.3333, band 6)
+    cust = spark.createDataFrame(
+        [(k, f"c{k}", (k - 1) // 2, 100.0, "AUTO") for k in range(1, 7)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    d = datetime(2024, 1, 1)
+    rows, ok = [], 0
+
+    def o(cust_key, prio):
+        nonlocal ok
+        ok += 1
+        return (ok, cust_key, "F", 10.0, d, prio)
+
+    U, H = "1-URGENT", "2-HIGH"
+    for prio in (U, U):
+        rows += [o(1, prio), o(2, prio)]          # G1: 4x URGENT
+    rows += [o(3, U), o(4, U), o(3, H), o(4, H)]  # G2: 2 + 2
+    rows += [o(5, U), o(5, H), o(6, H), o(6, H)]  # G3: 1 + 3
+    orders = _orders(spark, rows)
+    sf = _write_sf(spark, tmp_path_factory, "tclose",
+                   {"customer": cust, "orders": orders})
+    got = sorted(
+        specs["t_closeness_profile"].fn(spark, sf).collect(),
+        key=lambda r: r.t_band,
+    )
+    assert [(r.t_band, r.n_groups, r.n_individuals) for r in got] == [
+        (1, 1, 2), (6, 1, 2), (8, 1, 2),
+    ]
+
+
+def test_cms_calibration_exact_when_sparse(spark, specs, tmp_path_factory):
+    # 5 probe keys in an 8192-bucket sketch: no shared buckets, so the
+    # min-over-rows estimate must equal the exact count (overcount 0) —
+    # the sketch's est >= exact guarantee collapses to equality.
+    d = datetime(2024, 1, 1)
+    rows = []
+    for pk in range(5):
+        for i in range(pk + 1):  # partkey k occurs k+1 times
+            rows.append((100 * pk + i, pk, 1, 1, 1.0, 10.0, 0.0, 0.0,
+                         "N", "O", d))
+    li = _li(spark, rows)
+    sf = _write_sf(spark, tmp_path_factory, "cms", {"lineitem": li})
+    got = specs["cms_frequency_calibration"].fn(spark, sf).collect()
+    assert [(r.probe_key, r.exact_count, r.est_count, r.overcount)
+            for r in got] == [(pk, pk + 1, pk + 1, 0) for pk in range(5)]
+
+
+def test_cms_calibration_overcount_nonnegative_on_real_data(spark, specs):
+    # the one-sided error guarantee: a count-min estimate NEVER undercounts
+    got = specs["cms_frequency_calibration"].fn(spark, SF_SMALL).collect()
+    assert len(got) == 20
+    assert all(r.overcount >= 0 for r in got)
+    assert all(r.est_count >= r.exact_count for r in got)
+
+
+def test_conversion_lift_ztest_planted(spark, specs, tmp_path_factory):
+    # 4 weekend events (1 purchase) vs 4 weekday events (2 purchases):
+    # rates 0.25 / 0.5, pooled 3/8 — z follows the same expression tree
+    # the query builds, so the comparison is essentially exact.
+    sat, mon = datetime(2024, 1, 6), datetime(2024, 1, 8)
+    rows = [
+        (1, sat, 1, "purchase", 1.0, ""), (2, sat, 1, "view", 1.0, ""),
+        (3, sat, 2, "view", 1.0, ""), (4, sat, 2, "click", 1.0, ""),
+        (5, mon, 3, "purchase", 1.0, ""), (6, mon, 3, "purchase", 1.0, ""),
+        (7, mon, 4, "view", 1.0, ""), (8, mon, 4, "click", 1.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "ztest", {"events": ev})
+    r = specs["conversion_lift_ztest"].fn(spark, sf).collect()[0]
+    assert (r.n_weekend, r.x_weekend, r.n_weekday, r.x_weekday) == (4, 1, 4, 2)
+    assert abs(r.rate_weekend - 0.25) < 1e-15
+    assert abs(r.rate_weekday - 0.5) < 1e-15
+    pooled = 3.0 / 8.0
+    z = (0.25 - 0.5) / math.sqrt(
+        (pooled * (1.0 - pooled)) * ((1.0 / 4.0) + (1.0 / 4.0))
+    )
+    assert abs(r.z_score - z) < 1e-12
+    assert r.z_score < 0  # weekends convert WORSE in the planted data
+
+
+def test_zipf_slope_two_point_power_law(spark, specs, tmp_path_factory):
+    # two token types with freqs 8 and 2 at ranks 1 and 2: the OLS line
+    # through two points is exact — slope = (ln2 - ln8) / (ln2 - ln1) = -2,
+    # intercept = ln(freq at rank 1) = ln 8 (micro-rounding costs < 1e-4).
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a"] * 8 + ["b"] * 2), "en", "s0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "zipf", {"documents": docs})
+    r = specs["zipf_token_slope"].fn(spark, sf).collect()[0]
+    assert r.n_terms == 2
+    assert abs(r.zipf_slope - (-2.0)) < 1e-4
+    assert abs(r.intercept_ln - math.log(8.0)) < 1e-4
+
+
+def test_zipf_slope_near_uniform_vocab_on_real_data(spark, specs):
+    # the synthetic corpus draws 31 near-uniform token types: the fitted
+    # slope must sit just below zero (a real corpus lands near -1)
+    r = specs["zipf_token_slope"].fn(spark, SF_SMALL).collect()[0]
+    assert r.n_terms == 31
+    assert -0.5 < r.zipf_slope < 0.0

@@ -259,6 +259,19 @@ WINDOW_SHUFFLE_BUDGET = {
     # priority sampling: TakeOrderedAndProject + 64-row rnk window — no
     # hash exchange anywhere
     "weighted_reservoir_sample": 0,
+    # t-closeness: every exchange past the first partial agg moves
+    # QI-grain (or smaller) frames — the count is joins between small
+    # re-aggregations of the same keys, not repeated corpus shuffles
+    "t_closeness_profile": 11,
+    # CMS: sketch-build agg (partials bounded at d*w per task), probe
+    # distinct, exact-count agg; sketch side reaches the probes via
+    # broadcast
+    "cms_frequency_calibration": 3,
+    # one ungrouped conditional aggregate — SinglePartition gather only
+    "conversion_lift_ztest": 0,
+    # term-grain count; TakeOrderedAndProject caps the spectrum at 200
+    # before the rank window and the moment aggregate
+    "zipf_token_slope": 1,
     "part_supplier_revenue": 1, "distinct_count": 2, "having_filter": 1,
     "set_ops": 2, "grouped_count_salted": 2, "running_total": 1,
     "event_funnel_windowed": 1, "cube_segment_priority": 1,
