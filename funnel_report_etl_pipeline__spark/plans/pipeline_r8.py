@@ -2139,3 +2139,111 @@ def zipf_token_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("intercept_ln"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (PPJoin-style): the scale path
+# for ngram_jaccard_pairs, gated by the SAME oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jaccard_prefix_filter_pairs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+    """,
+    tags=("pipeline-r8", "dedup", "jaccard", "prefix-filter"),
+    bench=True,
+)
+def jaccard_prefix_filter_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard join (pairs >= 0.8) via PREFIX FILTERING
+    (Chaudhuri/Ganti/Kaushik 2006; Xiao et al. PPJoin) — the lossless
+    scale path for [[ngram_jaccard_pairs]], registered against the SAME
+    oracle so the external green row PROVES the filter drops no pair:
+
+    order every gram by global rarity (document frequency asc, gram asc)
+    and index only each doc's first ``sz - ceil(t*sz) + 1`` grams in that
+    order.  Any pair with J >= t must overlap in >= ceil(t*sz) grams of
+    EACH member (J >= t and i <= sz_b gives i >= t*sz_a), so the
+    overlap cannot hide entirely in either suffix, and — both docs being
+    sorted by the same global order — the first common gram falls inside
+    BOTH prefixes.  Candidates come from an inverted-index join on
+    prefix grams only, then an exact intersection count over just the
+    candidate pairs.
+
+    Why this is the 100 TB formulation: the full inverted-index join
+    pays quadratic blowup inside COMMON-gram buckets; prefixes keep only
+    each doc's RAREST grams, so bucket sizes collapse exactly where the
+    blowup lives (at t=0.8, ~1/5 of the index), and the quadratic
+    verify runs on candidate pairs instead of every sharing pair.
+    ceil(0.8*sz) is computed as exact INTEGER arithmetic
+    (floor((4*sz+4)/5) — no 0.8 float whose binary representation could
+    flip a boundary), and the final Jaccard mirrors the exact twin's
+    expression tree bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    g = gram_rows(docs, "doc_id", "text", 3).withColumnRenamed("id", "doc_id")
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    gfreq = g.groupBy("gram").agg(F.count("*").alias("df"))
+    pos_w = Window.partitionBy("doc_id").orderBy("df", "gram")  # doc-grain
+    ranked = (
+        g.join(gfreq, "gram")
+        .select("doc_id", "gram", F.row_number().over(pos_w).alias("pos"))
+    )
+    # prefix length sz - ceil(0.8*sz) + 1, in exact integer arithmetic
+    prefix_len = F.col("sz") - F.floor((F.lit(4) * F.col("sz") + F.lit(4)) / F.lit(5.0)) + 1
+    pre = (
+        ranked.join(sizes, "doc_id")
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "gram")
+    )
+    pa, pb = pre.alias("pa"), pre.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.gram") == F.col("pb.gram"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ga = g.withColumnsRenamed({"doc_id": "id_a"})
+    gb = g.withColumnsRenamed({"doc_id": "id_b"})
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    jacc = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+            ).alias("jaccard"),
+        )
+    )
+    return jacc.filter(F.col("jaccard") >= 0.8)

@@ -152,8 +152,11 @@ _WINDOW: tuple[str, ...] = (
     "cms_frequency_calibration",
     "conversion_lift_ztest",
     "zipf_token_slope",
+    # prefix-filtered exact similarity join — same oracle as
+    # ngram_jaccard_pairs, so its green row proves the filter lossless
+    # (displaces grouped_count_salted, external rows r2)
+    "jaccard_prefix_filter_pairs",
     # least-recently verified (external green row last held in round 2)
-    "grouped_count_salted",
     "running_total",
     "event_funnel_windowed",
     "cube_segment_priority",

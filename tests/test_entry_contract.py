@@ -97,6 +97,7 @@ def test_driver_window_composition_pinned():
         "cms_frequency_calibration",
         "conversion_lift_ztest",
         "zipf_token_slope",
+        "jaccard_prefix_filter_pairs",
     }
     assert rotated_in_r8 <= set(window)
     # every query OUTSIDE the window must already hold an external green

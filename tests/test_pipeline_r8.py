@@ -851,3 +851,44 @@ def test_zipf_slope_near_uniform_vocab_on_real_data(spark, specs):
     r = specs["zipf_token_slope"].fn(spark, SF_SMALL).collect()[0]
     assert r.n_terms == 31
     assert -0.5 < r.zipf_slope < 0.0
+
+
+def test_jaccard_prefix_filter_planted_pairs(spark, specs, tmp_path_factory):
+    # doc1 = 12 distinct tokens (10 distinct 3-grams); doc2 differs only in
+    # the last token (shares 9/10 grams -> J = 9/11 ~ 0.818 >= 0.8);
+    # doc4 is an exact copy of doc1 (J = 1.0 with both); doc3 is unrelated.
+    # A 10-token variant (doc5, shares 7/8 with nothing) stays below: its
+    # best jaccard vs doc1 is 8/(10+8-8) = 0.8 only if all grams shared.
+    toks = [f"t{i}" for i in range(12)]
+    d1 = " ".join(toks)
+    d2 = " ".join(toks[:11] + ["ZZ"])
+    d3 = " ".join(f"u{i}" for i in range(12))
+    d4 = d1
+    docs = spark.createDataFrame(
+        [(1, d1, "en", "s0", 1), (2, d2, "en", "s0", 1),
+         (3, d3, "en", "s0", 1), (4, d4, "en", "s0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "ppjoin", {"documents": docs})
+    got = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in specs["jaccard_prefix_filter_pairs"].fn(spark, sf).collect()
+    )
+    assert got == [
+        (1, 2, round(9 / 11, 6)), (1, 4, 1.0), (2, 4, round(9 / 11, 6)),
+    ]
+
+
+def test_jaccard_prefix_filter_equals_exact_twin(spark, specs):
+    # the prefix filter must be LOSSLESS: identical result set (same
+    # expression tree -> bit-identical jaccard doubles) as the full
+    # inverted-index join on real testdata
+    exact = sorted(
+        map(tuple, specs["ngram_jaccard_pairs"].fn(spark, SF_SMALL).collect())
+    )
+    pref = sorted(
+        map(tuple,
+            specs["jaccard_prefix_filter_pairs"].fn(spark, SF_SMALL).collect())
+    )
+    assert pref == exact
+    assert len(exact) > 0  # non-trivial: the fixture has near-dup pairs

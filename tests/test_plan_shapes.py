@@ -272,6 +272,10 @@ WINDOW_SHUFFLE_BUDGET = {
     # term-grain count; TakeOrderedAndProject caps the spectrum at 200
     # before the rank window and the moment aggregate
     "zipf_token_slope": 1,
+    # prefix filter: gram build + df count + doc-grain rank window +
+    # prefix inverted-index join + candidate-restricted verify joins —
+    # every exchange is gram- or candidate-grain, none corpus-pair-grain
+    "jaccard_prefix_filter_pairs": 12,
     "part_supplier_revenue": 1, "distinct_count": 2, "having_filter": 1,
     "set_ops": 2, "grouped_count_salted": 2, "running_total": 1,
     "event_funnel_windowed": 1, "cube_segment_priority": 1,
