@@ -2171,7 +2171,6 @@ def zipf_token_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
     """,
     tags=("pipeline-r8", "dedup", "jaccard", "prefix-filter"),
-    bench=True,
 )
 def jaccard_prefix_filter_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard join (pairs >= 0.8) via PREFIX FILTERING
@@ -2191,13 +2190,18 @@ def jaccard_prefix_filter_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Why this is the 100 TB formulation: the full inverted-index join
     pays quadratic blowup inside COMMON-gram buckets; prefixes keep only
-    each doc's RAREST grams, so bucket sizes collapse exactly where the
-    blowup lives (at t=0.8, ~1/5 of the index), and the quadratic
-    verify runs on candidate pairs instead of every sharing pair.
-    ceil(0.8*sz) is computed as exact INTEGER arithmetic
-    (floor((4*sz+4)/5) — no 0.8 float whose binary representation could
-    flip a boundary), and the final Jaccard mirrors the exact twin's
-    expression tree bit-for-bit."""
+    each doc's RAREST grams (at t=0.8, ~1/5 of the index), and the
+    quadratic verify runs on candidate pairs instead of every sharing
+    pair.  The win is proportional to gram-df SKEW: on a real corpus the
+    rarest grams have df 1-2 and buckets collapse; on THIS fixture's
+    synthetic 31-term vocabulary gram df is near-uniform (~40 at sf0.1),
+    so the filter's rank/df overhead is not repaid and the exact twin is
+    ~2x faster (A/B in PLANS.md) — which is why the twin keeps the bench
+    slot and this registration carries the correctness proof of the
+    technique, not the fixture's wall-clock.  ceil(0.8*sz) is computed
+    as exact INTEGER arithmetic (floor((4*sz+4)/5) — no 0.8 float whose
+    binary representation could flip a boundary), and the final Jaccard
+    mirrors the exact twin's expression tree bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
     g = gram_rows(docs, "doc_id", "text", 3).withColumnRenamed("id", "doc_id")
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
