@@ -2251,3 +2251,175 @@ def jaccard_prefix_filter_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return jacc.filter(F.col("jaccard") >= 0.8)
+
+
+# ---------------------------------------------------------------------------
+# Graph audit: degree assortativity of the part co-order graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "degree_assortativity",
+    oracle="""
+    WITH co AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    ends AS (SELECT u AS x, v AS y FROM co UNION ALL SELECT v, u FROM co),
+    deg AS (SELECT x AS id, CAST(COUNT(*) AS BIGINT) AS d
+            FROM ends GROUP BY x),
+    pairs AS (
+      SELECT dx.d AS du, dy.d AS dv
+      FROM ends e JOIN deg dx ON e.x = dx.id JOIN deg dy ON e.y = dy.id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             CAST(SUM(du) AS BIGINT) AS sx,
+             CAST(SUM(du * dv) AS BIGINT) AS sxy,
+             CAST(SUM(du * du) AS BIGINT) AS sxx
+      FROM pairs
+    )
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(m2 * sxy - sx * sx AS DOUBLE)
+             / CAST(m2 * sxx - sx * sx AS DOUBLE) AS assortativity
+    FROM s
+    """,
+    tags=("pipeline-r8", "graph", "stats"),
+    bench=True,
+)
+def degree_assortativity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-order graph — the one-number
+    structure audit that separates hub-to-hub networks (r > 0, social-ish)
+    from hub-to-leaf ones (r < 0, web/infrastructure-ish); a drifting r
+    between corpus snapshots flags a change in co-occurrence structure
+    (bundles, boilerplate templates) the degree histogram alone misses.
+    Pearson correlation of endpoint degrees over directed edge ends:
+    r = (2m*Sxy - Sx^2) / (2m*Sxx - Sx^2) — by the both-orientations
+    symmetry Sx = Sy and Sxx = Syy, so the classic formula collapses to
+    integer moments.
+
+    Cross-engine exactness: degrees are integers, so ALL four moments
+    are exact BIGINT sums (order-independent on any partitioning;
+    magnitudes ~1e17 at sf0.1, safely inside int64 — past ~1e9 directed
+    ends switch the two closing products to DECIMAL(38,0), the
+    [[t_closeness_profile]] note), and r is ONE IEEE division.
+
+    100 TB shape: the edge build is [[triangle_count]]'s (orderkey
+    self-join, repartitioned, distinct); the degree frame is |V|-bounded
+    and joins back to the edge ends twice (AQE broadcasts it at bench
+    scale; at cluster scale it follows the documented shuffle_hash
+    fallback) before ONE scalar moment aggregate — no corpus-pair
+    materialization anywhere."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(32, "l_orderkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    # materialize the edge list once ([[triangle_count]]'s pattern): it
+    # feeds the directed-ends frame THREE times (pairs + two degree
+    # joins) and localCheckpoint makes that sharing explicit instead of
+    # relying on runtime exchange reuse across five identical subtrees
+    co = co.localCheckpoint()
+    ends = co.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+        co.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = ends.groupBy(F.col("x").alias("id")).agg(
+        F.count("*").cast("long").alias("d")
+    ).localCheckpoint()  # |V|-bounded; reused by both joins + n_nodes
+    pairs = (
+        ends.join(deg.withColumnsRenamed({"id": "x", "d": "du"}), "x")
+        .join(deg.withColumnsRenamed({"id": "y", "d": "dv"}), "y")
+        .select("du", "dv")
+    )
+    s = pairs.agg(
+        F.count("*").cast("long").alias("m2"),
+        F.sum("du").cast("long").alias("sx"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("sxy"),
+        F.sum(F.col("du") * F.col("du")).cast("long").alias("sxx"),
+    )
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    return s.crossJoin(F.broadcast(n_nodes)).select(
+        (F.col("m2") / F.lit(2)).cast("long").alias("n_edges"),
+        "n_nodes",
+        (
+            (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+            / (F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified weighted sampling: per-source priority top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_sample_per_source",
+    oracle="""
+    WITH p AS (
+      SELECT source, doc_id, CAST(LENGTH(text) AS BIGINT) AS weight,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS u
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, weight,
+             CAST(u AS DOUBLE) / CAST(weight AS DOUBLE) AS priority,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(u AS DOUBLE) / CAST(weight AS DOUBLE), doc_id)
+             AS BIGINT) AS rnk
+      FROM p
+    )
+    SELECT source, rnk, doc_id, weight, priority
+    FROM r WHERE rnk <= 8
+    """,
+    tags=("pipeline-r8", "sampling"),
+    bench=True,
+)
+def weighted_sample_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sampling WITHOUT replacement: per-SOURCE
+    priority sampling ([[weighted_reservoir_sample]]'s scheme, one
+    independent draw per stratum) — the curation primitive behind "keep
+    the k best-weighted docs from EVERY source", which a mixture builder
+    needs when a global draw would let one giant source crowd out the
+    rest.  Same engine-exactness argument: 52-bit md5 u is exactly a
+    double, priority = ONE IEEE division, doc_id tiebreak.
+
+    100 TB shape: the rank filter (rnk <= 8) rewrites to
+    WindowGroupLimit, so each task keeps only its local top-8 PER SOURCE
+    before the single source-partitioned exchange — state per task is
+    O(sources x k), never corpus-grain, and the output is a constant
+    |sources| x 8 frame.  This is the per-group analogue of the global
+    sampler's TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    w = F.length("text").cast("long")
+    p = docs.select(
+        "source",
+        "doc_id",
+        w.alias("weight"),
+        (u.cast("double") / w.cast("double")).alias("priority"),
+    )
+    rnk_w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        p.select(
+            "source",
+            F.row_number().over(rnk_w).cast("long").alias("rnk"),
+            "doc_id",
+            "weight",
+            "priority",
+        )
+        .filter(F.col("rnk") <= 8)
+    )

@@ -156,9 +156,11 @@ _WINDOW: tuple[str, ...] = (
     # ngram_jaccard_pairs, so its green row proves the filter lossless
     # (displaces grouped_count_salted, external rows r2)
     "jaccard_prefix_filter_pairs",
+    # graph-stats audit + stratified priority sampling (displace
+    # running_total / event_funnel_windowed, external rows r2)
+    "degree_assortativity",
+    "weighted_sample_per_source",
     # least-recently verified (external green row last held in round 2)
-    "running_total",
-    "event_funnel_windowed",
     "cube_segment_priority",
     "join_salted",
     # next-least-recently verified (last external row round 4)

@@ -98,6 +98,8 @@ def test_driver_window_composition_pinned():
         "conversion_lift_ztest",
         "zipf_token_slope",
         "jaccard_prefix_filter_pairs",
+        "degree_assortativity",
+        "weighted_sample_per_source",
     }
     assert rotated_in_r8 <= set(window)
     # every query OUTSIDE the window must already hold an external green

@@ -892,3 +892,54 @@ def test_jaccard_prefix_filter_equals_exact_twin(spark, specs):
     )
     assert pref == exact
     assert len(exact) > 0  # non-trivial: the fixture has near-dup pairs
+
+
+def test_degree_assortativity_star_is_minus_one(spark, specs, tmp_path_factory):
+    # co-order edges (1,2),(1,3),(1,4) — a perfect star: every edge joins
+    # the hub (degree 3) to a leaf (degree 1), the textbook r = -1 graph.
+    d = datetime(2024, 1, 1)
+    rows = []
+    for ok, parts in [(1, (1, 2)), (2, (1, 3)), (3, (1, 4))]:
+        for i, pk in enumerate(parts):
+            rows.append((ok, pk, 1, i, 1.0, 10.0, 0.0, 0.0, "N", "O", d))
+    li = _li(spark, rows)
+    sf = _write_sf(spark, tmp_path_factory, "assort", {"lineitem": li})
+    r = specs["degree_assortativity"].fn(spark, sf).collect()[0]
+    assert (r.n_edges, r.n_nodes) == (3, 4)
+    assert abs(r.assortativity - (-1.0)) < 1e-15
+
+
+def test_weighted_sample_per_source_rank_order(spark, specs, tmp_path_factory):
+    # two sources, three docs each with distinct lengths: ranks must follow
+    # priority = md5_52bit(doc_id) / len(text) independently per source
+    import hashlib
+
+    texts = {1: "x" * 10, 2: "y" * 200, 3: "z" * 50,
+             4: "p" * 25, 5: "q" * 100, 6: "r" * 400}
+    docs = spark.createDataFrame(
+        [(k, t, "en", "sA" if k <= 3 else "sB", len(t))
+         for k, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "wsps", {"documents": docs})
+    got = specs["weighted_sample_per_source"].fn(spark, sf).collect()
+
+    def prio(k):
+        u = int(hashlib.md5(str(k).encode()).hexdigest()[:13], 16)
+        return u / len(texts[k])
+
+    for src, members in (("sA", [1, 2, 3]), ("sB", [4, 5, 6])):
+        want = sorted(members, key=lambda k: (prio(k), k))
+        rows = sorted((r for r in got if r.source == src), key=lambda r: r.rnk)
+        assert [r.doc_id for r in rows] == want
+        assert [r.rnk for r in rows] == [1, 2, 3]
+        for r in rows:
+            assert abs(r.priority - prio(r.doc_id)) < 1e-9
+
+
+def test_weighted_sample_per_source_constant_frame(spark, specs):
+    # every source contributes exactly 8 rows at gate scale
+    got = specs["weighted_sample_per_source"].fn(spark, SF_SMALL).collect()
+    from collections import Counter
+    per = Counter(r.source for r in got)
+    assert len(per) == 20 and set(per.values()) == {8}

@@ -276,6 +276,14 @@ WINDOW_SHUFFLE_BUDGET = {
     # prefix inverted-index join + candidate-restricted verify joins —
     # every exchange is gram- or candidate-grain, none corpus-pair-grain
     "jaccard_prefix_filter_pairs": 12,
+    # assortativity: localCheckpointed edge build (orderkey repartition
+    # + distinct) + degree agg + two degree joins — every exchange edge-
+    # or node-grain, and the checkpoint stops the edge subtree from
+    # replicating into the degree joins (29 -> 4 exchanges measured)
+    "degree_assortativity": 4,
+    # per-source rank filter rewrites to WindowGroupLimit: local top-8
+    # per source per task, one source-partitioned exchange
+    "weighted_sample_per_source": 1,
     "part_supplier_revenue": 1, "distinct_count": 2, "having_filter": 1,
     "set_ops": 2, "grouped_count_salted": 2, "running_total": 1,
     "event_funnel_windowed": 1, "cube_segment_priority": 1,
