@@ -56,6 +56,14 @@ QUERIES = (
     "customer_order_distribution",
     "promo_revenue_pct",
     "lapsed_highvalue_customers",
+    # round-8 extension: fact-consuming audits — the CMS sketch's
+    # constant (d×w) exchange, the t-closeness integer EMD over a
+    # replicated orders fact, and the co-order graph moments (replicas
+    # re-create the same distinct edge set, so the probe isolates the
+    # edge-build stage's scaling)
+    "cms_frequency_calibration",
+    "t_closeness_profile",
+    "degree_assortativity",
 )
 _KEY_STRIDE = 100_000_000
 
@@ -81,7 +89,10 @@ def synth_sf(spark, mult: int, out: str) -> None:
 
 
 def main() -> int:
-    scales = [int(s) for s in sys.argv[1:]] or [1, 4, 10]
+    # integer args are scales; non-integer args select a query subset
+    # (e.g. `tpch_scale_probe.py 1 10 cms_frequency_calibration`)
+    scales = [int(s) for s in sys.argv[1:] if s.isdigit()] or [1, 4, 10]
+    picked = tuple(s for s in sys.argv[1:] if not s.isdigit()) or QUERIES
     spark = get_spark(app_name="tpch_scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
@@ -89,7 +100,7 @@ def main() -> int:
         out = tempfile.mkdtemp(prefix=f"tpch_scale_{mult}x_")
         synth_sf(spark, mult, out)
         n_li = spark.read.parquet(f"{out}/lineitem.parquet").count()
-        for q in QUERIES:
+        for q in picked:
             fn = specs[q].fn
             fn(spark, out).collect()  # warm (codegen + broadcast build)
             t0 = time.perf_counter()
