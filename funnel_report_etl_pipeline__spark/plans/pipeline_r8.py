@@ -2423,3 +2423,139 @@ def weighted_sample_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer induction: the first K BPE merges over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 4
+
+
+def _bpe_oracle(k: int = BPE_ROUNDS) -> str:
+    """Build the K-round unrolled DuckDB twin of the BPE merge loop.
+
+    Each round is three CTEs — pair counts over the current symbol
+    streams, the argmax merge (cnt DESC, lhs, rhs), the re-written
+    streams — generated by the same loop the Spark side runs, so the two
+    engines share the merge rule by construction (see the query
+    docstring for the replace-greedy definition)."""
+    rounds = []
+    for i in range(k):
+        rounds.append(f"""
+    p{i} AS (
+      SELECT split_part(pair, '|', 1) AS lhs, split_part(pair, '|', 2) AS rhs,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                 j -> t[CAST(j AS INT)] || '|' || t[CAST(j AS INT) + 1]))
+               AS pair,
+               freq
+        FROM (SELECT string_split(s, ' ') AS t, freq FROM s{i})
+      ) GROUP BY 1, 2
+    ),
+    top{i} AS (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+    s{i + 1} AS (
+      SELECT trim(replace(replace(' ' || s || ' ',
+                   ' ' || top{i}.lhs || ' ' || top{i}.rhs || ' ',
+                   ' ' || top{i}.lhs || '~' || top{i}.rhs || ' '),
+                   ' ' || top{i}.lhs || ' ' || top{i}.rhs || ' ',
+                   ' ' || top{i}.lhs || '~' || top{i}.rhs || ' ')) AS s,
+             freq
+      FROM s{i} CROSS JOIN top{i}
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, lhs, rhs, cnt AS pair_count FROM top{i}"
+        for i in range(k)
+    )
+    return f"""
+    WITH wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ),
+    s0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS s, freq
+           FROM wf),{",".join(rounds)}
+    SELECT * FROM ({finals}) ORDER BY merge_rank
+    """
+
+
+@register(
+    "bpe_merge_induction",
+    oracle=_bpe_oracle(),
+    tags=("pipeline-r8", "text", "tokenizer"),
+    bench=True,
+)
+def bpe_merge_induction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First K byte-pair-encoding merges learned from the corpus — the
+    tokenizer-induction primitive (Sennrich et al. 2016): BPE trains on
+    the WORD-FREQUENCY table, so the one corpus-scale pass is the word
+    count; every merge round then runs at vocabulary grain (bounded by
+    |vocab|, not the corpus — the property that makes BPE training
+    feasible on 100 TB: the stream table here is 31 rows standing in for
+    the ~10^6-row word-freq table of a real crawl).
+
+    Merge rule, shared with the oracle BY CONSTRUCTION (both engines run
+    literal-`replace` on the space-delimited symbol stream, padded, twice
+    per round): left-to-right non-overlapping replacement of the argmax
+    pair (count DESC, then lexicographic lhs, rhs — fully deterministic),
+    with the second replace catching odd-length runs ("a a a a" merges to
+    "a~a a~a" in one round).  Merged symbols join with '~' so
+    ("ab","c")/("a","bc") stay distinct.  All counts are exact integer
+    sums of word frequencies.
+
+    Plan shape: ONE corpus aggregate (word counts, map-side partials),
+    then K rounds of vocab-grain pair-count aggregates; each round's
+    argmax reaches the driver as a SINGLE bounded row (the k-means
+    centroid-collect precedent — the collected artifact is O(K), a
+    hyperparameter, never data-sized)."""
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    # chars -> space-joined symbol stream; localCheckpoint: the K merge
+    # rounds re-read this vocab-grain frame, not the corpus
+    stream = wf.select(
+        F.array_join(F.split("word", ""), " ").alias("s"), "freq"
+    ).localCheckpoint()
+    merges = []
+    for rnd in range(BPE_ROUNDS):
+        pairs = (
+            # size >= 2 guard: a fully-merged single-symbol stream has no
+            # pairs — DuckDB's range(1, 1) is naturally empty, but Spark's
+            # sequence(0, -1) DESCENDS and would fabricate bogus indices
+            stream.filter(F.size(F.split("s", " ")) >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(split(s, ' ')) - 2),"
+                        " j -> struct(split(s, ' ')[j] AS lhs,"
+                        " split(s, ' ')[j + 1] AS rhs))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .select("p.lhs", "p.rhs", "freq")
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        rows = pairs.orderBy(F.col("cnt").desc(), "lhs", "rhs").limit(1).collect()
+        if not rows:
+            # every stream fully merged: the oracle's later rounds degrade
+            # to empty CTEs (empty top -> empty cross-joined stream), so
+            # stopping here keeps the two engines' outputs identical
+            break
+        top = rows[0]
+        merges.append((rnd + 1, top.lhs, top.rhs, top.cnt))
+        pat = F.concat(F.lit(" "), F.lit(top.lhs), F.lit(" "), F.lit(top.rhs), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.lit(top.lhs), F.lit("~"), F.lit(top.rhs), F.lit(" "))
+        padded = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+        stream = stream.select(
+            F.trim(F.replace(F.replace(padded, pat, rep), pat, rep)).alias("s"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, pair_count long"
+    )

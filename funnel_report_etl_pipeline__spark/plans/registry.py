@@ -160,8 +160,10 @@ _WINDOW: tuple[str, ...] = (
     # running_total / event_funnel_windowed, external rows r2)
     "degree_assortativity",
     "weighted_sample_per_source",
+    # BPE merge induction — tokenizer family (displaces
+    # cube_segment_priority, external rows r2)
+    "bpe_merge_induction",
     # least-recently verified (external green row last held in round 2)
-    "cube_segment_priority",
     "join_salted",
     # next-least-recently verified (last external row round 4)
     "dedup_exact_norm",

@@ -100,6 +100,7 @@ def test_driver_window_composition_pinned():
         "jaccard_prefix_filter_pairs",
         "degree_assortativity",
         "weighted_sample_per_source",
+        "bpe_merge_induction",
     }
     assert rotated_in_r8 <= set(window)
     # every query OUTSIDE the window must already hold an external green

@@ -943,3 +943,38 @@ def test_weighted_sample_per_source_constant_frame(spark, specs):
     from collections import Counter
     per = Counter(r.source for r in got)
     assert len(per) == 20 and set(per.values()) == {8}
+
+
+def test_bpe_merges_on_textbook_corpus(spark, specs, tmp_path_factory):
+    # Sennrich's classic: "low low lower lowest". Pair counts round 1:
+    # (l,o)=4, (o,w)=4, (w,e)=2, rest 1 — tie broken lexicographically
+    # to (l,o). Then (l~o,w)=4, (l~o~w,e)=2, and the final round's
+    # all-count-1 tie resolves to (l~o~w~e, r).
+    docs = spark.createDataFrame(
+        [(1, "low low lower lowest", "en", "s0", 20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "bpe", {"documents": docs})
+    got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count)
+           for r in specs["bpe_merge_induction"].fn(spark, sf).collect()]
+    assert got == [
+        (1, "l", "o", 4),
+        (2, "l~o", "w", 4),
+        (3, "l~o~w", "e", 2),
+        (4, "l~o~w~e", "r", 1),
+    ]
+
+
+def test_bpe_chain_run_merges_pairwise_and_stops(spark, specs, tmp_path_factory):
+    # "aaaa" -> stream "a a a a": round 1 merges BOTH disjoint pairs (the
+    # doubled replace catches the second one) with count 3; round 2 merges
+    # the two "a~a" symbols; then no pairs remain and the loop stops early
+    # with 2 rows — matching the oracle's empty-CTE degradation.
+    docs = spark.createDataFrame(
+        [(1, "aaaa", "en", "s0", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "bpechain", {"documents": docs})
+    got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count)
+           for r in specs["bpe_merge_induction"].fn(spark, sf).collect()]
+    assert got == [(1, "a", "a", 3), (2, "a~a", "a~a", 1)]

@@ -30,11 +30,14 @@ from funnel_report_etl_pipeline__spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     out_path = None
-    if "--json" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--json") + 1]
+    argv = list(sys.argv[1:])
+    if "--json" in argv:
+        i = argv.index("--json")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]  # the OUT value must not be read as sf_dir
+    args = [a for a in argv if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     spark = get_spark(app_name="time_sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -46,6 +49,15 @@ def main() -> int:
             results[name] = round(time.perf_counter() - t0, 2)
         except Exception as exc:  # keep sweeping; report at the end
             results[name] = f"ERR {type(exc).__name__}: {exc}"
+        # drop persisted blocks (localCheckpoint pins MEMORY_AND_DISK RDDs
+        # for the session lifetime): without this, ~180 queries of
+        # checkpoint debt accumulate in one JVM and 1-2 late memory-heavy
+        # queries GC-thrash 2-10x their isolated time (round-8 sweeps
+        # recorded bigram 77s-then-5.6s, cosine 30s-then-58s run to run)
+        spark.catalog.clearCache()
+        it = spark._jsparkSession.sparkContext().getPersistentRDDs().valuesIterator()
+        while it.hasNext():
+            it.next().unpersist(False)
 
     errs = {k: v for k, v in results.items() if isinstance(v, str)}
     timed = sorted(
