@@ -163,8 +163,9 @@ _WINDOW: tuple[str, ...] = (
     # BPE merge induction — tokenizer family (displaces
     # cube_segment_priority, external rows r2)
     "bpe_merge_induction",
-    # least-recently verified (external green row last held in round 2)
-    "join_salted",
+    # k-core peeling — graph curation (displaces join_salted,
+    # external rows r2)
+    "k_core_peeling",
     # next-least-recently verified (last external row round 4)
     "dedup_exact_norm",
 )

@@ -101,6 +101,7 @@ def test_driver_window_composition_pinned():
         "degree_assortativity",
         "weighted_sample_per_source",
         "bpe_merge_induction",
+        "k_core_peeling",
     }
     assert rotated_in_r8 <= set(window)
     # every query OUTSIDE the window must already hold an external green

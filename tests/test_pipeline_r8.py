@@ -978,3 +978,44 @@ def test_bpe_chain_run_merges_pairwise_and_stops(spark, specs, tmp_path_factory)
     got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count)
            for r in specs["bpe_merge_induction"].fn(spark, sf).collect()]
     assert got == [(1, "a", "a", 3), (2, "a~a", "a~a", 1)]
+
+
+def test_k_core_peel_cascades_on_planted_graph(spark, tmp_path_factory):
+    # Triangle {1,2,3} plus a tail 3-4-5 (orders are co-order cliques:
+    # 100={1,2,3}, 101={3,4}, 102={4,5}). At k=2 the peel must CASCADE:
+    # round 1 drops 5 (deg 1), which lowers 4 to deg 1, so round 2 drops
+    # 4; the triangle survives at degree 2 each. A single degree filter
+    # would wrongly keep node 4.
+    from funnel_report_etl_pipeline__spark.plans.pipeline_r8 import _k_core_peel
+    ship = datetime(1996, 1, 1)
+    li = _li(spark, [
+        (100, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),
+        (100, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),
+        (100, 3, 1, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),
+        (101, 3, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),
+        (101, 4, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),
+        (102, 4, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),
+        (102, 5, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ship),
+    ])
+    sf = _write_sf(spark, tmp_path_factory, "kcore", {"lineitem": li})
+    got = sorted(
+        (r.part_id, r.core_degree)
+        for r in _k_core_peel(spark, sf, k=2, rounds=8).collect()
+    )
+    assert got == [(1, 2), (2, 2), (3, 2)]
+    # k=3 peels everything (no node has 3 neighbours after the cascade)
+    assert _k_core_peel(spark, sf, k=3, rounds=8).count() == 0
+
+
+def test_k_core_registered_fixpoint_reached(spark, specs):
+    # The registered query's early exit fires only when a round is an
+    # identity; pinning that one EXTRA round changes nothing at sf0.001
+    # proves the gate-scale output is the true fixpoint, not a
+    # truncated partial peel.
+    from funnel_report_etl_pipeline__spark.plans import pipeline_r8 as r8
+    sf = "/root/testdata/sf0.001"
+    base = {(r.part_id, r.core_degree)
+            for r in r8._k_core_peel(spark, sf, r8.KCORE_K, r8.KCORE_ROUNDS).collect()}
+    extra = {(r.part_id, r.core_degree)
+             for r in r8._k_core_peel(spark, sf, r8.KCORE_K, r8.KCORE_ROUNDS + 1).collect()}
+    assert base == extra
