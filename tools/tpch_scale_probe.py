@@ -64,6 +64,7 @@ QUERIES = (
     "cms_frequency_calibration",
     "t_closeness_profile",
     "degree_assortativity",
+    "k_core_peeling",
 )
 _KEY_STRIDE = 100_000_000
 
