@@ -2432,14 +2432,16 @@ def weighted_sample_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 4
 
 
-def _bpe_oracle(k: int = BPE_ROUNDS) -> str:
-    """Build the K-round unrolled DuckDB twin of the BPE merge loop.
-
-    Each round is three CTEs — pair counts over the current symbol
-    streams, the argmax merge (cnt DESC, lhs, rhs), the re-written
-    streams — generated by the same loop the Spark side runs, so the two
-    engines share the merge rule by construction (see the query
-    docstring for the replace-greedy definition)."""
+def _bpe_rounds_sql(k: int) -> str:
+    """The shared WITH-chain of the K-round unrolled DuckDB BPE twin:
+    word frequencies, the char-split symbol streams s0, then per round
+    three CTEs — pair counts over the current streams, the argmax merge
+    (cnt DESC, lhs, rhs), the re-written streams — generated by the same
+    loop the Spark side runs, so the two engines share the merge rule by
+    construction.  The stream rewrite is a LEFT JOIN ON TRUE with a
+    NULL-guard (NOT a cross join): when a round has no pairs left its
+    top{{i}} is empty and the stream must pass through unchanged —
+    matching the Spark loop's early exit — rather than vanish."""
     rounds = []
     for i in range(k):
         rounds.append(f"""
@@ -2456,18 +2458,15 @@ def _bpe_oracle(k: int = BPE_ROUNDS) -> str:
     ),
     top{i} AS (SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
     s{i + 1} AS (
-      SELECT trim(replace(replace(' ' || s || ' ',
+      SELECT CASE WHEN top{i}.lhs IS NULL THEN s ELSE
+             trim(replace(replace(' ' || s || ' ',
                    ' ' || top{i}.lhs || ' ' || top{i}.rhs || ' ',
                    ' ' || top{i}.lhs || '~' || top{i}.rhs || ' '),
                    ' ' || top{i}.lhs || ' ' || top{i}.rhs || ' ',
-                   ' ' || top{i}.lhs || '~' || top{i}.rhs || ' ')) AS s,
+                   ' ' || top{i}.lhs || '~' || top{i}.rhs || ' ')) END AS s,
              freq
-      FROM s{i} CROSS JOIN top{i}
+      FROM s{i} LEFT JOIN top{i} ON TRUE
     )""")
-    finals = "\n    UNION ALL ".join(
-        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, lhs, rhs, cnt AS pair_count FROM top{i}"
-        for i in range(k)
-    )
     return f"""
     WITH wf AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -2475,8 +2474,34 @@ def _bpe_oracle(k: int = BPE_ROUNDS) -> str:
       GROUP BY word
     ),
     s0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS s, freq
-           FROM wf),{",".join(rounds)}
+           FROM wf),{",".join(rounds)}"""
+
+
+def _bpe_oracle(k: int = BPE_ROUNDS) -> str:
+    """Merge-table finals over the shared round chain."""
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, lhs, rhs, cnt AS pair_count FROM top{i}"
+        for i in range(k)
+    )
+    return f"""{_bpe_rounds_sql(k)}
     SELECT * FROM ({finals}) ORDER BY merge_rank
+    """
+
+
+def _bpe_stats_oracle(k: int = BPE_ROUNDS) -> str:
+    """Corpus tokenization stats over the post-merge streams s{k}."""
+    return f"""{_bpe_rounds_sql(k)}
+    SELECT c.total_words, c.total_chars, t.total_tokens, v.vocab_size,
+           CAST(c.total_chars AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
+             AS chars_per_token
+    FROM (SELECT CAST(SUM(freq) AS BIGINT) AS total_words,
+                 CAST(SUM(len(word) * freq) AS BIGINT) AS total_chars
+          FROM wf) c,
+         (SELECT CAST(SUM(len(string_split(s, ' ')) * freq) AS BIGINT)
+                   AS total_tokens
+          FROM s{k}) t,
+         (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_size
+          FROM (SELECT unnest(string_split(s, ' ')) AS sym FROM s{k})) v
     """
 
 
@@ -2509,19 +2534,37 @@ def bpe_merge_induction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax reaches the driver as a SINGLE bounded row (the k-means
     centroid-collect precedent — the collected artifact is O(K), a
     hyperparameter, never data-sized)."""
+    stream = _bpe_stream(spark, sf_dir)
+    merges, _ = _bpe_run(stream, BPE_ROUNDS)
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, pair_count long"
+    )
+
+
+def _bpe_wf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE corpus-scale pass: the word-frequency table."""
     docs = _t(spark, sf_dir, "documents")
-    wf = (
+    return (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("freq"))
     )
+
+
+def _bpe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chars -> space-joined symbol stream; localCheckpoint: the K merge
     # rounds re-read this vocab-grain frame, not the corpus
-    stream = wf.select(
+    return _bpe_wf(spark, sf_dir).select(
         F.array_join(F.split("word", ""), " ").alias("s"), "freq"
     ).localCheckpoint()
+
+
+def _bpe_run(stream: DataFrame, rounds: int):
+    """Run the BPE merge loop on a prepared symbol-stream frame; returns
+    (merge table rows, post-merge stream) — shared by the merge-table
+    and tokenization-stats queries so both verify the same rule."""
     merges = []
-    for rnd in range(BPE_ROUNDS):
+    for rnd in range(rounds):
         pairs = (
             # size >= 2 guard: a fully-merged single-symbol stream has no
             # pairs — DuckDB's range(1, 1) is naturally empty, but Spark's
@@ -2543,9 +2586,10 @@ def bpe_merge_induction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = pairs.orderBy(F.col("cnt").desc(), "lhs", "rhs").limit(1).collect()
         if not rows:
-            # every stream fully merged: the oracle's later rounds degrade
-            # to empty CTEs (empty top -> empty cross-joined stream), so
-            # stopping here keeps the two engines' outputs identical
+            # every stream fully merged: the oracle's later rounds have
+            # an empty top{i} and its NULL-guarded LEFT JOIN passes the
+            # streams through unchanged, so stopping here keeps both the
+            # merge table AND the final streams identical across engines
             break
         top = rows[0]
         merges.append((rnd + 1, top.lhs, top.rhs, top.cnt))
@@ -2556,8 +2600,61 @@ def bpe_merge_induction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.replace(F.replace(padded, pat, rep), pat, rep)).alias("s"),
             "freq",
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "merge_rank long, lhs string, rhs string, pair_count long"
+    return merges, stream
+
+
+@register(
+    "bpe_token_stats",
+    oracle=_bpe_stats_oracle(),
+    tags=("pipeline-r8", "text", "tokenizer"),
+)
+def bpe_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization stats under the learned BPE merges — the
+    acceptance metric of tokenizer induction: total tokens after
+    applying [[bpe_merge_induction]]'s K merges, the induced symbol
+    vocabulary size, and chars-per-token (the compression ratio a
+    tokenizer is judged by; tokens-per-byte is its reciprocal).
+
+    Exactness: total_words, total_chars, total_tokens, and vocab_size
+    are integer sums/counts over the post-merge streams (identical
+    strings in both engines — same merge rule, see [[bpe_merge_induction]]);
+    chars_per_token is ONE IEEE division of two exact bigints.
+
+    Plan shape: the corpus is read ONCE (the word-frequency aggregate,
+    localCheckpointed) and BOTH consumers — the char/word totals and the
+    merge loop + token totals — read that vocab-grain frame; the final
+    combine is two 1-row broadcast cross joins (the scalar-waterfall
+    pattern).  Stats run at vocab grain regardless of corpus size."""
+    wf = _bpe_wf(spark, sf_dir).localCheckpoint()
+    chars = wf.agg(
+        F.sum("freq").cast("long").alias("total_words"),
+        F.sum(F.length("word") * F.col("freq")).cast("long").alias("total_chars"),
+    )
+    stream = wf.select(
+        F.array_join(F.split("word", ""), " ").alias("s"), "freq"
+    ).localCheckpoint()
+    _, stream = _bpe_run(stream, BPE_ROUNDS)
+    toks = stream.agg(
+        F.sum(F.size(F.split("s", " ")) * F.col("freq"))
+        .cast("long")
+        .alias("total_tokens")
+    )
+    vocab = stream.select(F.explode(F.split("s", " ")).alias("sym")).agg(
+        F.countDistinct("sym").cast("long").alias("vocab_size")
+    )
+    return (
+        chars.crossJoin(F.broadcast(toks))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "total_words",
+            "total_chars",
+            "total_tokens",
+            "vocab_size",
+            (
+                F.col("total_chars").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
     )
 
 

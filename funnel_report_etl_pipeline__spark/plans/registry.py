@@ -166,8 +166,9 @@ _WINDOW: tuple[str, ...] = (
     # k-core peeling — graph curation (displaces join_salted,
     # external rows r2)
     "k_core_peeling",
-    # next-least-recently verified (last external row round 4)
-    "dedup_exact_norm",
+    # BPE tokenization stats — tokenizer family (displaces
+    # dedup_exact_norm, external row r4)
+    "bpe_token_stats",
 )
 
 

@@ -52,7 +52,7 @@ def test_driver_window_composition_pinned():
     window = list(mod.queries())[:DRIVER_WINDOW]
     assert window == list(_WINDOW), "driver window drifted from curated _WINDOW"
     assert len(_WINDOW) == DRIVER_WINDOW == 50
-    assert window[-1] == "dedup_exact_norm"
+    assert window[-1] == "bpe_token_stats"
     specs = load_all()
     parity = [n for n, s in specs.items() if s.fn.__module__.endswith(".parity")]
     # parity must come first (driver smoke-checks the reference surface first)
@@ -102,6 +102,7 @@ def test_driver_window_composition_pinned():
         "weighted_sample_per_source",
         "bpe_merge_induction",
         "k_core_peeling",
+        "bpe_token_stats",
     }
     assert rotated_in_r8 <= set(window)
     # every query OUTSIDE the window must already hold an external green

@@ -1019,3 +1019,21 @@ def test_k_core_registered_fixpoint_reached(spark, specs):
     extra = {(r.part_id, r.core_degree)
              for r in r8._k_core_peel(spark, sf, r8.KCORE_K, r8.KCORE_ROUNDS + 1).collect()}
     assert base == extra
+
+
+def test_bpe_token_stats_on_textbook_corpus(spark, specs, tmp_path_factory):
+    # Same Sennrich corpus as the merge-table test. After the 4 merges
+    # (l+o, l~o+w, l~o~w+e, l~o~w~e+r): "low" -> 1 token (x2 freq),
+    # "lower" -> 1, "lowest" -> 3 ("l~o~w~e s t"), so total_tokens = 6
+    # over total_chars 3+3+5+6 = 17; the surviving symbol vocabulary is
+    # {l~o~w, l~o~w~e~r, l~o~w~e, s, t} = 5.
+    docs = spark.createDataFrame(
+        [(1, "low low lower lowest", "en", "s0", 20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "bpestats", {"documents": docs})
+    r = specs["bpe_token_stats"].fn(spark, sf).collect()[0]
+    assert (r.total_words, r.total_chars, r.total_tokens, r.vocab_size) == (
+        4, 17, 6, 5,
+    )
+    assert r.chars_per_token == 17 / 6
