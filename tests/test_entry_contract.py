@@ -63,11 +63,14 @@ def test_driver_window_composition_pinned():
     oracles = mod.oracle_sql()
     assert all(n in oracles for n in window), "no-oracle query inside the window"
     # round-8 rotation: the 7 round-7 registrations (the only names with
-    # zero external rows after round 7) AND the 9 round-8 registrations sit
+    # zero external rows after round 7) AND every round-8 registration sit
     # INSIDE the window — new queries now enter the window the round they
     # are registered, so the rotation creates no fresh debt and after
     # CORRECTNESS_r08 every registered query will have held at least one
-    # external value-hash row
+    # external value-hash row. With all 37 non-parity slots now occupied
+    # by zero-external-row entries, the window is FULL for round 8: any
+    # further registration must wait for the round-9 rotation (displacing
+    # these once CORRECTNESS_r08 lands).
     rotated_in_r8 = {
         "volume_shipping", "returned_item_report",
         "customer_order_distribution", "promo_revenue_pct",
