@@ -1,0 +1,589 @@
+"""Round-8 second close-out batch: statistical modeling, classic
+warehouse-ETL shapes, and a training-data decontamination audit.
+
+Three families the registry had not yet exercised:
+
+* **In-SQL statistical modeling** — grouped OLS regression from exact
+  decimal moment sums (`ols_brand_price_quantity`), a chi-square
+  independence table (`chi_square_flag_status`), and a first-order
+  Markov transition matrix over event streams
+  (`markov_event_transitions`).  Each reduces the corpus to exact
+  integer/decimal sufficient statistics FIRST, then applies the
+  floating formula as a fixed expression tree on the tiny aggregate —
+  the same determinism discipline as `conversion_lift_ztest`.
+* **Classic ETL** — market-basket association rules with
+  support/confidence/lift (`assoc_rules_brand`) and gaps-and-islands
+  run-length intervals, the SCD-type-2 build step
+  (`priority_change_intervals`), plus a fixed-window EWMA anomaly
+  score (`ewma_revenue_anomaly`) whose half-life weights are exact
+  binary fractions so the weighted sum is reproducible bit-for-bit.
+* **LLM-pipeline decontamination** — `benchmark_contamination` flags
+  training documents sharing word n-grams with a held-out benchmark
+  source, the train/test-overlap audit every pretraining corpus runs
+  (the production recipe uses 13-grams; this synthetic corpus has the
+  right selectivity at 4-grams — the plan is gram-size-agnostic).
+
+Reference parity note: the reference (report_engine.py /
+run_reports.py) has none of these — they extend the beyond-reference
+surface under the same Spark-first rules as plans/relational.py:
+declarative plans, pushed filters, size-gated broadcasts, and decimal/
+integer aggregation at every cross-row summation point so the DuckDB
+oracle reproduces every value exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.functions.core import dsum
+from funnel_report_etl_pipeline__spark.functions.hints import maybe_broadcast
+from funnel_report_etl_pipeline__spark.operators.dedup import gram_rows
+from funnel_report_etl_pipeline__spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression from exact moment sums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ols_brand_price_quantity",
+    oracle="""
+    WITH j AS (
+      SELECT p_brand AS brand, l_quantity AS x, l_extendedprice AS y
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    m AS (
+      SELECT brand,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(22,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(22,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(22,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(22,4))) AS DOUBLE) AS sxy
+      FROM j GROUP BY brand
+    )
+    SELECT brand, n_lines,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept
+    FROM m ORDER BY brand
+    """,
+    tags=("pipeline-r8b", "stats", "regression"),
+)
+def ols_brand_price_quantity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand ordinary-least-squares fit of extended price against
+    quantity — regression pushed INTO the engine as a grouped aggregate
+    (the `regr_slope` family, hand-built so both engines share one
+    accumulation order). The corpus pass collects only the sufficient
+    statistics (n, Σx, Σy, Σx², Σxy) in exact decimal — partial
+    aggregation combines map-side, one shuffle at brand grain (~25
+    groups), and the closed-form slope/intercept is a fixed double
+    expression tree on the 25-row aggregate. Determinism: quantities
+    are whole numbers (x and x² exact in decimal); x·y is one IEEE
+    multiply per row, identical on both engines, then exact-decimal
+    summed (`dsum`) so partitioning never changes a bit; the final
+    formula divides identically-derived doubles. Built-in
+    `covar_pop`/`regr_slope` are NOT used precisely because their
+    double-accumulation order is engine- and partitioning-dependent.
+    At 100 TB: the only corpus-grain work is the scan + map-side
+    partial; nothing but 25 moment rows crosses the cluster."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = (
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(x).alias("sx"),
+            dsum(y).alias("sy"),
+            dsum(x * x).alias("sxx"),
+            dsum(x * y).alias("sxy"),
+        )
+    )
+    n = F.col("n_lines").cast("double")
+    sx, sy, sxx, sxy = (F.col(c) for c in ("sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "brand",
+        "n_lines",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chi_square_flag_status",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS observed
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ),
+    t AS (
+      SELECT l_returnflag, l_linestatus, observed,
+             SUM(observed) OVER (PARTITION BY l_returnflag) AS row_total,
+             SUM(observed) OVER (PARTITION BY l_linestatus) AS col_total,
+             SUM(observed) OVER () AS grand_total
+      FROM cells
+    )
+    SELECT l_returnflag, l_linestatus, observed,
+           CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+             / CAST(grand_total AS DOUBLE) AS expected,
+           (CAST(observed AS DOUBLE)
+              - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                / CAST(grand_total AS DOUBLE))
+           * (CAST(observed AS DOUBLE)
+              - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                / CAST(grand_total AS DOUBLE))
+           / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+                / CAST(grand_total AS DOUBLE)) AS chi2_term
+    FROM t ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("pipeline-r8b", "stats", "audit"),
+)
+def chi_square_flag_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of return flag × line status: the
+    contingency table with per-cell expected counts and chi² terms (the
+    scalar statistic is their sum; per-cell rows are returned because a
+    cross-engine double sum over an unordered GROUP BY is the one thing
+    a hash gate cannot pin — each cell's term IS deterministic, being a
+    fixed expression over exact integer totals). One corpus aggregate
+    to cell grain (≤ 6 rows, map-side combined); row/column/grand
+    totals are windows over that 6-row frame — the single-partition
+    window is post-aggregation and size-bounded by the category
+    product, the documented scale-irrelevant case. At 100 TB nothing
+    but the cell counts leaves the scan stage."""
+    cells = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    row_t = F.sum("observed").over(Window.partitionBy("l_returnflag"))
+    col_t = F.sum("observed").over(Window.partitionBy("l_linestatus"))
+    grand = F.sum("observed").over(Window.partitionBy())
+    t = cells.select(
+        "l_returnflag",
+        "l_linestatus",
+        "observed",
+        row_t.alias("row_total"),
+        col_t.alias("col_total"),
+        grand.alias("grand_total"),
+    )
+    expected = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("grand_total").cast("double")
+    )
+    dev = F.col("observed").cast("double") - expected
+    return t.select(
+        "l_returnflag",
+        "l_linestatus",
+        "observed",
+        expected.alias("expected"),
+        (dev * dev / expected).alias("chi2_term"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over the event stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markov_event_transitions",
+    oracle="""
+    WITH tr AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM tr WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n_trans,
+           CAST(n_trans AS DOUBLE)
+             / CAST(SUM(n_trans) OVER (PARTITION BY src) AS DOUBLE) AS prob
+    FROM c ORDER BY src, dst
+    """,
+    tags=("pipeline-r8b", "stats", "events"),
+)
+def markov_event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each (src → dst) event-type pair, the transition count and the
+    row-normalized probability — the model behind next-event prediction
+    and session-flow dashboards. Successor extraction is a lead() over
+    (user, ts, event_id) — partitioned at user grain, so the shuffle is
+    the same scale-safe sessionize shape; (ts, event_id) is a total
+    order, pinning ties. The re-aggregation collapses to event-type²
+    grain (≤ 25 rows) with map-side combine; the row normalization is a
+    window over that tiny frame. Probabilities are single integer→
+    double divisions — exact inputs, one rounding, identical on both
+    engines. At 100 TB: one user-grain shuffle + one 25-row aggregate;
+    nothing else moves."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        ev.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    src_total = F.sum("n_trans").over(Window.partitionBy("src"))
+    return c.select(
+        "src",
+        "dst",
+        "n_trans",
+        (F.col("n_trans").cast("double") / src_total.cast("double")).alias("prob"),
+    ).orderBy("src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules at brand grain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "assoc_rules_brand",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    bn AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_brand
+           FROM ob GROUP BY brand),
+    tot AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+    pr AS (
+      SELECT a.brand AS antecedent, b.brand AS consequent,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand <> b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT antecedent, consequent, n_both,
+           CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+           CAST(n_both AS DOUBLE) / CAST(na.n_brand AS DOUBLE) AS confidence,
+           (CAST(n_both AS DOUBLE) * CAST(n_orders AS DOUBLE))
+             / (CAST(na.n_brand AS DOUBLE) * CAST(nb.n_brand AS DOUBLE))
+             AS lift
+    FROM pr
+    JOIN bn na ON na.brand = pr.antecedent
+    JOIN bn nb ON nb.brand = pr.consequent
+    CROSS JOIN tot
+    WHERE CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE) >= 0.005
+    ORDER BY antecedent, consequent
+    """,
+    tags=("pipeline-r8b", "recsys", "join"),
+)
+def assoc_rules_brand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at brand grain: for every
+    directed brand pair co-occurring in an order, support, confidence
+    and lift — the Apriori output for itemsets of size 2, the grain
+    where rule mining is a pure DataFrame plan (no candidate
+    generation: the item vocabulary is the 25-brand dimension, so the
+    pair space is bounded at vocab², not corpus-sized). Plan: project
+    lineitem to (order, brand) via a size-gated broadcast of part,
+    DISTINCT (one fact-grain shuffle), self-join on the order key —
+    co-partitioned on the distinct's own hash, so AQE reuses the
+    exchange — then collapse immediately to pair grain with map-side
+    combine. Brand marginals and the order total are vocab-grain /
+    1-row broadcast joins. Metrics are single-rounding ratios of exact
+    BIGINT counts (support and the 0.005 floor are scale-invariant
+    ratios, so the query is SF-portable). At 100 TB the only growing
+    stages are the distinct and the self-join, both keyed on uniform
+    order keys; a basket-size cap would bound the worst case the same
+    way the LSH stop-gram guard does."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    bn = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    tot = ob.agg(F.countDistinct("okey").alias("n_orders"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") != F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("antecedent"),
+            F.col("b.brand").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = bn.select(F.col("brand").alias("antecedent"), F.col("n_brand").alias("n_a"))
+    nb = bn.select(F.col("brand").alias("consequent"), F.col("n_brand").alias("n_b"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        pr.join(maybe_broadcast(na), "antecedent")
+        .join(maybe_broadcast(nb), "consequent")
+        .crossJoin(F.broadcast(tot))
+        .filter(d("n_both") / d("n_orders") >= 0.005)
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            (d("n_both") / d("n_orders")).alias("support"),
+            (d("n_both") / d("n_a")).alias("confidence"),
+            ((d("n_both") * d("n_orders")) / (d("n_a") * d("n_b"))).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: SCD-type-2 validity intervals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_change_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+      FROM orders WHERE o_custkey < 150
+    ),
+    chg AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+                    OR LAG(o_orderpriority) OVER w <> o_orderpriority
+                  THEN 1 ELSE 0 END AS is_change
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    isl AS (
+      SELECT *,
+             SUM(is_change) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM chg
+    )
+    SELECT o_custkey, CAST(island AS BIGINT) AS island,
+           MIN(o_orderpriority) AS priority,
+           MIN(o_orderdate) AS valid_from,
+           MAX(o_orderdate) AS valid_to,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM isl GROUP BY o_custkey, island
+    ORDER BY o_custkey, island
+    """,
+    tags=("pipeline-r8b", "etl", "window"),
+)
+def priority_change_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run-length encoding — the SCD-type-2 build step:
+    per customer, collapse consecutive orders sharing an order priority
+    into one validity interval [valid_from, valid_to] with the run
+    length. The change detector is a lag() over (customer; date, key) —
+    a total order, so island ids are deterministic — and the island id
+    is the running sum of change flags (the standard decomposition; no
+    recursion, two windows over the SAME partitioning so Spark plans
+    ONE shuffle and two in-partition sorts). The interval collapse is a
+    groupBy at (customer, island) grain. Output is filtered to a fixed
+    customer range for gate-sized results; the plan is unfiltered-safe
+    because every stage is customer-partitioned — the 100 TB SCD2 run
+    is the same two windows, one exchange, no corpus-grain state."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 150)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderpriority").over(w)
+    chg = o.withColumn(
+        "is_change",
+        F.when(prev.isNull() | (prev != F.col("o_orderpriority")), 1).otherwise(0),
+    )
+    isl = chg.withColumn(
+        "island",
+        F.sum("is_change").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("o_custkey", "island")
+        .agg(
+            F.min("o_orderpriority").alias("priority"),
+            F.min("o_orderdate").alias("valid_from"),
+            F.max("o_orderdate").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey", "island")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA anomaly score with exact binary weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ewma_revenue_anomaly",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(22,4))) AS DOUBLE) AS rev
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    l AS (
+      SELECT day, rev,
+             ROW_NUMBER() OVER w AS rn,
+             LAG(rev, 1) OVER w AS x1, LAG(rev, 2) OVER w AS x2,
+             LAG(rev, 3) OVER w AS x3, LAG(rev, 4) OVER w AS x4,
+             LAG(rev, 5) OVER w AS x5, LAG(rev, 6) OVER w AS x6
+      FROM d WINDOW w AS (ORDER BY day)
+    ),
+    e AS (
+      SELECT day, rev,
+             rev * 0.5 + x1 * 0.25 + x2 * 0.125 + x3 * 0.0625
+               + x4 * 0.03125 + x5 * 0.015625 + x6 * 0.015625 AS ewma
+      FROM l WHERE rn >= 7
+    )
+    SELECT day, rev, ewma, rev / ewma AS ratio,
+           CAST(CASE WHEN rev / ewma > 1.25 OR rev / ewma < 0.8
+                     THEN 1 ELSE 0 END AS INT) AS anomalous
+    FROM e ORDER BY day
+    """,
+    tags=("pipeline-r8b", "stats", "timeseries"),
+)
+def ewma_revenue_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving-average anomaly score over daily
+    revenue: each day's revenue against the EWMA of its trailing week,
+    flagging days outside ±25/−20%. The EWMA is the half-life-one-day
+    finite kernel (weights ½, ¼, …, 1/64, 1/64 — exact binary
+    fractions summing to exactly 1), unrolled as six lag() columns and
+    one left-associated multiply-add chain: every term is a single IEEE
+    operation on an exactly-decimal-summed daily total, so the score is
+    bit-identical across engines and partitionings — the reason the
+    kernel is unrolled rather than computed with pow(). The recursive
+    infinite-history EWMA is deliberately NOT used: it is
+    order-sequential (a foldLeft over the corpus), while the finite
+    kernel is a pure window — the Spark-first formulation. Day grain
+    makes the global window scale-irrelevant (≤ a few thousand rows
+    after the one corpus aggregate, the documented post-agg exemption).
+    """
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("day")
+    lags = {f"x{i}": F.lag("rev", i).over(w) for i in range(1, 7)}
+    l = d.select(
+        "day", "rev", F.row_number().over(w).alias("rn"),
+        *[c.alias(n) for n, c in lags.items()],
+    )
+    ewma = (
+        F.col("rev") * 0.5
+        + F.col("x1") * 0.25
+        + F.col("x2") * 0.125
+        + F.col("x3") * 0.0625
+        + F.col("x4") * 0.03125
+        + F.col("x5") * 0.015625
+        + F.col("x6") * 0.015625
+    )
+    e = l.filter(F.col("rn") >= 7).select("day", "rev", ewma.alias("ewma"))
+    ratio = F.col("rev") / F.col("ewma")
+    return e.select(
+        "day",
+        "rev",
+        "ewma",
+        ratio.alias("ratio"),
+        F.when((ratio > 1.25) | (ratio < 0.8), 1).otherwise(0).alias("anomalous"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram train/test overlap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benchmark_contamination",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, source,
+             md5(array_to_string(toks[i:i+3], ' ')) AS h
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 2)) AS i) s
+      WHERE len(toks) >= 4
+    ),
+    bench AS (SELECT DISTINCT h FROM g WHERE source = 'src0'),
+    tr AS (SELECT doc_id, h FROM g WHERE source <> 'src0')
+    SELECT tr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS contamination_ratio
+    FROM tr LEFT JOIN bench b USING (h)
+    GROUP BY tr.doc_id
+    HAVING SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+    ORDER BY tr.doc_id
+    """,
+    tags=("pipeline-r8b", "text", "dedup", "llm"),
+)
+def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination audit: training documents sharing any
+    word n-gram with a held-out benchmark source ('src0' stands in for
+    an eval suite), with the per-document contaminated-gram count and
+    ratio — the overlap check run before every pretraining corpus
+    ships (GPT-3 appendix C / PaLM-style 13-gram collision; this
+    synthetic corpus has the right selectivity at 4-grams, and the
+    plan is gram-size-agnostic). Plan: benchmark grams are built from
+    the source-filtered scan (filter pushed to parquet) and reduced to
+    a DISTINCT md5 set — benchmark suites are bounded, so the set gets
+    a size-gated broadcast and the train side never shuffles for the
+    probe; training grams stream through one left join + one doc-grain
+    aggregate (n_grams and hits in a single pass — no double gram
+    build). Grams travel as 16-byte md5 keys, never text. At 100 TB
+    this is one scan + one doc-grain shuffle; the broadcast is
+    benchmark-sized (fixed), honoring the no-corpus-sized-broadcast
+    invariant."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    bench_grams = (
+        gram_rows(docs.filter(F.col("source") == "src0"), ngram=4)
+        .select(F.md5("gram").alias("h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train_g = gram_rows(docs.filter(F.col("source") != "src0"), ngram=4).select(
+        F.col("id").alias("doc_id"), F.md5("gram").alias("h")
+    )
+    hit = F.coalesce(F.col("__hit"), F.lit(0))
+    return (
+        train_g.join(maybe_broadcast(bench_grams), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(hit).alias("n_contaminated"),
+        )
+        .filter(F.col("n_contaminated") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("contamination_ratio"),
+        )
+        .orderBy("doc_id")
+    )

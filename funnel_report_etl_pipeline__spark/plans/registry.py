@@ -69,6 +69,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline_r6,  # round-6 batch (entity waterfall + additions)
         pipeline_r7,  # round-7 batch (scale-safe rank variants + Q8/Q9)
         pipeline_r8,  # round-8 batch (Q15/Q17/Q19/Q21 + drift/skew audits)
+        pipeline_r8b,  # round-8 close batch #2 (stats / ETL / decontamination)
     )
 
     return REGISTRY

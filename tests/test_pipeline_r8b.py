@@ -1,0 +1,257 @@
+"""Round-8 close batch #2: planted-fixture behavior tests (oracle parity
+is covered by driver_sim / CORRECTNESS; these pin the semantics on inputs
+where the right answer is computable by hand)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+
+from funnel_report_etl_pipeline__spark.plans.registry import load_all
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all()
+
+
+def _write_sf(spark, tmp_path_factory, name: str, frames: dict):
+    d = tmp_path_factory.mktemp(name)
+    for t, df in frames.items():
+        df.coalesce(1).write.mode("overwrite").parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _li(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+
+
+def _part(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+SHIP = datetime(1996, 1, 1)
+
+
+def test_ols_recovers_planted_line(spark, specs, tmp_path_factory):
+    # brand A: y = 2x exactly -> slope 2, intercept 0
+    # brand B: y = 2x + 1 exactly -> slope 2, intercept 1
+    li = _li(
+        spark,
+        [
+            (1, 1, 1, 1, 1.0, 2.0, 0.0, 0.0, "N", "O", SHIP),
+            (1, 1, 1, 2, 2.0, 4.0, 0.0, 0.0, "N", "O", SHIP),
+            (1, 1, 1, 3, 3.0, 6.0, 0.0, 0.0, "N", "O", SHIP),
+            (2, 2, 1, 1, 1.0, 3.0, 0.0, 0.0, "N", "O", SHIP),
+            (2, 2, 1, 2, 2.0, 5.0, 0.0, 0.0, "N", "O", SHIP),
+        ],
+    )
+    part = _part(
+        spark,
+        [(1, "pa", "A", "T", 1, 1.0), (2, "pb", "B", "T", 1, 1.0)],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "ols", {"lineitem": li, "part": part})
+    rows = {
+        r["brand"]: r
+        for r in specs["ols_brand_price_quantity"].fn(spark, sf).collect()
+    }
+    assert rows["A"]["slope"] == pytest.approx(2.0) and rows["A"][
+        "intercept"
+    ] == pytest.approx(0.0)
+    assert rows["B"]["slope"] == pytest.approx(2.0) and rows["B"][
+        "intercept"
+    ] == pytest.approx(1.0)
+    assert rows["A"]["n_lines"] == 3 and rows["B"]["n_lines"] == 2
+
+
+def test_chi_square_terms_hand_computed(spark, specs, tmp_path_factory):
+    # 2x2 table with counts 30/10/10/30: N=80, all marginals 40,
+    # expected 20 everywhere, term = (obs-20)^2/20 = 5 for every cell.
+    rows = []
+    ln = 0
+    for flag, status, n in [("A", "F", 30), ("A", "O", 10), ("R", "F", 10), ("R", "O", 30)]:
+        for _ in range(n):
+            ln += 1
+            rows.append((1, 1, 1, ln, 1.0, 1.0, 0.0, 0.0, flag, status, SHIP))
+    sf = _write_sf(
+        spark, tmp_path_factory, "chi2", {"lineitem": _li(spark, rows)}
+    )
+    out = specs["chi_square_flag_status"].fn(spark, sf).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["expected"] == pytest.approx(20.0)
+        assert r["chi2_term"] == pytest.approx(5.0)
+    total = sum(r["chi2_term"] for r in out)
+    assert total == pytest.approx(20.0)
+
+
+def test_markov_transitions_probabilities(spark, specs, tmp_path_factory):
+    # user 1: A,B,A,B -> A->B twice, B->A once; user 2: C,C -> C->C once.
+    t = lambda i: datetime(2024, 1, 1, 0, i)  # noqa: E731
+    ev = _ev(
+        spark,
+        [
+            (1, t(0), 1, "A", 0.0, "{}"),
+            (2, t(1), 1, "B", 0.0, "{}"),
+            (3, t(2), 1, "A", 0.0, "{}"),
+            (4, t(3), 1, "B", 0.0, "{}"),
+            (5, t(0), 2, "C", 0.0, "{}"),
+            (6, t(1), 2, "C", 0.0, "{}"),
+        ],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "markov", {"events": ev})
+    out = {
+        (r["src"], r["dst"]): r
+        for r in specs["markov_event_transitions"].fn(spark, sf).collect()
+    }
+    assert out[("A", "B")]["n_trans"] == 2
+    assert out[("A", "B")]["prob"] == pytest.approx(1.0)
+    assert out[("B", "A")]["n_trans"] == 1
+    assert out[("C", "C")]["prob"] == pytest.approx(1.0)
+    # last event of each user emits no transition; cross-user pairs never form
+    assert ("B", "C") not in out and ("C", "A") not in out
+
+
+def test_assoc_rules_support_confidence_lift(spark, specs, tmp_path_factory):
+    # orders: {X,Y}, {X,Y}, {X}, {Y,Z} -> N=4, n_X=3, n_Y=3, n_Z=1, n_XY=2
+    li = _li(
+        spark,
+        [
+            (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP),
+            (1, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP),
+            (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP),
+            (2, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP),
+            (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP),
+            (4, 2, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP),
+            (4, 3, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP),
+            # duplicate line of the same (order, brand): DISTINCT must fold it
+            (1, 1, 1, 3, 9.0, 9.0, 0.0, 0.0, "N", "O", SHIP),
+        ],
+    )
+    part = _part(
+        spark,
+        [(1, "px", "X", "T", 1, 1.0), (2, "py", "Y", "T", 1, 1.0), (3, "pz", "Z", "T", 1, 1.0)],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "assoc", {"lineitem": li, "part": part})
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in specs["assoc_rules_brand"].fn(spark, sf).collect()
+    }
+    xy = out[("X", "Y")]
+    assert xy["n_both"] == 2
+    assert xy["support"] == pytest.approx(0.5)
+    assert xy["confidence"] == pytest.approx(2 / 3)
+    assert xy["lift"] == pytest.approx((2 * 4) / (3 * 3))
+    yz = out[("Y", "Z")]
+    assert yz["confidence"] == pytest.approx(1 / 3)
+    assert yz["lift"] == pytest.approx((1 * 4) / (3 * 1))
+    # rules are directed: both orientations present with their own confidence
+    assert out[("Z", "Y")]["confidence"] == pytest.approx(1.0)
+
+
+def test_priority_islands_runs_and_bounds(spark, specs, tmp_path_factory):
+    # customer 1: P1,P1,P2,P1 -> 3 islands; same-date tie broken by orderkey
+    d = lambda i: datetime(2024, 1, i)  # noqa: E731
+    orders = _orders(
+        spark,
+        [
+            (1, 1, "O", 10.0, d(1), "P1"),
+            (2, 1, "O", 10.0, d(2), "P1"),
+            (3, 1, "O", 10.0, d(3), "P2"),
+            (4, 1, "O", 10.0, d(4), "P1"),
+            (5, 2, "O", 10.0, d(1), "P9"),
+        ],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "scd2", {"orders": orders})
+    out = specs["priority_change_intervals"].fn(spark, sf).collect()
+    c1 = [r for r in out if r["o_custkey"] == 1]
+    assert [r["island"] for r in c1] == [1, 2, 3]
+    assert [r["priority"] for r in c1] == ["P1", "P2", "P1"]
+    assert c1[0]["n_orders"] == 2
+    assert c1[0]["valid_from"] == d(1) and c1[0]["valid_to"] == d(2)
+    assert c1[1]["valid_from"] == d(3) and c1[1]["valid_to"] == d(3)
+    # single-order customer: exactly one island covering one day
+    c2 = [r for r in out if r["o_custkey"] == 2]
+    assert len(c2) == 1 and c2[0]["n_orders"] == 1
+
+
+def test_ewma_flat_series_then_spike(spark, specs, tmp_path_factory):
+    # 8 flat days at 100, then a 200 spike: flat days have ewma=100,
+    # ratio=1; the spike day's ewma = 0.5*200 + 0.5*100 = 150 (weights sum
+    # to exactly 1), ratio = 4/3 > 1.25 -> anomalous.
+    d = lambda i: datetime(2024, 1, i)  # noqa: E731
+    rows = [(i, 1, "O", 100.0, d(i), "P") for i in range(1, 9)]
+    rows.append((9, 1, "O", 200.0, d(9), "P"))
+    sf = _write_sf(
+        spark, tmp_path_factory, "ewma", {"orders": _orders(spark, rows)}
+    )
+    out = specs["ewma_revenue_anomaly"].fn(spark, sf).collect()
+    # rn >= 7 -> days 7, 8, 9 only
+    assert [r["day"] for r in out] == [d(7), d(8), d(9)]
+    assert out[0]["ewma"] == pytest.approx(100.0) and out[0]["anomalous"] == 0
+    assert out[1]["ratio"] == pytest.approx(1.0)
+    assert out[2]["ewma"] == pytest.approx(150.0)
+    assert out[2]["ratio"] == pytest.approx(200.0 / 150.0)
+    assert out[2]["anomalous"] == 1
+
+
+def test_contamination_flags_shared_grams_only(spark, specs, tmp_path_factory):
+    # benchmark (src0): "a b c d e" -> 4-grams {abcd, bcde}
+    # train doc 10: "a b c d x" -> grams {abcd, bcdx}: 1 of 2 contaminated
+    # train doc 11: "p q r s t" -> no overlap: excluded from the report
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e", "en", "src0", 9),
+            (10, "a b c d x", "en", "src1", 9),
+            (11, "p q r s t", "en", "src2", 9),
+        ],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "contam", {"documents": docs})
+    out = specs["benchmark_contamination"].fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == 10
+    assert r["n_grams"] == 2 and r["n_contaminated"] == 1
+    assert r["contamination_ratio"] == pytest.approx(0.5)
+
+
+def test_ewma_weights_sum_to_one():
+    # the unrolled kernel must be a true weighted average: exact binary
+    # fractions summing to exactly 1.0 (no normalization divide needed)
+    w = [0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.015625]
+    assert math.fsum(w) == 1.0 and sum(w) == 1.0

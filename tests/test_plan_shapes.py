@@ -293,6 +293,12 @@ WINDOW_SHUFFLE_BUDGET = {
     "sql_lateral_topk": 1, "regexp_funcs": 0, "map_funcs": 0,
     "dedup_exact_norm": 1, "token_counts": 0, "lang_id_heuristic": 0,
     "lang_id_char_ngrams": 0,
+    # round-8 close rotations: the BPE loop and the k-core peel run their
+    # iterations eagerly inside fn() behind localCheckpoint barriers, so
+    # the FINAL plan is checkpoint-truncated — the budget pins the
+    # returned frame's own exchanges (vocab-grain combine for the token
+    # stats), not the per-round work, which the scale probes cover
+    "bpe_merge_induction": 0, "k_core_peeling": 0, "bpe_token_stats": 1,
 }
 
 
