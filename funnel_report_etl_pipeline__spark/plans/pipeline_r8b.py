@@ -587,3 +587,245 @@ def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Community modularity of the co-order graph (brand partition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "community_modularity",
+    oracle="""
+    WITH co AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    lab AS (SELECT p_partkey AS id, p_brand AS community FROM part),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM co),
+    intra AS (
+      SELECT lu.community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+      FROM co JOIN lab lu ON co.u = lu.id JOIN lab lv ON co.v = lv.id
+      WHERE lu.community = lv.community
+      GROUP BY lu.community
+    ),
+    ends AS (SELECT u AS x FROM co UNION ALL SELECT v FROM co),
+    deg AS (SELECT x AS id, CAST(COUNT(*) AS BIGINT) AS d
+            FROM ends GROUP BY x),
+    comm AS (
+      SELECT lab.community,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(deg.d) AS BIGINT) AS degree_sum
+      FROM deg JOIN lab ON deg.id = lab.id
+      GROUP BY lab.community
+    )
+    SELECT comm.community, comm.n_nodes,
+           COALESCE(intra.intra_edges, 0) AS intra_edges,
+           comm.degree_sum,
+           CAST(COALESCE(intra.intra_edges, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+             - (CAST(comm.degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+               * (CAST(comm.degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+             AS modularity_term
+    FROM comm LEFT JOIN intra ON comm.community = intra.community
+    CROSS JOIN m
+    ORDER BY comm.community
+    """,
+    tags=("pipeline-r8b", "graph", "stats"),
+)
+def community_modularity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition over the part co-order
+    graph, one row per community — the quality score for ANY candidate
+    community assignment (here the catalog's own brand labels; global
+    Q is the column sum). Completes the graph-audit family (PageRank,
+    triangles, k-core, assortativity): modularity is what decides
+    whether a clustering of the co-occurrence graph is real structure
+    or noise. The edge build is `triangle_count`'s (orderkey self-join,
+    repartitioned, distinct), localCheckpointed because it feeds the
+    intra-edge count AND the degree frame; labels are a size-gated
+    part-dimension broadcast. Each community's term is
+    L_c/m − (D_c/2m)² computed from exact BIGINT counts with the
+    square as an explicit multiply (pow is not engine-exact) — the
+    per-community rows are returned instead of the scalar sum because
+    an unordered cross-group double sum is the one thing the hash gate
+    cannot pin. At 100 TB: one fact self-join (the probed co-order
+    shape), |V|-grain degree frame, vocab-grain output."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(32, "l_orderkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("community")
+    )
+    lu = lab.withColumnsRenamed({"id": "u", "community": "cu"})
+    lv = lab.withColumnsRenamed({"id": "v", "community": "cv"})
+    m = co.agg(F.count("*").cast("long").alias("m"))
+    intra = (
+        co.join(maybe_broadcast(lu), "u")
+        .join(maybe_broadcast(lv), "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").cast("long").alias("intra_edges"))
+    )
+    ends = co.select(F.col("u").alias("x")).unionByName(co.select(F.col("v").alias("x")))
+    deg = ends.groupBy(F.col("x").alias("id")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    comm = (
+        deg.join(maybe_broadcast(lab), "id")
+        .groupBy("community")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+    )
+    md = F.col("m").cast("double")
+    frac = F.col("degree_sum").cast("double") / (F.lit(2.0) * md)
+    return (
+        comm.join(intra, "community", "left")
+        .withColumn("intra_edges", F.coalesce(F.col("intra_edges"), F.lit(0)))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            "intra_edges",
+            "degree_sum",
+            (F.col("intra_edges").cast("double") / md - frac * frac).alias(
+                "modularity_term"
+            ),
+        )
+        .orderBy("community")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k entry paths (first-3-event sequences)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_path_topk",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn = 1 THEN event_type END) AS e1,
+             MAX(CASE WHEN rn = 2 THEN event_type END) AS e2,
+             MAX(CASE WHEN rn = 3 THEN event_type END) AS e3
+      FROM r WHERE rn <= 3 GROUP BY user_id
+    ),
+    c AS (
+      SELECT concat_ws('>', e1, e2, e3) AS path,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM p GROUP BY concat_ws('>', e1, e2, e3)
+    )
+    SELECT path, n_users FROM c ORDER BY n_users DESC, path LIMIT 10
+    """,
+    tags=("pipeline-r8b", "events", "analytics"),
+)
+def event_path_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 user entry paths: the first three event types per user in
+    arrival order, folded to a path string and ranked by user count —
+    the "how do sessions start" report behind onboarding funnels and
+    the qualitative companion to `markov_event_transitions` (which
+    models single steps; this surfaces whole prefixes). Rank extraction
+    is a row_number over the (user; ts, event_id) total order filtered
+    to rn ≤ 3 — WindowGroupLimit keeps per-task state at 3 rows per
+    user; the pivot to (e1, e2, e3) is conditional aggregation (exact,
+    order-free — collect_list is NOT used because its intra-group order
+    is partitioning-dependent); concat_ws skips NULLs identically on
+    both engines, so sub-3-event users fold to their shorter prefix.
+    The final top-10 is count-then-path ordered (total tie-break) and
+    plans as TakeOrderedAndProject over the path-grain frame. At
+    100 TB: one user-grain shuffle, one ≤|event_type|³-grain aggregate.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    p = r.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("rn") == i, F.col("event_type"))).alias(f"e{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    c = p.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count("*").cast("long").alias("n_users"))
+    return c.orderBy(F.col("n_users").desc(), "path").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Gini impurity per segment (integer-exact sum of squares)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gini_impurity_segments",
+    oracle="""
+    WITH oc AS (
+      SELECT c_mktsegment AS segment, o_orderpriority AS prio
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    pc AS (
+      SELECT segment, prio, CAST(COUNT(*) AS BIGINT) AS np
+      FROM oc GROUP BY segment, prio
+    ),
+    s AS (
+      SELECT segment,
+             CAST(SUM(np) AS BIGINT) AS n_orders,
+             CAST(SUM(np * np) AS BIGINT) AS ssq
+      FROM pc GROUP BY segment
+    )
+    SELECT segment, n_orders,
+           1.0 - CAST(ssq AS DOUBLE)
+             / (CAST(n_orders AS DOUBLE) * CAST(n_orders AS DOUBLE)) AS gini
+    FROM s ORDER BY segment
+    """,
+    tags=("pipeline-r8b", "stats", "audit"),
+)
+def gini_impurity_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity of the order-priority distribution per market
+    segment — the class-balance / homogeneity audit (the split
+    criterion of decision trees, and a drift check for label mixes in
+    curation pipelines). The naive form Σp² is an unordered double sum
+    (engine-unpinnable); rewritten as 1 − (Σ n_p²)/n² the numerator
+    and denominator are exact BIGINTs — one corpus aggregate to
+    (segment, priority) grain with map-side combine, a second tiny
+    re-agg, and ONE double division per segment (past ~9e15 orders per
+    segment the closing casts round, identically on both engines).
+    Customer is a size-gated dimension broadcast. Output is
+    segment-grain (5 rows) whatever the corpus size."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pc = (
+        orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").cast("long").alias("np"))
+    )
+    s = pc.groupBy("segment").agg(
+        F.sum("np").cast("long").alias("n_orders"),
+        F.sum(F.col("np") * F.col("np")).cast("long").alias("ssq"),
+    )
+    nd = F.col("n_orders").cast("double")
+    return s.select(
+        "segment",
+        "n_orders",
+        (F.lit(1.0) - F.col("ssq").cast("double") / (nd * nd)).alias("gini"),
+    ).orderBy("segment")

@@ -146,6 +146,7 @@ def test_driver_window_composition_pinned():
         "markov_event_transitions", "assoc_rules_brand",
         "priority_change_intervals", "ewma_revenue_anomaly",
         "benchmark_contamination",
+        "community_modularity", "event_path_topk", "gini_impurity_segments",
     }
     outside = set(mod.queries()) - set(window)
     assert outside - verified <= new_r8_late, sorted(outside - verified - new_r8_late)

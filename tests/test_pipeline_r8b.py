@@ -255,3 +255,77 @@ def test_ewma_weights_sum_to_one():
     # fractions summing to exactly 1.0 (no normalization divide needed)
     w = [0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.015625]
     assert math.fsum(w) == 1.0 and sum(w) == 1.0
+
+
+def test_modularity_hand_computed_graph(spark, specs, tmp_path_factory):
+    # co-order edges: {1,2} (twice -> distinct folds), {3,4}, {1,3}
+    # brands: parts 1,2 -> A; 3,4 -> B. m=3, intra_A=1, intra_B=1,
+    # degrees 1:2, 2:1, 3:2, 4:1 -> D_A=3, D_B=3,
+    # term = 1/3 - (3/6)^2 = 1/12 for both communities.
+    li = _li(
+        spark,
+        [
+            (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP),
+            (1, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP),
+            (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP),
+            (2, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP),
+            (3, 3, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP),
+            (3, 4, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP),
+            (4, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP),
+            (4, 3, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP),
+        ],
+    )
+    part = _part(
+        spark,
+        [(1, "p1", "A", "T", 1, 1.0), (2, "p2", "A", "T", 1, 1.0),
+         (3, "p3", "B", "T", 1, 1.0), (4, "p4", "B", "T", 1, 1.0)],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "mod", {"lineitem": li, "part": part})
+    out = {r["community"]: r for r in specs["community_modularity"].fn(spark, sf).collect()}
+    for c in ("A", "B"):
+        assert out[c]["n_nodes"] == 2
+        assert out[c]["intra_edges"] == 1
+        assert out[c]["degree_sum"] == 3
+        assert out[c]["modularity_term"] == pytest.approx(1 / 3 - 0.25)
+    # global Q for this split
+    assert sum(r["modularity_term"] for r in out.values()) == pytest.approx(1 / 6)
+
+
+def test_event_path_topk_prefixes(spark, specs, tmp_path_factory):
+    t = lambda i: datetime(2024, 1, 1, 0, i)  # noqa: E731
+    rows = []
+    eid = 0
+    for uid, seq in [(1, "ABCD"), (2, "AB"), (3, "ABC")]:
+        for i, et in enumerate(seq):
+            eid += 1
+            rows.append((eid, t(i), uid, et, 0.0, "{}"))
+    sf = _write_sf(spark, tmp_path_factory, "paths", {"events": _ev(spark, rows)})
+    out = specs["event_path_topk"].fn(spark, sf).collect()
+    # only the first 3 events count: user 1's D is ignored
+    assert out[0]["path"] == "A>B>C" and out[0]["n_users"] == 2
+    assert out[1]["path"] == "A>B" and out[1]["n_users"] == 1
+
+
+def test_gini_impurity_uniform_and_pure(spark, specs, tmp_path_factory):
+    d = datetime(2024, 1, 1)
+    cust = spark.createDataFrame(
+        [(1, "c1", 1, 0.0, "S1"), (2, "c2", 1, 0.0, "S2")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    orders = _orders(
+        spark,
+        [
+            (1, 1, "O", 1.0, d, "P1"), (2, 1, "O", 1.0, d, "P1"),
+            (3, 1, "O", 1.0, d, "P2"), (4, 1, "O", 1.0, d, "P2"),
+            (5, 2, "O", 1.0, d, "P1"), (6, 2, "O", 1.0, d, "P1"),
+        ],
+    )
+    sf = _write_sf(
+        spark, tmp_path_factory, "gini", {"orders": orders, "customer": cust}
+    )
+    out = {r["segment"]: r for r in specs["gini_impurity_segments"].fn(spark, sf).collect()}
+    # S1: 2+2 split -> 1 - (4+4)/16 = 0.5 ; S2: pure -> 0
+    assert out["S1"]["gini"] == pytest.approx(0.5)
+    assert out["S2"]["gini"] == pytest.approx(0.0)
+    assert out["S1"]["n_orders"] == 4 and out["S2"]["n_orders"] == 2

@@ -65,6 +65,14 @@ QUERIES = (
     "t_closeness_profile",
     "degree_assortativity",
     "k_core_peeling",
+    # round-8 close batch #2: the fact-consuming stats/ETL shapes
+    # (markov/contamination consume events/documents — probed inline,
+    # see PLANS.md)
+    "ols_brand_price_quantity",
+    "chi_square_flag_status",
+    "assoc_rules_brand",
+    "priority_change_intervals",
+    "ewma_revenue_anomaly",
 )
 _KEY_STRIDE = 100_000_000
 
