@@ -289,6 +289,7 @@ def markov_event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY antecedent, consequent
     """,
     tags=("pipeline-r8b", "recsys", "join"),
+    bench=True,
 )
 def assoc_rules_brand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules at brand grain: for every
@@ -539,6 +540,7 @@ def ewma_revenue_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY tr.doc_id
     """,
     tags=("pipeline-r8b", "text", "dedup", "llm"),
+    bench=True,
 )
 def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination audit: training documents sharing any
@@ -632,6 +634,7 @@ def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY comm.community
     """,
     tags=("pipeline-r8b", "graph", "stats"),
+    bench=True,
 )
 def community_modularity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the brand partition over the part co-order
@@ -829,3 +832,99 @@ def gini_impurity_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.lit(1.0) - F.col("ssq").cast("double") / (nd * nd)).alias("gini"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Session bounce / dwell-time report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_bounce_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    per AS (
+      SELECT user_id, session_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             date_trunc('day', MIN(ts)) AS day,
+             CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+               AS duration_us
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS bounce_rate,
+           quantile_cont(duration_us, 0.50) / 1000000.0 AS p50_duration_s,
+           quantile_cont(duration_us, 0.90) / 1000000.0 AS p90_duration_s
+    FROM per GROUP BY day ORDER BY day
+    """,
+    tags=("pipeline-r8b", "events", "analytics"),
+)
+def session_bounce_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce-rate and dwell-time report over gap-based sessions —
+    the engagement companion to `sessionize`: single-event sessions are
+    bounces; dwell is last-minus-first event time. Session assembly is
+    the registry's lag-gap shape (one user-grain shuffle; the change
+    flag and the running session id share one window ordering, so ONE
+    exchange plans both), collapsed at (user, session) grain and
+    re-aggregated by session-start day. Determinism: durations are
+    exact µs BIGINTs (unix_micros ≙ epoch_us), bounce counts are
+    integers with one closing division, and the dwell percentiles use
+    the pinned Spark `percentile` ≙ DuckDB `quantile_cont`
+    interpolation identity (`value_percentiles` precedent) with the
+    /1e6 seconds conversion as a single IEEE op on both engines. At
+    100 TB: user-grain shuffle, session-grain collapse, calendar-
+    bounded output."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 30 * 60 * 1_000_000)
+    ).cast("bigint")
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+            "duration_us"
+        ),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("long")
+    return (
+        per.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            bounce.alias("n_bounce"),
+            (
+                bounce.cast("double") / F.count("*").cast("double")
+            ).alias("bounce_rate"),
+            (F.expr("percentile(duration_us, 0.50)") / F.lit(1_000_000.0)).alias(
+                "p50_duration_s"
+            ),
+            (F.expr("percentile(duration_us, 0.90)") / F.lit(1_000_000.0)).alias(
+                "p90_duration_s"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -35,6 +35,39 @@ def write_partitioned(
     w.partitionBy(*partition_cols).parquet(path)
 
 
+def write_columnar(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    target_file_rows: int | None = None,
+) -> None:
+    """Format-parameterized columnar writer: ``parquet`` (default) or
+    ``orc`` — both are splittable, compressed, predicate-pushdown-capable
+    columnar formats with native Spark readers, so a deployment standardized
+    on ORC (Hive-era warehouses) gets the identical write surface.
+    Interop note: the testdata convention and the oracle gate stay on
+    parquet (DuckDB reads it natively); ORC round-trip + pushdown parity is
+    pinned in tests/test_sinks.py."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format: {fmt!r}")
+    w = df.write.mode(mode).format(fmt)
+    if target_file_rows:
+        w = w.option("maxRecordsPerFile", target_file_rows)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.save(path)
+
+
+def read_columnar(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Reader twin of ``write_columnar`` — one call site for both formats
+    so pipelines swap storage formats without touching their plans."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format: {fmt!r}")
+    return spark.read.format(fmt).load(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

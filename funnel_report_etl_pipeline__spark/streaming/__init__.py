@@ -9,6 +9,7 @@ semantics over an unbounded stream with watermarks for late data.
 from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
     curation_gate_stream,
     daily_rollup_stream,
+    sliding_rollup_stream,
     dedup_stream,
     enrich_stream,
     funnel_depth_stream,
@@ -23,6 +24,7 @@ __all__ = [
     "read_event_stream",
     "read_document_stream",
     "daily_rollup_stream",
+    "sliding_rollup_stream",
     "curation_gate_stream",
     "dedup_stream",
     "enrich_stream",

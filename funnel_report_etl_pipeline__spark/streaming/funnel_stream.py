@@ -78,6 +78,38 @@ def daily_rollup_stream(
     )
 
 
+def sliding_rollup_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "1 day",
+    slide: str = "12 hours",
+) -> DataFrame:
+    """Sliding-window rollup: like ``daily_rollup_stream`` but each event
+    contributes to window/slide overlapping windows (2 at the defaults) —
+    the moving-average / trailing-24h dashboard shape tumbling windows
+    cannot express. State per key is window/slide × |event_type| live
+    windows, still watermark-evicted; the decimal sum keeps stream/batch
+    bit-parity (micro-batch merge order vs one-pass scan order). Returns
+    (window_start, window_end, event_type, n_events, total_value)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -329,3 +329,27 @@ def test_gini_impurity_uniform_and_pure(spark, specs, tmp_path_factory):
     assert out["S1"]["gini"] == pytest.approx(0.5)
     assert out["S2"]["gini"] == pytest.approx(0.0)
     assert out["S1"]["n_orders"] == 4 and out["S2"]["n_orders"] == 2
+
+
+def test_session_bounce_stats_hand_computed(spark, specs, tmp_path_factory):
+    # user 1: events at +0m and +10m (one 2-event session, dwell 600s),
+    # then +120m (a bounce). user 2: single event (a bounce). All on day 1.
+    t = lambda m: datetime(2024, 1, 1, 8, 0, 0) + __import__("datetime").timedelta(minutes=m)  # noqa: E731
+    ev = _ev(
+        spark,
+        [
+            (1, t(0), 1, "A", 0.0, "{}"),
+            (2, t(10), 1, "B", 0.0, "{}"),
+            (3, t(120), 1, "C", 0.0, "{}"),
+            (4, t(5), 2, "A", 0.0, "{}"),
+        ],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "bounce", {"events": ev})
+    out = specs["session_bounce_stats"].fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_sessions"] == 3 and r["n_bounce"] == 2
+    assert r["bounce_rate"] == pytest.approx(2 / 3)
+    # durations: 600s, 0s, 0s -> p50 = 0, p90 interpolates toward 600
+    assert r["p50_duration_s"] == pytest.approx(0.0)
+    assert r["p90_duration_s"] == pytest.approx(480.0)

@@ -181,3 +181,40 @@ def test_compact_small_files(spark, tmp_path):
         spark.read.parquet(compacted).agg(F.sum("v")).collect()[0][0]
         == spark.read.parquet(frag).agg(F.sum("v")).collect()[0][0]
     )
+
+
+def test_orc_roundtrip_partition_prune_and_pushdown(spark, tmp_path):
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        read_columnar,
+        write_columnar,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("part"),
+        (F.col("id") * 2).alias("v"),
+    )
+    out = str(tmp_path / "orc_ds")
+    write_columnar(df, out, fmt="orc", partition_cols=["part"])
+
+    back = read_columnar(spark, out, fmt="orc")
+    # exact round-trip (values and row count)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+    # predicate pushdown reaches the ORC scan, and partition pruning
+    # keeps pruned directories out of the plan entirely
+    q = back.filter((F.col("part") == 2) & (F.col("v") > 100)).select("id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(v), GreaterThan(v,100)]" in plan
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*\(part#\d+ = 2\)", plan)
+    # ids ≡ 2 (mod 4) with 2·id > 100: 54, 58, …, 998
+    assert q.count() == 237
+
+    # unsupported format is an explicit error, not a silent parquet default
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_columnar(df, out, fmt="avro")

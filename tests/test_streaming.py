@@ -321,3 +321,24 @@ def test_foreachbatch_parquet_sink_idempotent_replay(spark, stream_dir, tmp_path
     assert set(r.event_id for r in again.collect()) == set(
         r.event_id for r in spark.read.parquet(stream_dir).collect()
     )
+
+
+def test_sliding_rollup_each_event_in_two_windows(spark, stream_dir):
+    from funnel_report_etl_pipeline__spark.streaming import sliding_rollup_stream
+
+    out = run_to_memory(
+        sliding_rollup_stream(read_event_stream(spark, stream_dir)),
+        "sliding_t",
+        "complete",
+    ).collect()
+    # 1-day window / 12-hour slide: every event lands in exactly 2 windows
+    assert sum(r.n_events for r in out) == 2 * len(EVENTS)
+    # the epoch-aligned day window holds all 5 day-1 views
+    w0 = datetime(2026, 1, 1, 0, 0, 0)
+    views = {r.window_start: r for r in out if r.event_type == "view"}
+    assert views[w0].n_events == 5
+    # its 12-hour-shifted twin covers the same morning events
+    assert views[datetime(2025, 12, 31, 12, 0, 0)].n_events == 5
+    # windows are window_end - window_start = 1 day wide
+    for r in out:
+        assert (r.window_end - r.window_start) == timedelta(days=1)

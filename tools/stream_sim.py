@@ -40,6 +40,7 @@ OPS = (
     "view_purchase_attribution_outer",
     "enrich_stream",
     "restart_replay",
+    "sliding_rollup_stream",
 )
 
 
@@ -501,7 +502,37 @@ def main() -> int:
         s = s[(pd.to_datetime(s["day_start"]) + pd.Timedelta(days=1)) < wm_cut]
         return _canon_ok(s.reset_index(drop=True), b)
 
+    # sliding-window rollup — complete mode; batch twin is the same
+    # window/slide aggregation in one pass. Each event lands in 2
+    # overlapping windows at the 1d/12h defaults, so a row-count match
+    # alone would already catch a broken slide; the hash pins the values.
+    def _sliding():
+        from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+            sliding_rollup_stream,
+        )
+
+        s = drain(sliding_rollup_stream(stream_src()), "ss_sliding", "complete")
+        b = (
+            ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(22,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .toPandas()
+        )
+        return _canon_ok(s, b)
+
     run("daily_rollup_stream", _daily)
+    run("sliding_rollup_stream", _sliding)
     run("session_stream", _session)
     run("view_purchase_attribution", _attrib)
     run("curation_gate_stream", _curation)
