@@ -928,3 +928,72 @@ def session_bounce_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier evaluation)
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    from funnel_report_etl_pipeline__spark.operators.text import LANG_MARKERS
+    from funnel_report_etl_pipeline__spark.plans.pipeline_ops import _lang_score_sql
+
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(f"{_lang_score_sql(lg)} AS score_{lg}" for lg in langs)
+    greatest = ", ".join(f"score_{lg}" for lg in langs)
+    whens = " ".join(f"WHEN score_{lg} THEN '{lg}'" for lg in langs)
+    return f"""
+    WITH s AS (SELECT doc_id, lang AS gold_lang, {scores} FROM documents),
+    p AS (
+      SELECT doc_id, gold_lang,
+             CASE greatest({greatest}) {whens} END AS pred_lang
+      FROM s
+    ),
+    c AS (
+      SELECT gold_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM p GROUP BY gold_lang, pred_lang
+    )
+    SELECT gold_lang, pred_lang, n_docs,
+           CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER (PARTITION BY gold_lang) AS DOUBLE)
+             AS gold_share
+    FROM c ORDER BY gold_lang, pred_lang
+    """
+
+
+@register(
+    "lang_id_confusion",
+    oracle=_lang_confusion_oracle(),
+    tags=("pipeline-r8b", "text", "eval"),
+)
+def lang_id_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-token language classifier against
+    the corpus's gold labels — the evaluation readout (per-cell counts
+    plus row-normalized shares, whose diagonal is per-language recall)
+    every curation pipeline needs before trusting a lang filter at
+    100 TB. Predictions come from the SAME shared operator the gated
+    `lang_id_heuristic` query verifies (`operators/text.lang_id` —
+    scoring parity already pinned by its green row); gold labels join
+    back at doc grain, then one collapse to the ≤|langs|² cell grain
+    with map-side combine and a row-normalizing window over that tiny
+    frame. Counts exact, one division per cell. At 100 TB: one
+    doc-grain join exchange (prediction is scan-side), one 25-row
+    aggregate."""
+    from funnel_report_etl_pipeline__spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pred = lang_id(docs).select("doc_id", "pred_lang")
+    gold = docs.select("doc_id", F.col("lang").alias("gold_lang"))
+    c = (
+        gold.join(pred, "doc_id")
+        .groupBy("gold_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    share = F.sum("n_docs").over(Window.partitionBy("gold_lang"))
+    return c.select(
+        "gold_lang",
+        "pred_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / share.cast("double")).alias("gold_share"),
+    ).orderBy("gold_lang", "pred_lang")

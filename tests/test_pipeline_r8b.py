@@ -353,3 +353,27 @@ def test_session_bounce_stats_hand_computed(spark, specs, tmp_path_factory):
     # durations: 600s, 0s, 0s -> p50 = 0, p90 interpolates toward 600
     assert r["p50_duration_s"] == pytest.approx(0.0)
     assert r["p90_duration_s"] == pytest.approx(480.0)
+
+
+def test_lang_id_confusion_diagonal_and_miss(spark, specs, tmp_path_factory):
+    # doc 1: clear English; doc 2: clear German; doc 3: labeled 'es' but
+    # written with English markers -> lands in the (es, en) off-diagonal.
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat and the dog of it", "en", "s", 25),
+            (2, "der hund und die katze nicht", "de", "s", 28),
+            (3, "the dog and a cat", "es", "s", 17),
+        ],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "conf", {"documents": docs})
+    out = {
+        (r["gold_lang"], r["pred_lang"]): r
+        for r in specs["lang_id_confusion"].fn(spark, sf).collect()
+    }
+    assert out[("en", "en")]["n_docs"] == 1
+    assert out[("de", "de")]["n_docs"] == 1
+    assert out[("es", "en")]["n_docs"] == 1
+    # row-normalized share: every gold row here has exactly one cell
+    for r in out.values():
+        assert r["gold_share"] == pytest.approx(1.0)

@@ -73,6 +73,8 @@ QUERIES = (
     "assoc_rules_brand",
     "priority_change_intervals",
     "ewma_revenue_anomaly",
+    "community_modularity",
+    "gini_impurity_segments",
 )
 _KEY_STRIDE = 100_000_000
 
