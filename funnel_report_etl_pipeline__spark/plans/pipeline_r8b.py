@@ -997,3 +997,112 @@ def lang_id_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("n_docs").cast("double") / share.cast("double")).alias("gold_share"),
     ).orderBy("gold_lang", "pred_lang")
+
+
+# ---------------------------------------------------------------------------
+# Two-hop reach census from the top-degree hubs (seed-bounded BFS)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "two_hop_reach",
+    oracle="""
+    WITH co AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    ends AS (SELECT u AS x, v AS y FROM co UNION ALL SELECT v, u FROM co),
+    deg AS (SELECT x AS id, CAST(COUNT(*) AS BIGINT) AS d
+            FROM ends GROUP BY x),
+    seeds AS (SELECT id AS seed, d FROM deg ORDER BY d DESC, id LIMIT 5),
+    n1 AS (
+      SELECT DISTINCT s.seed, e.y AS nbr
+      FROM seeds s JOIN ends e ON e.x = s.seed
+    ),
+    n2 AS (
+      SELECT DISTINCT n1.seed, e.y AS nbr2
+      FROM n1 JOIN ends e ON e.x = n1.nbr
+      WHERE e.y <> n1.seed
+        AND NOT EXISTS (SELECT 1 FROM n1 i
+                        WHERE i.seed = n1.seed AND i.nbr = e.y)
+    )
+    SELECT s.seed, s.d AS degree,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM n1 WHERE n1.seed = s.seed)
+             AS n_1hop,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM n2 WHERE n2.seed = s.seed)
+             AS n_2hop
+    FROM seeds s ORDER BY s.seed
+    """,
+    tags=("pipeline-r8b", "graph"),
+)
+def two_hop_reach_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach census from the five highest-degree hubs of the part
+    co-order graph: exact 1-hop and 2-hop (friends-of-friends) distinct
+    neighborhood sizes — the reach/influence readout behind hub analysis
+    and the sanity bound for any sampling that fans out from hot nodes.
+    Seeds are deterministic (degree DESC, id ASC — a total order) and
+    K-bounded, so the BFS frontier frames are seed-bounded: N1 is at
+    most K·max_degree rows, never corpus-grain, and the two frontier
+    joins probe the ONE localCheckpointed edge list (k-core's pattern —
+    the edge build is shared, the probes are frontier-sized). 2-hop
+    excludes the seed itself and its 1-hop set via a left-anti join at
+    (seed, neighbor) grain. All counts exact BIGINTs. At 100 TB the
+    edge build dominates (the probed co-order shape); everything after
+    it is K·degree²-bounded."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(32, "l_orderkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ends = co.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+        co.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = ends.groupBy(F.col("x").alias("id")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    seeds = (
+        deg.orderBy(F.col("d").desc(), F.col("id").asc())
+        .limit(5)
+        .select(F.col("id").alias("seed"), F.col("d").alias("degree"))
+        .localCheckpoint()  # 5 rows; both frontier joins and the output reuse it
+    )
+    n1 = (
+        F.broadcast(seeds)
+        .join(ends, seeds.seed == ends.x)
+        .select("seed", F.col("y").alias("nbr"))
+        .distinct()
+        .localCheckpoint()  # ≤ K·max_degree rows; probed by the 2-hop join
+    )
+    n2 = (
+        n1.join(ends, n1.nbr == ends.x)
+        .select("seed", F.col("y").alias("nbr2"))
+        .filter(F.col("nbr2") != F.col("seed"))
+        .join(
+            n1.withColumnsRenamed({"nbr": "nbr2"}),
+            ["seed", "nbr2"],
+            "left_anti",
+        )
+        .distinct()
+    )
+    c1 = n1.groupBy("seed").agg(F.count("*").cast("long").alias("n_1hop"))
+    c2 = n2.groupBy("seed").agg(F.count("*").cast("long").alias("n_2hop"))
+    return (
+        seeds.join(c1, "seed", "left")
+        .join(c2, "seed", "left")
+        .select(
+            "seed",
+            "degree",
+            F.coalesce(F.col("n_1hop"), F.lit(0)).alias("n_1hop"),
+            F.coalesce(F.col("n_2hop"), F.lit(0)).alias("n_2hop"),
+        )
+        .orderBy("seed")
+    )

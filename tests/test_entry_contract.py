@@ -147,7 +147,7 @@ def test_driver_window_composition_pinned():
         "priority_change_intervals", "ewma_revenue_anomaly",
         "benchmark_contamination",
         "community_modularity", "event_path_topk", "gini_impurity_segments",
-        "session_bounce_stats", "lang_id_confusion",
+        "session_bounce_stats", "lang_id_confusion", "two_hop_reach",
     }
     outside = set(mod.queries()) - set(window)
     assert outside - verified <= new_r8_late, sorted(outside - verified - new_r8_late)

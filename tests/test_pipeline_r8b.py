@@ -377,3 +377,29 @@ def test_lang_id_confusion_diagonal_and_miss(spark, specs, tmp_path_factory):
     # row-normalized share: every gold row here has exactly one cell
     for r in out.values():
         assert r["gold_share"] == pytest.approx(1.0)
+
+
+def test_two_hop_reach_planted_star_chain(spark, specs, tmp_path_factory):
+    # graph: star 1-{2,3,4} plus chain 4-5, 5-6.  Degrees: 1:3, 4:2, 5:2,
+    # 2:1, 3:1, 6:1 -> seeds (top-5 by degree desc, id asc) = 1,4,5,2,3.
+    # seed 1: N1={2,3,4}, N2={5} (via 4; 2,3 lead back to 1 only).
+    # seed 4: N1={1,5}, N2={2,3,6}.
+    def order(ok, parts_):
+        return [
+            (ok, p, 1, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O", SHIP)
+            for i, p in enumerate(parts_)
+        ]
+
+    rows = (
+        order(1, [1, 2]) + order(2, [1, 3]) + order(3, [1, 4])
+        + order(4, [4, 5]) + order(5, [5, 6])
+    )
+    sf = _write_sf(
+        spark, tmp_path_factory, "twohop", {"lineitem": _li(spark, rows)}
+    )
+    out = {r["seed"]: r for r in specs["two_hop_reach"].fn(spark, sf).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["degree"] == 3 and out[1]["n_1hop"] == 3 and out[1]["n_2hop"] == 1
+    assert out[4]["degree"] == 2 and out[4]["n_1hop"] == 2 and out[4]["n_2hop"] == 3
+    # leaf seed 2: one neighbor (the hub); 2-hop = hub's other neighbors {3,4}
+    assert out[2]["n_1hop"] == 1 and out[2]["n_2hop"] == 2
