@@ -1106,3 +1106,259 @@ def two_hop_reach_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seed")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profile (ANALYZE-style per-column statistics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "table_profile_orders",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE),
+           CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(MIN(o_orderkey) AS DOUBLE),
+           CAST(MAX(o_orderkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE),
+           CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    ORDER BY column_name
+    """,
+    tags=("pipeline-r8b", "audit", "dataops"),
+)
+def table_profile_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile: per-column row/null/exact-distinct
+    counts plus numeric min/max (timestamps as epoch-µs doubles via the
+    pinned unix_micros ≙ epoch_us identity; strings get NULL bounds) —
+    the statistics pass behind CBO stats, data contracts, and schema
+    drift alerts. Plan: one narrow aggregate PER COLUMN unioned at the
+    end — on columnar storage six single-column scans beat one
+    6-way COUNT(DISTINCT) aggregate, whose Expand node would replicate
+    every row once per column; each per-column distinct is its own
+    uniform-key shuffle. Exact distinct is the auditable choice here;
+    the production path for wide tables at 100 TB is
+    approx_count_distinct (engine-specific HLL — deliberately not
+    hash-gated; `approx_distinct_users` carries that family's check
+    pattern)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def prof(col: str, numeric, ts: bool = False):
+        mn: F.Column | None
+        if ts:
+            mn = F.min(F.unix_micros(F.col(col))).cast("double")
+            mx = F.max(F.unix_micros(F.col(col))).cast("double")
+        elif numeric:
+            mn = F.min(col).cast("double")
+            mx = F.max(col).cast("double")
+        else:
+            mn = F.lit(None).cast("double")
+            mx = F.lit(None).cast("double")
+        return o.select(col).agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.alias("min_num"),
+            mx.alias("max_num"),
+        )
+
+    frames = [
+        prof("o_custkey", numeric=True),
+        prof("o_orderdate", numeric=True, ts=True),
+        prof("o_orderkey", numeric=True),
+        prof("o_orderpriority", numeric=False),
+        prof("o_orderstatus", numeric=False),
+        prof("o_totalprice", numeric=True),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekday_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-05',
+                            CAST(o_orderdate AS DATE)) % 7 AS BIGINT)
+               AS weekday,
+             date_trunc('day', o_orderdate) AS day,
+             o_totalprice
+      FROM orders
+    ),
+    w AS (
+      SELECT weekday,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(22,4))) AS DOUBLE) AS rev,
+             CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM d GROUP BY weekday
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(22,4))) AS DOUBLE)
+               AS total_rev,
+             CAST(COUNT(DISTINCT date_trunc('day', o_orderdate)) AS BIGINT)
+               AS total_days
+      FROM orders
+    )
+    SELECT weekday, rev, n_days,
+           (rev / CAST(n_days AS DOUBLE))
+             / (total_rev / CAST(total_days AS DOUBLE)) AS seasonality_index
+    FROM w CROSS JOIN tot ORDER BY weekday
+    """,
+    tags=("pipeline-r8b", "stats", "timeseries"),
+)
+def weekday_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index of order revenue: each weekday's
+    revenue-per-active-day against the overall revenue-per-day (index 1
+    = no weekly cycle) — the multiplicative-decomposition seasonal
+    factor, and the denominator every EWMA/anomaly threshold should be
+    conditioned on. Weekday extraction is pure integer arithmetic
+    (days-since-a-known-Monday mod 7, Mon=0..Sun=6) rather than the
+    engines' dayofweek builtins, whose numbering conventions differ
+    (Spark 1=Sunday, DuckDB 0=Sunday). Revenue in exact decimal; one
+    7-row frame, one 1-row global broadcast, one fixed division tree.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    weekday = (
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-05").cast("date")) % 7
+    ).cast("long")
+    day = F.date_trunc("day", F.col("o_orderdate"))
+    w = (
+        o.select(weekday.alias("weekday"), day.alias("day"), "o_totalprice")
+        .groupBy("weekday")
+        .agg(
+            dsum("o_totalprice").alias("rev"),
+            F.countDistinct("day").alias("n_days"),
+        )
+    )
+    tot = o.agg(
+        dsum("o_totalprice").alias("total_rev"),
+        F.countDistinct(day).alias("total_days"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "weekday",
+            "rev",
+            "n_days",
+            (
+                (F.col("rev") / F.col("n_days").cast("double"))
+                / (F.col("total_rev") / F.col("total_days").cast("double"))
+            ).alias("seasonality_index"),
+        )
+        .orderBy("weekday")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized (robust) mean per segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_revenue_mean",
+    oracle="""
+    WITH oc AS (
+      SELECT c_mktsegment AS segment, o_totalprice AS price
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    b AS (
+      SELECT segment,
+             quantile_cont(price, 0.05) AS p05,
+             quantile_cont(price, 0.95) AS p95
+      FROM oc GROUP BY segment
+    )
+    SELECT oc.segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(LEAST(GREATEST(price, p05), p95)
+                         AS DECIMAL(22,4))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean,
+           CAST(SUM(CAST(price AS DECIMAL(22,4))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS raw_mean
+    FROM oc JOIN b ON b.segment = oc.segment
+    GROUP BY oc.segment ORDER BY oc.segment
+    """,
+    tags=("pipeline-r8b", "stats", "robust"),
+)
+def winsorized_revenue_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean order value per market segment (values clipped to
+    the segment's own [p05, p95] before averaging), next to the raw
+    mean — the robust-statistics companion to `revenue_anomaly_days`'s
+    MAD gate: a whale order moves the raw mean but not the winsorized
+    one. Two passes over the fact: an exact per-segment percentile
+    aggregate (5 bound rows — broadcast back), then clamp
+    (LEAST/GREATEST, identical on both engines) and an exact-decimal
+    mean. The clamped value is decimal-cast BEFORE summing, so the only
+    floating ops are the per-row clamp (selection, not arithmetic —
+    bit-exact) and the closing division. At 100 TB swap the exact
+    percentile for approx_percentile (GK) and keep the same clamp —
+    `user_rfm_segments_approx` carries that pattern's gate story."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    oc = orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price")
+    )
+    b = oc.groupBy("segment").agg(
+        F.expr("percentile(price, 0.05)").alias("p05"),
+        F.expr("percentile(price, 0.95)").alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("price"), F.col("p05")), F.col("p95"))
+    return (
+        oc.join(maybe_broadcast(b), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (dsum(clamped) / F.count(F.lit(1)).cast("double")).alias(
+                "winsorized_mean"
+            ),
+            (dsum("price") / F.count(F.lit(1)).cast("double")).alias("raw_mean"),
+        )
+        .orderBy("segment")
+    )

@@ -148,6 +148,8 @@ def test_driver_window_composition_pinned():
         "benchmark_contamination",
         "community_modularity", "event_path_topk", "gini_impurity_segments",
         "session_bounce_stats", "lang_id_confusion", "two_hop_reach",
+        "table_profile_orders", "weekday_seasonality",
+        "winsorized_revenue_mean",
     }
     outside = set(mod.queries()) - set(window)
     assert outside - verified <= new_r8_late, sorted(outside - verified - new_r8_late)

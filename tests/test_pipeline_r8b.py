@@ -403,3 +403,67 @@ def test_two_hop_reach_planted_star_chain(spark, specs, tmp_path_factory):
     assert out[4]["degree"] == 2 and out[4]["n_1hop"] == 2 and out[4]["n_2hop"] == 3
     # leaf seed 2: one neighbor (the hub); 2-hop = hub's other neighbors {3,4}
     assert out[2]["n_1hop"] == 1 and out[2]["n_2hop"] == 2
+
+
+def test_table_profile_counts_nulls_distincts(spark, specs, tmp_path_factory):
+    d = datetime(2024, 1, 1)
+    orders = _orders(
+        spark,
+        [
+            (1, 7, "O", 10.0, d, "P1"),
+            (2, 7, "O", 20.0, d, "P1"),
+            (3, None, "F", 20.0, d, "P2"),
+        ],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "profile", {"orders": orders})
+    out = {r["column_name"]: r for r in specs["table_profile_orders"].fn(spark, sf).collect()}
+    assert set(out) == {
+        "o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice",
+    }
+    ck = out["o_custkey"]
+    assert ck["n_rows"] == 3 and ck["n_null"] == 1 and ck["n_distinct"] == 1
+    assert ck["min_num"] == 7.0 and ck["max_num"] == 7.0
+    tp = out["o_totalprice"]
+    assert tp["n_distinct"] == 2 and tp["min_num"] == 10.0 and tp["max_num"] == 20.0
+    # string columns carry NULL bounds
+    assert out["o_orderstatus"]["min_num"] is None
+    # timestamp bounds are epoch-µs doubles
+    assert out["o_orderdate"]["min_num"] == d.timestamp() * 1e6
+
+
+def test_weekday_seasonality_monday_vs_sunday(spark, specs, tmp_path_factory):
+    mon, sun = datetime(2024, 1, 1), datetime(2024, 1, 7)  # Mon=0, Sun=6
+    orders = _orders(
+        spark,
+        [(1, 1, "O", 100.0, mon, "P"), (2, 1, "O", 300.0, sun, "P")],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "season", {"orders": orders})
+    out = {r["weekday"]: r for r in specs["weekday_seasonality"].fn(spark, sf).collect()}
+    assert set(out) == {0, 6}
+    # overall 200/day; Monday 100/day -> 0.5, Sunday 300/day -> 1.5
+    assert out[0]["seasonality_index"] == pytest.approx(0.5)
+    assert out[6]["seasonality_index"] == pytest.approx(1.5)
+    assert out[0]["n_days"] == 1 and out[6]["rev"] == pytest.approx(300.0)
+
+
+def test_winsorized_mean_clips_the_whale(spark, specs, tmp_path_factory):
+    d = datetime(2024, 1, 1)
+    cust = spark.createDataFrame(
+        [(1, "c1", 1, 0.0, "S1")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    # prices [10,10,10,10,110]: p95 over sorted values interpolates to
+    # 10 + 0.8*(110-10) = 90 -> winsorized mean (4*10 + 90)/5 = 26
+    orders = _orders(
+        spark,
+        [(i, 1, "O", p, d, "P") for i, p in enumerate([10.0, 10.0, 10.0, 10.0, 110.0], 1)],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "winsor", {"orders": orders, "customer": cust})
+    out = specs["winsorized_revenue_mean"].fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["raw_mean"] == pytest.approx(30.0)
+    assert r["winsorized_mean"] == pytest.approx(26.0)
+    assert r["winsorized_mean"] < r["raw_mean"]
