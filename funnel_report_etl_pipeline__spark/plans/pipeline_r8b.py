@@ -1362,3 +1362,54 @@ def winsorized_revenue_mean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative unique users (first-seen rewrite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_unique_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT day, n_new_users,
+           CAST(SUM(n_new_users) OVER (
+             ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM daily ORDER BY day
+    """,
+    tags=("pipeline-r8b", "events", "analytics"),
+)
+def cumulative_unique_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve every events
+    dashboard draws, shown in its SCALABLE rewrite: a running
+    COUNT(DISTINCT user) over an expanding window re-scans every prior
+    day per output row (quadratic, and Spark would materialize the
+    whole user set per frame); the first-seen rewrite is one user-grain
+    aggregate (each user's MIN day), one day-grain count of first
+    appearances, and a running sum over the calendar-bounded day frame
+    — linear, and the cumulative count is exactly the distinct count
+    because each user contributes on precisely one day. All integers.
+    At 100 TB: one user-grain shuffle (map-side combined), day-grain
+    everything after."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("n_new_users")
+    )
+    cum = F.sum("n_new_users").over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "day", "n_new_users", cum.cast("long").alias("cumulative_users")
+    ).orderBy("day")

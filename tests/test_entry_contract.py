@@ -149,7 +149,7 @@ def test_driver_window_composition_pinned():
         "community_modularity", "event_path_topk", "gini_impurity_segments",
         "session_bounce_stats", "lang_id_confusion", "two_hop_reach",
         "table_profile_orders", "weekday_seasonality",
-        "winsorized_revenue_mean",
+        "winsorized_revenue_mean", "cumulative_unique_users",
     }
     outside = set(mod.queries()) - set(window)
     assert outside - verified <= new_r8_late, sorted(outside - verified - new_r8_late)

@@ -467,3 +467,29 @@ def test_winsorized_mean_clips_the_whale(spark, specs, tmp_path_factory):
     assert r["raw_mean"] == pytest.approx(30.0)
     assert r["winsorized_mean"] == pytest.approx(26.0)
     assert r["winsorized_mean"] < r["raw_mean"]
+
+
+def test_cumulative_unique_users_first_seen(spark, specs, tmp_path_factory):
+    d = lambda i, h=0: datetime(2024, 1, i, h)  # noqa: E731
+    # day1: users 1,2 appear; day2: user 1 returns (NOT new) + user 3 new;
+    # day3: all return, nobody new.
+    ev = _ev(
+        spark,
+        [
+            (1, d(1), 1, "A", 0.0, "{}"),
+            (2, d(1, 5), 2, "A", 0.0, "{}"),
+            (3, d(2), 1, "B", 0.0, "{}"),
+            (4, d(2, 3), 3, "A", 0.0, "{}"),
+            (5, d(3), 1, "C", 0.0, "{}"),
+            (6, d(3, 1), 2, "C", 0.0, "{}"),
+            (7, d(3, 2), 3, "C", 0.0, "{}"),
+        ],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "cumuu", {"events": ev})
+    out = specs["cumulative_unique_users"].fn(spark, sf).collect()
+    # day 3 emits no row (no first appearances), and the cumulative count
+    # on day 2 already equals the full distinct-user total
+    assert [(r["day"], r["n_new_users"], r["cumulative_users"]) for r in out] == [
+        (d(1), 2, 2),
+        (d(2), 1, 3),
+    ]
