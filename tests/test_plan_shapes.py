@@ -477,3 +477,46 @@ def test_small_quantity_revenue_decorrelated_single_key_family(spark):
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", p))
     assert keys <= {"l_partkey"}, keys
     assert "Brand#13" in p  # pushed brand literal visible in scan filters
+
+
+def test_event_path_topk_group_limit_and_take_ordered(spark):
+    """The path report must keep its two scale guards: rn<=3 rewrites to
+    WindowGroupLimit (3 rows/user of window state) and the final top-10
+    plans as TakeOrderedAndProject, never a global sort."""
+    p = plan_of(spark, "event_path_topk")
+    assert "WindowGroupLimit" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_table_profile_scans_are_single_column(spark):
+    """The ANALYZE profile must stay six narrow scans: every ReadSchema in
+    the plan carries exactly one column (the alternative — one multi-
+    COUNT(DISTINCT) aggregate — puts an Expand node over the full table,
+    replicating every row once per profiled column)."""
+    p = plan_of(spark, "table_profile_orders")
+    assert "Expand" not in p
+    schemas = [
+        seg.splitlines()[0] for seg in p.split("ReadSchema: ")[1:]
+    ]
+    assert len(schemas) == 6
+    for s in schemas:
+        assert s.count(":") == 1, f"multi-column profile scan: {s}"
+
+
+def test_cumulative_unique_users_no_expand_no_distinct_window(spark):
+    """The first-seen rewrite's reason to exist: no Expand (no
+    COUNT(DISTINCT) over a window), just two hash aggregates and the
+    day-grain running sum."""
+    p = plan_of(spark, "cumulative_unique_users")
+    assert "Expand" not in p
+    assert p.count("Exchange hashpartitioning") <= 2  # user-grain + day-grain
+
+
+def test_contamination_benchmark_side_is_the_build_side(spark):
+    """The decontamination join must never shuffle the train grams for the
+    probe: the benchmark gram set (bounded) is the broadcast build side.
+    A shuffled (sort-merge) join here would move the corpus-sized gram
+    stream — the exact failure the bounded-broadcast design prevents."""
+    p = plan_of(spark, "benchmark_contamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
