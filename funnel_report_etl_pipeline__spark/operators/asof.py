@@ -31,16 +31,24 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """left + (latest right ≤ left_ts) per `on` key.
+    """left + (latest right ≤ left_ts) per `on` key — or, with
+    ``direction="forward"``, the EARLIEST right ≥ left_ts (pandas
+    ``merge_asof`` directions; both are the same union + one-key-shuffle
+    window composition, mirrored).
 
     right_cols: right payload columns to attach (prefixed ``asof_``).
-    tolerance_seconds: optional max staleness — matches older than
-    ``left_ts - tolerance`` become NULL (pandas ``merge_asof`` semantics).
+    tolerance_seconds: optional max staleness — matches farther than
+    ``tolerance`` from left_ts (older for backward, later for forward)
+    become NULL (pandas ``merge_asof`` semantics).
     right_tiebreak: column ordering right rows that share a timestamp
-    (highest wins); without it, same-ts right payloads are engine-order
-    dependent (the attached ``asof_<ts>`` itself is always deterministic).
+    (highest wins backward, lowest forward); without it, same-ts right
+    payloads are engine-order dependent (the attached ``asof_<ts>``
+    itself is always deterministic).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in {*on, right_ts}]
     if right_tiebreak is not None and right_tiebreak not in right_cols:
         right_cols = [*right_cols, right_tiebreak]
@@ -64,19 +72,34 @@ def asof_join(
     )
     u = l_tagged.unionByName(r_tagged)
 
-    # right rows sort before left at equal __t → "<=" match semantics
-    order = [F.col("__t").asc(), F.col("__is_left").asc()]
-    if right_tiebreak is not None:
-        order.append(F.col(f"__r_{right_tiebreak}").asc_nulls_first())
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = {
-        f"__c_{c}": F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w) for c in right_cols
-    }
-    carried["__c_ts"] = F.last(F.col("__r_ts"), ignorenulls=True).over(w)
+    if direction == "backward":
+        # right rows sort before left at equal __t → "<=" match semantics;
+        # last(ignoreNulls) over the preceding frame carries the most
+        # recent right payload forward
+        order = [F.col("__t").asc(), F.col("__is_left").asc()]
+        if right_tiebreak is not None:
+            order.append(F.col(f"__r_{right_tiebreak}").asc_nulls_first())
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # mirrored: left rows sort before right at equal __t (so a right
+        # row AT left_ts still matches ">="), first(ignoreNulls) over the
+        # following frame picks the nearest later right payload
+        order = [F.col("__t").asc(), F.col("__is_left").desc()]
+        if right_tiebreak is not None:
+            order.append(F.col(f"__r_{right_tiebreak}").asc_nulls_last())
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    carried = {f"__c_{c}": pick(F.col(f"__r_{c}")) for c in right_cols}
+    carried["__c_ts"] = pick(F.col("__r_ts"))
 
     out = u.select(
         *on,
@@ -86,12 +109,15 @@ def asof_join(
         *[v.alias(k) for k, v in carried.items()],
     ).filter(F.col("__is_left") == 1)
 
+    if direction == "backward":
+        gap_us = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__c_ts"))
+    else:
+        gap_us = F.unix_micros(F.col("__c_ts")) - F.unix_micros(F.col("__t"))
     stale = (
         F.col("__c_ts").isNull()
         | (
             F.lit(tolerance_seconds).isNotNull()
-            & (F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__c_ts"))
-               > (tolerance_seconds or 0) * 1_000_000)
+            & (gap_us > (tolerance_seconds or 0) * 1_000_000)
         )
         if tolerance_seconds is not None
         else F.col("__c_ts").isNull()

@@ -1413,3 +1413,50 @@ def cumulative_unique_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "n_new_users", cum.cast("long").alias("cumulative_users")
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join: next purchase at-or-after each view
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_forward",
+    oracle="""
+    SELECT l.user_id, l.event_id, l.ts AS view_ts, r.ts AS next_purchase_ts
+    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'view') l
+    ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+    tags=("pipeline-r8b", "asof", "relational"),
+)
+def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'): each
+    view gets the user's next purchase at-or-after it — the
+    time-to-conversion primitive, mirroring the gated backward
+    `asof_join_events`. Same union + ordered-window composition with the
+    frame flipped (first-ignoreNulls over currentRow→unboundedFollowing;
+    left sorts before right at equal ts so an exactly-simultaneous
+    purchase still matches ≥). ONE user-grain shuffle, no range-join
+    blowup. Only the matched timestamp is attached, so right rows
+    sharing (user, ts) cannot make the result engine-arbitrary (the
+    as-of oracle dedup gotcha). Oracle is DuckDB's native ASOF with the
+    inequality reversed."""
+    from funnel_report_etl_pipeline__spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join(
+        views, purchases, on=["user_id"], right_cols=[], direction="forward"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("view_ts"),
+        F.col("asof_ts").alias("next_purchase_ts"),
+    ).orderBy("user_id", "event_id")

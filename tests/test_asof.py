@@ -57,3 +57,41 @@ def test_tie_among_right_rows(spark):
     )
     r = asof_join(left, right, on=["k"], right_tiebreak="px").collect()[0]
     assert r.asof_px == 9.0  # highest tiebreak wins deterministically
+
+
+def test_forward_direction(spark, frames):
+    left, right = frames
+    out = {
+        (r.k, r.lbl): r
+        for r in asof_join(left, right, on=["k"], direction="forward").collect()
+    }
+    # (1,"a") at 10:10: a right row AT 10:10 matches >= (same-ts inclusive)
+    assert out[(1, "a")].asof_px == 100.0
+    # (1,"b") at 10:20: no right row at-or-after -> no match
+    assert out[(1, "b")].asof_px is None
+    # (2,"c") at 10:05: right at 10:06 is the next one
+    assert out[(2, "c")].asof_px == 60.0
+    assert out[(3, "d")].asof_px is None
+
+
+def test_forward_tolerance_and_tiebreak(spark):
+    left = spark.createDataFrame([(1, ts(0), "x")], "k int, ts timestamp, lbl string")
+    right = spark.createDataFrame(
+        [(1, ts(5), 1.0), (1, ts(5), 9.0), (1, ts(50), 3.0)],
+        "k int, ts timestamp, px double",
+    )
+    # lowest tiebreak wins forward (mirrors highest-wins backward)
+    r = asof_join(
+        left, right, on=["k"], right_tiebreak="px", direction="forward"
+    ).collect()[0]
+    assert r.asof_px == 1.0
+    # tolerance measures FORWARD gap: 5 min > 60 s -> stale
+    r2 = asof_join(
+        left, right, on=["k"], tolerance_seconds=60, direction="forward"
+    ).collect()[0]
+    assert r2.asof_px is None
+
+
+def test_direction_validation():
+    with pytest.raises(ValueError):
+        asof_join(None, None, on=["k"], direction="nearest")
