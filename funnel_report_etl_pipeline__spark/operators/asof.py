@@ -5,21 +5,59 @@ For each left row, attach the latest right row with ``right_ts <= left_ts``
 left × right-history; this implementation is the **union + ordered window**
 composition: tag both sides, union on the key/time axis, and carry the most
 recent right payload forward with ``last(..., ignoreNulls)`` over a
-rows-unbounded-preceding window.
+rows-unbounded-preceding window. ``direction="forward"`` mirrors the frame
+(earliest right ≥ left_ts); ``direction="nearest"`` computes both picks
+over the SAME key partitioning and chooses the smaller time gap per row
+(ties to the backward side, pandas ``merge_asof`` semantics).
 
-Cost at 100 TB: ONE shuffle on the key (the window's partitioning), state
-per row is a single struct — no range-join blowup, no broadcast of a
-history table. Ties at the same timestamp resolve right-before-left (a
-right row at exactly left_ts matches), and among right rows by the ordered
-tiebreak column, so results are engine-deterministic.
+Cost at 100 TB: ONE shuffle on the key (the window's partitioning; nearest
+adds a second in-partition sort, not a second exchange), state per row is
+a single struct — no range-join blowup, no broadcast of a history table.
+Ties at the same timestamp resolve right-before-left (a right row at
+exactly left_ts matches), and among right rows by the ordered tiebreak
+column, so results are engine-deterministic.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["asof_join"]
+
+
+def _window(on: list[str], direction: str, right_tiebreak: str | None):
+    if direction == "backward":
+        # right rows sort before left at equal __t → "<=" match semantics;
+        # last(ignoreNulls) over the preceding frame carries the most
+        # recent right payload forward
+        order = [F.col("__t").asc(), F.col("__is_left").asc()]
+        if right_tiebreak is not None:
+            order.append(F.col(f"__r_{right_tiebreak}").asc_nulls_first())
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return lambda c: F.last(c, ignorenulls=True).over(w)
+    # mirrored: left rows sort before right at equal __t (so a right row
+    # AT left_ts still matches ">="), first(ignoreNulls) over the
+    # following frame picks the nearest later right payload
+    order = [F.col("__t").asc(), F.col("__is_left").desc()]
+    if right_tiebreak is not None:
+        order.append(F.col(f"__r_{right_tiebreak}").asc_nulls_last())
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return lambda c: F.first(c, ignorenulls=True).over(w)
+
+
+def _stale(ts_col: Column, gap_us: Column, tolerance_seconds: int | None) -> Column:
+    if tolerance_seconds is None:
+        return ts_col.isNull()
+    return ts_col.isNull() | (gap_us > tolerance_seconds * 1_000_000)
 
 
 def asof_join(
@@ -33,22 +71,24 @@ def asof_join(
     right_tiebreak: str | None = None,
     direction: str = "backward",
 ) -> DataFrame:
-    """left + (latest right ≤ left_ts) per `on` key — or, with
-    ``direction="forward"``, the EARLIEST right ≥ left_ts (pandas
-    ``merge_asof`` directions; both are the same union + one-key-shuffle
-    window composition, mirrored).
+    """left + the as-of right row per `on` key: latest right ≤ left_ts
+    (``backward``, default), earliest right ≥ left_ts (``forward``), or
+    whichever of the two sits closer in time (``nearest``, ties to the
+    backward match) — the three pandas ``merge_asof`` directions.
 
     right_cols: right payload columns to attach (prefixed ``asof_``).
-    tolerance_seconds: optional max staleness — matches farther than
-    ``tolerance`` from left_ts (older for backward, later for forward)
-    become NULL (pandas ``merge_asof`` semantics).
+    tolerance_seconds: optional max time gap — matches farther than
+    ``tolerance`` from left_ts become NULL (for ``nearest``, each side is
+    tolerance-filtered BEFORE the choice, pandas semantics).
     right_tiebreak: column ordering right rows that share a timestamp
     (highest wins backward, lowest forward); without it, same-ts right
     payloads are engine-order dependent (the attached ``asof_<ts>``
     itself is always deterministic).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     right_cols = right_cols or [c for c in right.columns if c not in {*on, right_ts}]
     if right_tiebreak is not None and right_tiebreak not in right_cols:
         right_cols = [*right_cols, right_tiebreak]
@@ -72,34 +112,14 @@ def asof_join(
     )
     u = l_tagged.unionByName(r_tagged)
 
-    if direction == "backward":
-        # right rows sort before left at equal __t → "<=" match semantics;
-        # last(ignoreNulls) over the preceding frame carries the most
-        # recent right payload forward
-        order = [F.col("__t").asc(), F.col("__is_left").asc()]
-        if right_tiebreak is not None:
-            order.append(F.col(f"__r_{right_tiebreak}").asc_nulls_first())
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
-    else:
-        # mirrored: left rows sort before right at equal __t (so a right
-        # row AT left_ts still matches ">="), first(ignoreNulls) over the
-        # following frame picks the nearest later right payload
-        order = [F.col("__t").asc(), F.col("__is_left").desc()]
-        if right_tiebreak is not None:
-            order.append(F.col(f"__r_{right_tiebreak}").asc_nulls_last())
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(*order)
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-    carried = {f"__c_{c}": pick(F.col(f"__r_{c}")) for c in right_cols}
-    carried["__c_ts"] = pick(F.col("__r_ts"))
+    sides = ("backward", "forward") if direction == "nearest" else (direction,)
+    carried: dict[str, Column] = {}
+    for side in sides:
+        pick = _window(on, side, right_tiebreak)
+        tag = side[0]  # "b" / "f"
+        for c in right_cols:
+            carried[f"__c{tag}_{c}"] = pick(F.col(f"__r_{c}"))
+        carried[f"__c{tag}_ts"] = pick(F.col("__r_ts"))
 
     out = u.select(
         *on,
@@ -109,21 +129,37 @@ def asof_join(
         *[v.alias(k) for k, v in carried.items()],
     ).filter(F.col("__is_left") == 1)
 
-    if direction == "backward":
-        gap_us = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__c_ts"))
-    else:
-        gap_us = F.unix_micros(F.col("__c_ts")) - F.unix_micros(F.col("__t"))
-    stale = (
-        F.col("__c_ts").isNull()
-        | (
-            F.lit(tolerance_seconds).isNotNull()
-            & (gap_us > (tolerance_seconds or 0) * 1_000_000)
-        )
-        if tolerance_seconds is not None
-        else F.col("__c_ts").isNull()
-    )
+    t_us = F.unix_micros(F.col("__t"))
     sel = [*on, F.col("__t").alias(left_ts), *lp]
-    sel.append(F.when(~stale, F.col("__c_ts")).alias(f"asof_{right_ts}"))
-    for c in right_cols:
-        sel.append(F.when(~stale, F.col(f"__c_{c}")).alias(f"asof_{c}"))
+    if direction == "nearest":
+        gap_b = t_us - F.unix_micros(F.col("__cb_ts"))
+        gap_f = F.unix_micros(F.col("__cf_ts")) - t_us
+        dead_b = _stale(F.col("__cb_ts"), gap_b, tolerance_seconds)
+        dead_f = _stale(F.col("__cf_ts"), gap_f, tolerance_seconds)
+        # pick backward when forward is dead, or both alive and gap_b <= gap_f
+        use_b = ~dead_b & (dead_f | (gap_b <= gap_f))
+        both_dead = dead_b & dead_f
+
+        def choose(b: Column, f: Column) -> Column:
+            return F.when(both_dead, F.lit(None)).otherwise(
+                F.when(use_b, b).otherwise(f)
+            )
+
+        sel.append(
+            choose(F.col("__cb_ts"), F.col("__cf_ts")).alias(f"asof_{right_ts}")
+        )
+        for c in right_cols:
+            sel.append(
+                choose(F.col(f"__cb_{c}"), F.col(f"__cf_{c}")).alias(f"asof_{c}")
+            )
+    else:
+        tag = direction[0]
+        ts_c = F.col(f"__c{tag}_ts")
+        gap = (t_us - F.unix_micros(ts_c)) if direction == "backward" else (
+            F.unix_micros(ts_c) - t_us
+        )
+        stale = _stale(ts_c, gap, tolerance_seconds)
+        sel.append(F.when(~stale, ts_c).alias(f"asof_{right_ts}"))
+        for c in right_cols:
+            sel.append(F.when(~stale, F.col(f"__c{tag}_{c}")).alias(f"asof_{c}"))
     return out.select(*sel)

@@ -1460,3 +1460,55 @@ def asof_join_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("view_ts"),
         F.col("asof_ts").alias("next_purchase_ts"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "asof_join_nearest",
+    oracle="""
+    WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'view'),
+    r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT l.user_id, l.event_id, l.ts, rb.ts AS b_ts
+          FROM l ASOF LEFT JOIN r rb
+            ON l.user_id = rb.user_id AND l.ts >= rb.ts),
+    f AS (SELECT l.user_id, l.event_id, rf.ts AS f_ts
+          FROM l ASOF LEFT JOIN r rf
+            ON l.user_id = rf.user_id AND l.ts <= rf.ts)
+    SELECT b.user_id, b.event_id, b.ts AS view_ts,
+           CASE WHEN f_ts IS NULL THEN b_ts
+                WHEN b_ts IS NULL THEN f_ts
+                WHEN epoch_us(b.ts) - epoch_us(b_ts)
+                       <= epoch_us(f_ts) - epoch_us(b.ts)
+                THEN b_ts ELSE f_ts END AS nearest_purchase_ts
+    FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id
+    ORDER BY b.user_id, b.event_id
+    """,
+    tags=("pipeline-r8b", "asof", "relational"),
+)
+def asof_join_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'): each
+    view gets the user's closest purchase in either time direction, ties
+    to the earlier one — completing the operator's three-direction API.
+    Both candidate picks come from the SAME union frame and key
+    partitioning (one exchange, two in-partition sorts); the choice is a
+    fixed integer-µs gap comparison, so it is engine-deterministic. The
+    oracle composes DuckDB's two native ASOF directions with the same
+    tie rule. Only the matched timestamp is attached (same-ts duplicate
+    safety, as in both gated sibling queries)."""
+    from funnel_report_etl_pipeline__spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join(
+        views, purchases, on=["user_id"], right_cols=[], direction="nearest"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("view_ts"),
+        F.col("asof_ts").alias("nearest_purchase_ts"),
+    ).orderBy("user_id", "event_id")

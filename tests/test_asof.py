@@ -94,4 +94,47 @@ def test_forward_tolerance_and_tiebreak(spark):
 
 def test_direction_validation():
     with pytest.raises(ValueError):
-        asof_join(None, None, on=["k"], direction="nearest")
+        asof_join(None, None, on=["k"], direction="sideways")
+
+
+def test_nearest_direction(spark, frames):
+    left, right = frames
+    out = {
+        (r.k, r.lbl): r
+        for r in asof_join(left, right, on=["k"], direction="nearest").collect()
+    }
+    # (1,"a") at 10:10: backward hit at 10:10 (gap 0) beats forward 10:15
+    assert out[(1, "a")].asof_px == 100.0
+    # (1,"b") at 10:20: only backward exists (10:15)
+    assert out[(1, "b")].asof_px == 150.0
+    # (2,"c") at 10:05: only forward exists (10:06)
+    assert out[(2, "c")].asof_px == 60.0
+    assert out[(3, "d")].asof_px is None
+
+
+def test_nearest_prefers_smaller_gap_and_ties_backward(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "x"), (1, ts(12), "y")], "k int, ts timestamp, lbl string"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9), 1.0), (1, ts(14), 2.0), (1, ts(15), 9.0)],
+        "k int, ts timestamp, px double",
+    )
+    out = {r.lbl: r for r in
+           asof_join(left, right, on=["k"], direction="nearest").collect()}
+    # "x" at 10:10: backward 10:09 (1 min) beats forward 10:14 (4 min)
+    assert out["x"].asof_px == 1.0
+    # "y" at 10:12: forward 10:14 (2 min) beats backward 10:09 (3 min)
+    assert out["y"].asof_px == 2.0
+    # equidistant tie goes backward (pandas semantics)
+    left2 = spark.createDataFrame([(1, ts(10), "t")], "k int, ts timestamp, lbl string")
+    right2 = spark.createDataFrame(
+        [(1, ts(8), 1.0), (1, ts(12), 2.0)], "k int, ts timestamp, px double"
+    )
+    r = asof_join(left2, right2, on=["k"], direction="nearest").collect()[0]
+    assert r.asof_px == 1.0
+    # nearest + tolerance: both sides filtered before the choice
+    r2 = asof_join(
+        left2, right2, on=["k"], direction="nearest", tolerance_seconds=60
+    ).collect()[0]
+    assert r2.asof_px is None
