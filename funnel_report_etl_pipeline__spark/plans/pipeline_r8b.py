@@ -1512,3 +1512,76 @@ def asof_join_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("view_ts"),
         F.col("asof_ts").alias("nearest_purchase_ts"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (CBO statistics shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "equidepth_price_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.125) AS b1,
+             quantile_cont(o_totalprice, 0.250) AS b2,
+             quantile_cont(o_totalprice, 0.375) AS b3,
+             quantile_cont(o_totalprice, 0.500) AS b4,
+             quantile_cont(o_totalprice, 0.625) AS b5,
+             quantile_cont(o_totalprice, 0.750) AS b6,
+             quantile_cont(o_totalprice, 0.875) AS b7
+      FROM orders
+    )
+    SELECT CAST(CASE WHEN o_totalprice <= b1 THEN 0
+                     WHEN o_totalprice <= b2 THEN 1
+                     WHEN o_totalprice <= b3 THEN 2
+                     WHEN o_totalprice <= b4 THEN 3
+                     WHEN o_totalprice <= b5 THEN 4
+                     WHEN o_totalprice <= b6 THEN 5
+                     WHEN o_totalprice <= b7 THEN 6
+                     ELSE 7 END AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders CROSS JOIN b
+    GROUP BY 1 ORDER BY bucket
+    """,
+    tags=("pipeline-r8b", "stats", "dataops"),
+)
+def equidepth_price_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of order value — the CBO
+    statistics shape (engines keep equi-depth, not equi-width,
+    histograms for selectivity estimation; `price_histogram` is the
+    equi-width dashboard twin). Pass 1 computes the 7 inner octile
+    boundaries with the pinned exact-percentile identity (one aggregate
+    to a 1-row frame); pass 2 broadcasts that row and bins every order
+    with a fixed ≤-comparison chain — selection only, no arithmetic, so
+    bucket assignment is bit-deterministic even though boundaries are
+    interpolated doubles. Per-bucket counts and actual [lo, hi] value
+    bounds are exact. Near-equal counts are expected, not exact-equal:
+    ties at a boundary all land in the lower bucket. At 100 TB: swap
+    the exact percentile for approx_percentile (GK) and keep the same
+    binning chain — the `winsorized_revenue_mean` note's pattern."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    qs = [0.125, 0.250, 0.375, 0.500, 0.625, 0.750, 0.875]
+    b = o.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q})").alias(f"b{i}")
+            for i, q in enumerate(qs, 1)
+        ]
+    )
+    price = F.col("o_totalprice")
+    bucket = F.when(price <= F.col("b1"), 0)
+    for i in range(2, 8):
+        bucket = bucket.when(price <= F.col(f"b{i}"), i - 1)
+    bucket = bucket.otherwise(7).cast("long")
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min(price).cast("double").alias("lo"),
+            F.max(price).cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

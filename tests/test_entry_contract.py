@@ -151,6 +151,7 @@ def test_driver_window_composition_pinned():
         "table_profile_orders", "weekday_seasonality",
         "winsorized_revenue_mean", "cumulative_unique_users",
         "asof_join_forward", "asof_join_nearest",
+        "equidepth_price_histogram",
     }
     outside = set(mod.queries()) - set(window)
     assert outside - verified <= new_r8_late, sorted(outside - verified - new_r8_late)

@@ -493,3 +493,20 @@ def test_cumulative_unique_users_first_seen(spark, specs, tmp_path_factory):
         (d(1), 2, 2),
         (d(2), 1, 3),
     ]
+
+
+def test_equidepth_histogram_balanced_buckets(spark, specs, tmp_path_factory):
+    d = datetime(2024, 1, 1)
+    # prices 1..16: octile boundaries split into 8 buckets of exactly 2
+    orders = _orders(
+        spark,
+        [(i, 1, "O", float(i), d, "P") for i in range(1, 17)],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "eqdepth", {"orders": orders})
+    out = specs["equidepth_price_histogram"].fn(spark, sf).collect()
+    assert [r["bucket"] for r in out] == list(range(8))
+    assert all(r["n_orders"] == 2 for r in out)
+    assert out[0]["lo"] == 1.0 and out[7]["hi"] == 16.0
+    # buckets tile the domain without overlap
+    for a, b in zip(out, out[1:]):
+        assert a["hi"] < b["lo"]
