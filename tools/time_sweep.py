@@ -58,6 +58,13 @@ def main() -> int:
         it = spark._jsparkSession.sparkContext().getPersistentRDDs().valuesIterator()
         while it.hasNext():
             it.next().unpersist(False)
+        # reset the dedup module's single-slot frames too: after the
+        # blanket unpersist they would hand a LATER query an unpersisted
+        # frame that recomputes per consumer (bench.py's fix, mirrored)
+        from funnel_report_etl_pipeline__spark.operators import dedup as _dedup
+
+        _dedup._PERSISTED_GRAMS.clear()
+        _dedup._PERSISTED_PAIRS.clear()
 
     errs = {k: v for k, v in results.items() if isinstance(v, str)}
     timed = sorted(
