@@ -75,6 +75,10 @@ QUERIES = (
     "ewma_revenue_anomaly",
     "community_modularity",
     "gini_impurity_segments",
+    "equidepth_price_histogram",
+    "weekday_seasonality",
+    "winsorized_revenue_mean",
+    "table_profile_orders",
 )
 _KEY_STRIDE = 100_000_000
 
