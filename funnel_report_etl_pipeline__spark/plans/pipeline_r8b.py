@@ -1585,3 +1585,100 @@ def equidepth_price_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-rank window battery: percent_rank / cume_dist / nth_value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_dist_funcs",
+    oracle="""
+    SELECT c_nationkey,
+           c_custkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           nth_value(c_custkey, 2) OVER (
+             w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_custkey
+    FROM customer
+    WHERE c_nationkey < 3
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_nationkey, c_custkey
+    """,
+    tags=("pipeline-r8b", "window", "relational"),
+)
+def window_dist_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window battery — percent_rank, cume_dist and
+    nth_value, the three ranking functions the window surface
+    (`window_rank`, `window_nav_funcs`, `range_window_frame`) had not
+    yet exercised. The ORDER BY carries a full tie-break (balance, then
+    key), so both engines' (rank−1)/(n−1) and rank/n formulas see the
+    same total order and produce bit-identical doubles (two exact
+    integer inputs, one division). nth_value uses the explicit
+    unbounded frame — its DEFAULT frame ends at CURRENT ROW, where
+    rows before the 2nd would read NULL and engines may disagree on
+    the default; pinning the frame removes the ambiguity. Partition
+    grain is the nation key — scale-safe; the filter prunes the scan.
+    """
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("c_custkey", 2).over(wf).alias("second_custkey"),
+    ).orderBy("c_nationkey", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Mixed GROUPING SETS (beyond rollup/cube)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_mixed",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderstatus), ())
+    ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+    """,
+    tags=("pipeline-r8b", "relational", "grouping"),
+)
+def grouping_sets_mixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit mixed GROUPING SETS — the general form `rollup_hierarchy`
+    and `cube_segment_priority` specialize: detail (priority × status),
+    one single-column margin (status), and the grand total, all in ONE
+    Expand + aggregate pass (three sets → each input row expands 3×,
+    then one hash aggregate; no union of three scans). GROUPING() flags
+    disambiguate a real NULL from a margin row, and both engines order
+    the output by them. Revenue in exact decimal; counts exact. Routed
+    through the SQL front-end (the same raw-`spark.sql` gate path as
+    `sql_correlated_subquery`) so the GROUPING SETS grammar itself is
+    what is verified."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(22,4))) AS DOUBLE)
+                 AS revenue,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderstatus), ())
+        ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+    """)

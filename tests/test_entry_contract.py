@@ -151,7 +151,8 @@ def test_driver_window_composition_pinned():
         "table_profile_orders", "weekday_seasonality",
         "winsorized_revenue_mean", "cumulative_unique_users",
         "asof_join_forward", "asof_join_nearest",
-        "equidepth_price_histogram",
+        "equidepth_price_histogram", "window_dist_funcs",
+        "grouping_sets_mixed",
     }
     outside = set(mod.queries()) - set(window)
     assert outside - verified <= new_r8_late, sorted(outside - verified - new_r8_late)

@@ -510,3 +510,49 @@ def test_equidepth_histogram_balanced_buckets(spark, specs, tmp_path_factory):
     # buckets tile the domain without overlap
     for a, b in zip(out, out[1:]):
         assert a["hi"] < b["lo"]
+
+
+def test_window_dist_funcs_hand_ranks(spark, specs, tmp_path_factory):
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 10.0, "S"), (2, "b", 0, 20.0, "S"),
+         (3, "c", 0, 30.0, "S"), (4, "d", 1, 5.0, "S")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    sf = _write_sf(spark, tmp_path_factory, "distfn", {"customer": cust})
+    out = {r["c_custkey"]: r for r in specs["window_dist_funcs"].fn(spark, sf).collect()}
+    # nation 0, order by balance: ranks 0, 0.5, 1; cume 1/3, 2/3, 1
+    assert out[1]["pct_rank"] == pytest.approx(0.0)
+    assert out[2]["pct_rank"] == pytest.approx(0.5)
+    assert out[3]["pct_rank"] == pytest.approx(1.0)
+    assert out[2]["cume"] == pytest.approx(2 / 3)
+    # nth_value(2) over the unbounded frame is visible from EVERY row
+    assert all(out[k]["second_custkey"] == 2 for k in (1, 2, 3))
+    # single-row partition: percent_rank 0 (n-1=0 convention), no 2nd value
+    assert out[4]["pct_rank"] == pytest.approx(0.0)
+    assert out[4]["second_custkey"] is None
+
+
+def test_grouping_sets_mixed_margins(spark, specs, tmp_path_factory):
+    d = datetime(2024, 1, 1)
+    orders = _orders(
+        spark,
+        [
+            (1, 1, "O", 10.0, d, "P1"), (2, 1, "O", 20.0, d, "P1"),
+            (3, 1, "F", 40.0, d, "P2"),
+        ],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "gsets", {"orders": orders})
+    rows = specs["grouping_sets_mixed"].fn(spark, sf).collect()
+    detail = {(r["o_orderpriority"], r["o_orderstatus"]): r for r in rows
+              if r["g_priority"] == 0 and r["g_status"] == 0}
+    assert detail[("P1", "O")]["n_orders"] == 2
+    assert detail[("P1", "O")]["revenue"] == pytest.approx(30.0)
+    margins = {r["o_orderstatus"]: r for r in rows
+               if r["g_priority"] == 1 and r["g_status"] == 0}
+    assert margins["O"]["n_orders"] == 2 and margins["F"]["revenue"] == pytest.approx(40.0)
+    total = [r for r in rows if r["g_priority"] == 1 and r["g_status"] == 1]
+    assert len(total) == 1 and total[0]["n_orders"] == 3
+    assert total[0]["revenue"] == pytest.approx(70.0)
+    # exactly the three requested sets — no cube blowup
+    assert len(rows) == len(detail) + len(margins) + 1
