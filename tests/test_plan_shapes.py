@@ -520,3 +520,24 @@ def test_contamination_benchmark_side_is_the_build_side(spark):
     p = plan_of(spark, "benchmark_contamination")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_asof_all_directions_single_key_exchange(spark):
+    """The as-of composition's core claim: every direction costs exactly
+    ONE hash exchange (the key partitioning). nearest computes BOTH
+    candidate picks over that same exchange — extra in-partition sorts,
+    never a second shuffle — and none of the directions may degenerate
+    to a range join (BroadcastNestedLoopJoin) or a join at all."""
+    for name in ("asof_join_events", "asof_join_forward", "asof_join_nearest"):
+        p = plan_of(spark, name)
+        assert p.count("Exchange hashpartitioning") == 1, name
+        assert "NestedLoop" not in p and "SortMergeJoin" not in p, name
+
+
+def test_equidepth_boundaries_broadcast_one_agg_exchange(spark):
+    """Equi-depth histogram: the percentile boundary row reaches the
+    binning scan via broadcast (never a shuffle of the fact against a
+    1-row frame), and the only hash exchange is the bucket aggregate."""
+    p = plan_of(spark, "equidepth_price_histogram")
+    assert "BroadcastExchange" in p
+    assert p.count("Exchange hashpartitioning") == 1
