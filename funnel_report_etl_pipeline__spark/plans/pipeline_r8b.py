@@ -298,37 +298,40 @@ def assoc_rules_brand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     where rule mining is a pure DataFrame plan (no candidate
     generation: the item vocabulary is the 25-brand dimension, so the
     pair space is bounded at vocab², not corpus-sized). Plan: project
-    lineitem to (order, brand) via a size-gated broadcast of part,
-    DISTINCT (one fact-grain shuffle), self-join on the order key —
-    co-partitioned on the distinct's own hash, so AQE reuses the
-    exchange — then collapse immediately to pair grain with map-side
-    combine. Brand marginals and the order total are vocab-grain /
-    1-row broadcast joins. Metrics are single-rounding ratios of exact
-    BIGINT counts (support and the 0.005 floor are scale-invariant
-    ratios, so the query is SF-portable). At 100 TB the only growing
-    stages are the distinct and the self-join, both keyed on uniform
-    order keys; a basket-size cap would bound the worst case the same
-    way the LSH stop-gram guard does."""
+    lineitem to (order, brand) via a size-gated broadcast of part, then
+    ONE order-grain shuffle builds per-order brand baskets
+    (collect_set); every downstream statistic derives from that single
+    basket frame map-side — directed pairs by a double explode (bounded
+    by basket-size², never a joined row explosion — this replaced a
+    first-cut okey self-join whose sort-merge pass re-shuffled the fact
+    twice), brand marginals by a single explode, the order total by a
+    plain count. The basket set is exploded only, never output, so
+    collect_set's arbitrary intra-set order is unobservable. Marginals
+    join back at vocab grain / 1-row broadcast. Metrics are
+    single-rounding ratios of exact BIGINT counts (support and the
+    0.005 floor are scale-invariant ratios, so the query is
+    SF-portable). At 100 TB the one growing stage is the basket
+    aggregate on uniform order keys; a basket-size cap would bound the
+    explode the same way the LSH stop-gram guard does."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    baskets = (
         li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.collect_set("p_brand").alias("bs"))
+        .localCheckpoint()  # one fact shuffle feeds pairs + marginals + total
     )
-    bn = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
-    tot = ob.agg(F.countDistinct("okey").alias("n_orders"))
-    a, b = ob.alias("a"), ob.alias("b")
+    bn = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_brand"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     pr = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") != F.col("b.brand")),
-        )
-        .groupBy(
-            F.col("a.brand").alias("antecedent"),
-            F.col("b.brand").alias("consequent"),
-        )
+        baskets.select(F.explode("bs").alias("antecedent"), "bs")
+        .select("antecedent", F.explode("bs").alias("consequent"))
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
     na = bn.select(F.col("brand").alias("antecedent"), F.col("n_brand").alias("n_a"))
