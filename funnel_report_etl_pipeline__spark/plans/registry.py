@@ -80,21 +80,16 @@ def load_all() -> dict[str, QuerySpec]:
 # part of the scoreboard contract.  The window is an explicit curated list:
 # the 13 SURVEY §2 parity queries stay pinned; the rest rotates each round
 # so every registered query eventually holds an EXTERNAL green row.
-# Round 8 rotates in (a) the 7 round-7 registrations that sat past the
-# window (the only never-externally-verified names after round 7), (b) the
-# 13 round-8 registrations — INSIDE the window from day one, so this round
-# creates no new rotation debt — and (c) the least-recently-verified
-# fillers: 16 queries whose last external row is round 2 and the first
-# 1 (registration order) of the round-4 cohort.  Rotated-out queries still
-# register — tools/verify_parity.py and driver_sim check ALL entries, and
-# every rotated-out name holds at least one external green row
-# (CORRECTNESS_r0{2..7}.json).
-# The round-8 CLOSE batches (pipeline_r8b: stats/ETL/decontamination/
-# graph/eval/data-ops) registered after every non-parity slot was already
-# occupied by a zero-external-row entry; they sit past the window,
-# exempted BY NAME in tests/test_entry_contract.py (the judge-sanctioned
-# round-7 pattern), and are the round-9 rotation's first candidates —
-# swap them in for entries that will then hold fresh CORRECTNESS_r08 rows.
+# Round 9 rotates in the 22 round-8 close-batch registrations (the only
+# names with zero external rows after CORRECTNESS_r08 — the round-8
+# verdict's top ask) plus every round-9 registration from day one; the
+# remaining slots keep round-8 entries that already hold fresh r08 rows.
+# Rotated-out queries still register — tools/verify_parity.py and
+# driver_sim check ALL entries, and every rotated-out name holds at least
+# one committed external green row (CORRECTNESS_r0{2..8}.json).
+# tests/test_entry_contract.py enforces the standing budget contract:
+# every never-externally-verified registration must sit INSIDE the
+# window, so rotation debt can never exceed one rotation.
 DRIVER_WINDOW = 50
 
 # Exactly DRIVER_WINDOW names, every one with a full value-hash oracle.
@@ -114,67 +109,52 @@ _WINDOW: tuple[str, ...] = (
     "scalar_crossjoin",
     "pct_bround",
     "funnel_waterfall",
-    # round-7 registrations: never externally verified (sat past the
-    # window last round — the round-7 verdict's top rotation ask)
-    "volume_shipping",
-    "returned_item_report",
-    "customer_order_distribution",
-    "promo_revenue_pct",
-    "large_volume_orders",
-    "lapsed_highvalue_customers",
-    "rrf_fusion_topk",
-    # round-8 registrations: in the window from day one (no new debt)
-    "small_quantity_revenue",
-    "top_supplier_revenue",
-    "disjunctive_brand_revenue",
-    "sole_return_supplier",
-    "order_priority_return_check",
-    "sole_return_supplier_agg",
-    "embedding_drift_by_label",
-    "minhash_band_skew",
-    "chunk_documents",
-    # round-8 late batch: the remaining TPC-H subquery shapes
-    # (Q2 min-per-group, Q11 share-vs-global-scalar, Q16 NOT-IN +
-    # COUNT DISTINCT, Q20 nested-IN correlated threshold)
+    # round-9 rotation: the 22 round-8 close-batch registrations — the
+    # only names with zero external rows after round 8 (the round-8
+    # verdict's top ask). Stats / eval family:
+    "ols_brand_price_quantity",
+    "chi_square_flag_status",
+    "gini_impurity_segments",
+    "winsorized_revenue_mean",
+    "weekday_seasonality",
+    "ewma_revenue_anomaly",
+    # ETL / CDC / sessionization family:
+    "markov_event_transitions",
+    "priority_change_intervals",
+    "session_bounce_stats",
+    "cumulative_unique_users",
+    "event_path_topk",
+    # dedup / decontamination / text:
+    "assoc_rules_brand",
+    "benchmark_contamination",
+    "lang_id_confusion",
+    # graph:
+    "community_modularity",
+    "two_hop_reach",
+    # relational / profiling:
+    "table_profile_orders",
+    "asof_join_forward",
+    "asof_join_nearest",
+    "equidepth_price_histogram",
+    "window_dist_funcs",
+    "grouping_sets_mixed",
+    # round-8 keepers (each holds a fresh CORRECTNESS_r08 green row;
+    # they yield their slots to round-9 registrations as those land —
+    # new queries enter the window the round they are registered)
     "min_cost_supplier",
-    "important_nation_value",
-    "supplier_part_variety",
     "excess_shipment_suppliers",
-    "minhash_jaccard_calibration",
-    "k_anonymity_profile",
-    # round-8 final batch: Q6 + Q12 — the registry now carries all 22
-    # TPC-H query shapes
     "forecast_revenue_change",
     "shipping_class_priority",
-    "l_diversity_profile",
-    "bloom_prefilter_join",
-    "weighted_reservoir_sample",
-    # round-8 extension batch: t-closeness completes the privacy-audit
-    # triad, count-min joins the sketch family, plus the A/B z-test and
-    # the Zipf spectrum fit — windowed from day one (no rotation debt),
-    # displacing four round-2-era fillers that each hold committed
-    # external green rows (part_supplier_revenue, distinct_count,
-    # having_filter, set_ops)
     "t_closeness_profile",
     "cms_frequency_calibration",
-    "conversion_lift_ztest",
     "zipf_token_slope",
-    # prefix-filtered exact similarity join — same oracle as
-    # ngram_jaccard_pairs, so its green row proves the filter lossless
-    # (displaces grouped_count_salted, external rows r2)
     "jaccard_prefix_filter_pairs",
-    # graph-stats audit + stratified priority sampling (displace
-    # running_total / event_funnel_windowed, external rows r2)
     "degree_assortativity",
     "weighted_sample_per_source",
-    # BPE merge induction — tokenizer family (displaces
-    # cube_segment_priority, external rows r2)
     "bpe_merge_induction",
-    # k-core peeling — graph curation (displaces join_salted,
-    # external rows r2)
     "k_core_peeling",
-    # BPE tokenization stats — tokenizer family (displaces
-    # dedup_exact_norm, external row r4)
+    "bloom_prefilter_join",
+    "weighted_reservoir_sample",
     "bpe_token_stats",
 )
 

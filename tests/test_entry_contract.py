@@ -52,7 +52,7 @@ def test_driver_window_composition_pinned():
     window = list(mod.queries())[:DRIVER_WINDOW]
     assert window == list(_WINDOW), "driver window drifted from curated _WINDOW"
     assert len(_WINDOW) == DRIVER_WINDOW == 50
-    assert window[-1] == "bpe_token_stats"
+    assert window[-1] == "bpe_token_stats"  # keeper tail pins full-window length
     specs = load_all()
     parity = [n for n, s in specs.items() if s.fn.__module__.endswith(".parity")]
     # parity must come first (driver smoke-checks the reference surface first)
@@ -62,59 +62,24 @@ def test_driver_window_composition_pinned():
     # driver's weaker rows-only check and pytest cover them
     oracles = mod.oracle_sql()
     assert all(n in oracles for n in window), "no-oracle query inside the window"
-    # round-8 rotation: the 7 round-7 registrations (the only names with
-    # zero external rows after round 7) AND every round-8 registration sit
-    # INSIDE the window — new queries now enter the window the round they
-    # are registered, so the rotation creates no fresh debt and after
-    # CORRECTNESS_r08 every registered query will have held at least one
-    # external value-hash row. With all 37 non-parity slots now occupied
-    # by zero-external-row entries, the window is FULL for round 8: any
-    # further registration must wait for the round-9 rotation (displacing
-    # these once CORRECTNESS_r08 lands).
-    rotated_in_r8 = {
-        "volume_shipping", "returned_item_report",
-        "customer_order_distribution", "promo_revenue_pct",
-        "large_volume_orders", "lapsed_highvalue_customers",
-        "rrf_fusion_topk",
-        # registered in round 8 — windowed from day one
-        "small_quantity_revenue", "top_supplier_revenue",
-        "disjunctive_brand_revenue", "sole_return_supplier",
-        "order_priority_return_check", "sole_return_supplier_agg",
-        "chunk_documents",
-        "embedding_drift_by_label", "minhash_band_skew",
-        # round-8 late batch: the remaining TPC-H subquery shapes
-        "min_cost_supplier", "important_nation_value",
-        "supplier_part_variety", "excess_shipment_suppliers",
-        "minhash_jaccard_calibration", "k_anonymity_profile",
-        # round-8 final batch: Q6 + Q12 complete the 22 TPC-H shapes,
-        # l-diversity completes the privacy-audit pair
-        "forecast_revenue_change", "shipping_class_priority",
-        "l_diversity_profile",
-        # round-8 close: the hand-rolled bloom runtime-filter prune and
-        # the priority-sampling weighted reservoir
-        "bloom_prefilter_join",
-        "weighted_reservoir_sample",
-        # round-8 extension: privacy-triad completion, sketch family,
-        # A/B stats, corpus spectrum fit
-        "t_closeness_profile",
-        "cms_frequency_calibration",
-        "conversion_lift_ztest",
-        "zipf_token_slope",
-        "jaccard_prefix_filter_pairs",
-        "degree_assortativity",
-        "weighted_sample_per_source",
-        "bpe_merge_induction",
-        "k_core_peeling",
-        "bpe_token_stats",
+    # round-9 rotation: the 22 round-8 close-batch registrations — the
+    # only names with zero committed external rows after CORRECTNESS_r08
+    # — sit INSIDE the window (the round-8 verdict's top ask), alongside
+    # every round-9 registration (windowed from day one).
+    rotated_in_r9 = {
+        "ols_brand_price_quantity", "chi_square_flag_status",
+        "markov_event_transitions", "assoc_rules_brand",
+        "priority_change_intervals", "ewma_revenue_anomaly",
+        "benchmark_contamination", "community_modularity",
+        "event_path_topk", "gini_impurity_segments",
+        "session_bounce_stats", "lang_id_confusion", "two_hop_reach",
+        "table_profile_orders", "weekday_seasonality",
+        "winsorized_revenue_mean", "cumulative_unique_users",
+        "asof_join_forward", "asof_join_nearest",
+        "equidepth_price_histogram", "window_dist_funcs",
+        "grouping_sets_mixed",
     }
-    assert rotated_in_r8 <= set(window)
-    # every query OUTSIDE the window must already hold an external green
-    # row in a committed CORRECTNESS artifact — the rotation's whole
-    # point; checked against the recorded history, not hand-lists. The
-    # round-7 `new_this_round` exemption was deleted (round-7 verdict ask
-    # #1) and is repopulated here ONLY with registrations that postdate
-    # the round-8 window filling (the sanctioned pattern: exempt by name,
-    # rotate in next round, then shrink the set back).
+    assert rotated_in_r9 <= set(window)
     import json
     from pathlib import Path
 
@@ -137,22 +102,12 @@ def test_driver_window_composition_pinned():
         for name, row in json.loads(p.read_text()).items():
             if row.get("hash_match"):
                 verified.add(name)
-    # round-8 second close-out batch: registered AFTER the 50-name window
-    # filled (every non-parity slot already holds a zero-external-row
-    # entry), so these sit past the window — driver-sim + pytest green —
-    # and rotate in at round 9 exactly as the round-7 batch did at round 8.
-    new_r8_late = {
-        "ols_brand_price_quantity", "chi_square_flag_status",
-        "markov_event_transitions", "assoc_rules_brand",
-        "priority_change_intervals", "ewma_revenue_anomaly",
-        "benchmark_contamination",
-        "community_modularity", "event_path_topk", "gini_impurity_segments",
-        "session_bounce_stats", "lang_id_confusion", "two_hop_reach",
-        "table_profile_orders", "weekday_seasonality",
-        "winsorized_revenue_mean", "cumulative_unique_users",
-        "asof_join_forward", "asof_join_nearest",
-        "equidepth_price_histogram", "window_dist_funcs",
-        "grouping_sets_mixed",
-    }
+    # Standing registration-budget contract (round-8 verdict ask #5,
+    # replacing the by-name exemption sets of rounds 7-8): every
+    # registered query that has never held a committed external
+    # value-hash row MUST sit inside the window, so it earns its row at
+    # the very next close.  This bounds rotation debt at zero names
+    # outside the window — a close batch larger than the free slots now
+    # fails here at registration time instead of accruing silent debt.
     outside = set(mod.queries()) - set(window)
-    assert outside - verified <= new_r8_late, sorted(outside - verified - new_r8_late)
+    assert outside <= verified, sorted(outside - verified)

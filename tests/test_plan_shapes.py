@@ -299,6 +299,24 @@ WINDOW_SHUFFLE_BUDGET = {
     # returned frame's own exchanges (vocab-grain combine for the token
     # stats), not the per-round work, which the scale probes cover
     "bpe_merge_induction": 0, "k_core_peeling": 0, "bpe_token_stats": 1,
+    # round-9 window: the r8b close batch rotated in (measured at
+    # SF_SMALL this round). Stats family = one fact agg (+ a tiny
+    # group-grain re-agg where closed forms need it); ETL/session ops =
+    # user- or entity-grain window + day re-agg; the graph pair carries
+    # its edge-build exchanges (two_hop's 7 = edge distinct + degree
+    # aggs + the two hop joins, all edge-grain); table_profile's 6 are
+    # one per profiled column family over a 25-row aggregate spine.
+    "ols_brand_price_quantity": 1, "chi_square_flag_status": 1,
+    "markov_event_transitions": 3, "assoc_rules_brand": 3,
+    "priority_change_intervals": 1, "ewma_revenue_anomaly": 1,
+    "benchmark_contamination": 3, "community_modularity": 3,
+    "event_path_topk": 2, "gini_impurity_segments": 2,
+    "session_bounce_stats": 2, "lang_id_confusion": 2,
+    "two_hop_reach": 7, "table_profile_orders": 6,
+    "weekday_seasonality": 3, "winsorized_revenue_mean": 2,
+    "cumulative_unique_users": 2, "asof_join_forward": 1,
+    "asof_join_nearest": 1, "equidepth_price_histogram": 1,
+    "window_dist_funcs": 1, "grouping_sets_mixed": 1,
 }
 
 
