@@ -72,3 +72,40 @@ def pct_py(value: float, total: float) -> float:
     round IS HALF_EVEN, matching the reference `_pct` exactly
     (report_engine.py:228-230)."""
     return round(value / total * 100, 1) if total and total > 0 else 0
+
+
+# ---------------------------------------------------------------------------
+# Sketch exactness-regime guard (shared by the *_approx percentile twins)
+# ---------------------------------------------------------------------------
+
+# Session conf that relaxes the regime guards. A guard protects the
+# VALUE-HASH ORACLE contract (a GK approx_percentile sketch's output is
+# the exact discrete quantile only while n <= accuracy); past that regime
+# the *_approx queries still return correct-by-design approximate answers
+# — exactly what a 100 TB deployment wants — so production runs and scale
+# probes set this to false, and the hash gate keeps the strict default.
+SKETCH_GUARD_CONF = "spark.funnelreport.sketchExactRegimeGuard"
+
+
+def sketch_regime_guard(spark, name: str, n_col: str, accuracy: int) -> Column:
+    """assert_true guard column: NULL on success, job-failing with an
+    explicit message when the value count in ``n_col`` exceeds the sketch
+    ``accuracy`` (the point where sketch quantiles stop being exact and a
+    registered value-hash oracle would surface an opaque mismatch). Wrap
+    an output column in ``when(guard.isNull(), ...)`` to keep the check
+    in the plan — a bare withColumn().drop() would be pruned. Returns a
+    plain NULL literal (guard disabled) when ``SKETCH_GUARD_CONF`` is
+    false: the approximate regime is the intended behavior at scale, and
+    only the oracle gate needs the loud failure."""
+    if spark.conf.get(SKETCH_GUARD_CONF, "true").lower() != "true":
+        return F.lit(None)
+    return F.assert_true(
+        F.col(n_col) <= F.lit(accuracy),
+        F.lit(
+            f"{name}: value count exceeds the approx_percentile accuracy"
+            f" ({accuracy}) — sketch quantiles are no longer exact and the"
+            f" value-hash oracle no longer applies; set"
+            f" {SKETCH_GUARD_CONF}=false to accept approximate quantiles"
+            " (the intended 100 TB regime) or raise the accuracy"
+        ),
+    )

@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from funnel_report_etl_pipeline__spark.functions.core import dsum
+from funnel_report_etl_pipeline__spark.functions.core import (
+    dsum,
+    sketch_regime_guard,
+)
 from funnel_report_etl_pipeline__spark.functions.hints import maybe_broadcast
 from funnel_report_etl_pipeline__spark.plans.pipeline_r5 import (
     _bm25_oracle,
@@ -119,19 +122,12 @@ def user_rfm_segments_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = u.crossJoin(F.broadcast(th))
     # The exact-threshold premise (and therefore the registered value-hash
     # oracle) only holds while n_users ≤ accuracy — past that the GK sketch
-    # compresses and thresholds become approximate. Fail LOUDLY with this
-    # message instead of surfacing an opaque hash mismatch at a larger
-    # gate. assert_true returns NULL on success, so wrapping user_id in
-    # when(guard.isNull(), ...) keeps the check in the plan (a bare
-    # withColumn().drop() would be pruned) without changing any value.
-    guard = F.assert_true(
-        F.col("__n_users") <= F.lit(1_000_000),
-        F.lit(
-            "user_rfm_segments_approx: purchasing-user count exceeds the"
-            " approx_percentile accuracy (1e6) — sketch thresholds are no"
-            " longer exact quantiles; re-gate this query as rows-only or"
-            " raise the accuracy parameter"
-        ),
+    # compresses and thresholds become approximate. Fail LOUDLY instead of
+    # surfacing an opaque hash mismatch at a larger gate; the shared
+    # conf-gated guard (functions/core.sketch_regime_guard) lets scale
+    # probes and production runs opt into the approximate regime.
+    guard = sketch_regime_guard(
+        spark, "user_rfm_segments_approx", "__n_users", 1_000_000
     )
     cols = [
         F.when(guard.isNull(), F.col("user_id")).alias("user_id"),

@@ -70,6 +70,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline_r7,  # round-7 batch (scale-safe rank variants + Q8/Q9)
         pipeline_r8,  # round-8 batch (Q15/Q17/Q19/Q21 + drift/skew audits)
         pipeline_r8b,  # round-8 close batch #2 (stats / ETL / decontamination)
+        pipeline_r9,  # round-9 batch (sketch-percentile twins, multimodal)
     )
 
     return REGISTRY
@@ -138,12 +139,15 @@ _WINDOW: tuple[str, ...] = (
     "equidepth_price_histogram",
     "window_dist_funcs",
     "grouping_sets_mixed",
+    # round-9 registrations — windowed from day one: the GK-sketch
+    # twins that retire the exact-percentile scale flags (each displaces
+    # a round-8 keeper holding a fresh CORRECTNESS_r08 row)
+    "equidepth_price_histogram_approx",
+    "winsorized_revenue_mean_approx",
+    "session_bounce_stats_approx",
     # round-8 keepers (each holds a fresh CORRECTNESS_r08 green row;
     # they yield their slots to round-9 registrations as those land —
     # new queries enter the window the round they are registered)
-    "min_cost_supplier",
-    "excess_shipment_suppliers",
-    "forecast_revenue_change",
     "shipping_class_priority",
     "t_closeness_profile",
     "cms_frequency_calibration",

@@ -473,8 +473,12 @@ def grouped_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles — Spark `percentile` and DuckDB
     `quantile_cont` share the (1−g)·a + g·b formula; verified bit-equal.
-    (The approximate twin for 100 TB is approx_percentile; see
-    approx_distinct_users for the approximate family's check pattern.)"""
+    At 100 TB the exact aggregate buffers each group's value multiset in
+    one task — the registered GK-sketch twin over the SAME (events ×
+    event_type × value) grouping is `approx_percentiles` (rank-error-
+    bound contract); the exact-regime *_approx pattern is
+    `equidepth_price_histogram_approx` / `winsorized_revenue_mean_approx`
+    (pipeline_r9)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.25)").alias("p25"),

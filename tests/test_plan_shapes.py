@@ -317,6 +317,15 @@ WINDOW_SHUFFLE_BUDGET = {
     "cumulative_unique_users": 2, "asof_join_forward": 1,
     "asof_join_nearest": 1, "equidepth_price_histogram": 1,
     "window_dist_funcs": 1, "grouping_sets_mixed": 1,
+    # round-9 window: the GK-sketch percentile twins — same exchange
+    # shape as their exact siblings (the sketch agg replaces the exact
+    # percentile agg node-for-node; ObjectHashAggregate partials stay
+    # map-side-combinable)
+    "equidepth_price_histogram_approx": 1,
+    "winsorized_revenue_mean_approx": 2,
+    # same session assembly as the exact sibling (one user-grain window
+    # exchange + day re-agg); the sketch swap adds no exchange
+    "session_bounce_stats_approx": 2,
 }
 
 
