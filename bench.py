@@ -24,7 +24,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from funnel_report_etl_pipeline__spark.plans.registry import load_all  # noqa: E402
-from funnel_report_etl_pipeline__spark.session import get_spark  # noqa: E402
+from funnel_report_etl_pipeline__spark.session import (  # noqa: E402
+    get_spark,
+    release_all_caches,
+)
 
 
 def main() -> int:
@@ -79,28 +82,12 @@ def main() -> int:
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = None  # machine-readable failure marker
             stats[name] = {"err": f"{type(e).__name__}: {e}"[:200]}
-        # drop persisted blocks BETWEEN queries (the time_sweep hygiene
-        # fix): localCheckpoint pins MEMORY_AND_DISK RDDs for the session
-        # lifetime, so 60 queries of checkpoint debt accumulate in one JVM
-        # and inflate late iterative queries by storage pressure (k_core
-        # measured ~10 s in the full bench vs 6.3-6.8 s in a clean
-        # session). Cleanup sits OUTSIDE the timed region and between
-        # queries, so per-query steady-state cache semantics (warm-up rep
-        # + 3 timed reps) are unchanged.
-        spark.catalog.clearCache()
-        it = spark._jsparkSession.sparkContext().getPersistentRDDs().valuesIterator()
-        while it.hasNext():
-            it.next().unpersist(False)
-        # the dedup module keeps single-slot persisted frames keyed by
-        # semantic hash; after the blanket unpersist those slots would
-        # hand out UNPERSISTED frames (recompute-per-consumer — worse
-        # than rebuilding). Clearing the slots makes the next query's
-        # warm-up rep re-persist fresh, so every query is self-contained:
-        # warm-up pays the cache build, timed reps measure steady state.
-        from funnel_report_etl_pipeline__spark.operators import dedup as _dedup
-
-        _dedup._PERSISTED_GRAMS.clear()
-        _dedup._PERSISTED_PAIRS.clear()
+        # drop persisted blocks BETWEEN queries so no query pays another's
+        # checkpoint debt (k_core measured ~10 s dirty vs 6.3-6.8 s clean).
+        # Cleanup sits OUTSIDE the timed region; it is failure-isolated
+        # inside the helper, so one broken query/JVM can't abort the run
+        # and discard the timings collected so far.
+        release_all_caches(spark)
 
     failed = [n for n, t in timings.items() if t is None]
     total = round(sum(t for t in timings.values() if t is not None), 3)

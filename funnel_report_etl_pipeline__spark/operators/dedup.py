@@ -310,6 +310,17 @@ _PERSISTED_GRAMS: list[tuple[tuple[int, int], DataFrame]] = []
 _PERSISTED_PAIRS: list[tuple[tuple[int, int], DataFrame]] = []
 
 
+def reset_persisted_slots() -> None:
+    """Clear the single-slot gram/pair caches. MUST be called by any
+    harness that blanket-unpersists the session's RDDs between queries
+    (bench.py / time_sweep — via ``session.release_all_caches``):
+    after such an unpersist the slots would hand later queries an
+    UNPERSISTED frame that recomputes once per consumer, worse than
+    rebuilding the cache from scratch."""
+    _PERSISTED_GRAMS.clear()
+    _PERSISTED_PAIRS.clear()
+
+
 def _cache_single_slot(
     slot: list[tuple[tuple[int, int], DataFrame]], frame: DataFrame
 ) -> DataFrame:

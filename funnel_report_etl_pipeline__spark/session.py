@@ -60,3 +60,40 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_all_caches(spark: SparkSession) -> None:
+    """Drop every cached/persisted block AND reset module-level persisted
+    slots — the between-queries hygiene step for single-JVM many-query
+    harnesses (bench.py, tools/time_sweep.py, A/B probes).
+
+    localCheckpoint pins MEMORY_AND_DISK RDDs for the session lifetime, so
+    a ~200-query sweep accumulates checkpoint debt that GC-thrashes late
+    memory-heavy queries (round-8 sweeps: bigram 77 s dirty vs 5.6 s
+    clean). After the blanket unpersist, operators/dedup's single-slot
+    persisted frames MUST be cleared too — they would otherwise hand the
+    next query an UNPERSISTED frame that recomputes once per consumer,
+    which is worse than rebuilding the cache. Failures are swallowed
+    (printed, not raised): if one query broke the JVM/session, the
+    cleanup must not also destroy the harness run that is collecting the
+    remaining results.
+    """
+    import sys as _sys
+
+    try:
+        spark.catalog.clearCache()
+        it = (
+            spark._jsparkSession.sparkContext()
+            .getPersistentRDDs()
+            .valuesIterator()
+        )
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception as exc:  # noqa: BLE001 — harness hygiene, never fatal
+        print(f"release_all_caches: {type(exc).__name__}: {exc}", file=_sys.stderr)
+    try:
+        from funnel_report_etl_pipeline__spark.operators import dedup as _dedup
+
+        _dedup.reset_persisted_slots()
+    except Exception as exc:  # noqa: BLE001
+        print(f"release_all_caches: {type(exc).__name__}: {exc}", file=_sys.stderr)

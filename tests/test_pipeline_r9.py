@@ -167,3 +167,25 @@ def test_session_bounce_approx_matches_exact_at_gate_scale(spark, specs):
         assert r["p50_duration_s"] == pytest.approx(
             ex[day]["p50_duration_s"], rel=0.25, abs=60.0
         )
+
+
+def test_release_all_caches_clears_blocks_and_slots(spark):
+    """The shared harness-hygiene helper (ADVICE round-8): one call must
+    drop cached/persisted blocks AND the dedup single-slot frames, and it
+    must never raise (failure isolation — a broken query's JVM state must
+    not abort the harness run holding the collected timings)."""
+    from pyspark.sql import functions as F
+
+    from funnel_report_etl_pipeline__spark.operators import dedup as _dedup
+    from funnel_report_etl_pipeline__spark.session import release_all_caches
+
+    df = spark.range(100).select(F.col("id"))
+    df.persist().count()
+    _dedup._PERSISTED_GRAMS.append((("x", 1), df))
+    _dedup._PERSISTED_PAIRS.append((("y", 2), df))
+    release_all_caches(spark)
+    assert not _dedup._PERSISTED_GRAMS and not _dedup._PERSISTED_PAIRS
+    rdds = spark._jsparkSession.sparkContext().getPersistentRDDs()
+    assert rdds.size() == 0
+    # idempotent + safe on an already-clean session
+    release_all_caches(spark)

@@ -26,7 +26,7 @@ import time
 sys.path.insert(0, ".")
 
 from funnel_report_etl_pipeline__spark.plans.registry import load_all  # noqa: E402
-from funnel_report_etl_pipeline__spark.session import get_spark  # noqa: E402
+from funnel_report_etl_pipeline__spark.session import get_spark, release_all_caches  # noqa: E402
 
 
 def main() -> int:
@@ -49,22 +49,9 @@ def main() -> int:
             results[name] = round(time.perf_counter() - t0, 2)
         except Exception as exc:  # keep sweeping; report at the end
             results[name] = f"ERR {type(exc).__name__}: {exc}"
-        # drop persisted blocks (localCheckpoint pins MEMORY_AND_DISK RDDs
-        # for the session lifetime): without this, ~180 queries of
-        # checkpoint debt accumulate in one JVM and 1-2 late memory-heavy
-        # queries GC-thrash 2-10x their isolated time (round-8 sweeps
-        # recorded bigram 77s-then-5.6s, cosine 30s-then-58s run to run)
-        spark.catalog.clearCache()
-        it = spark._jsparkSession.sparkContext().getPersistentRDDs().valuesIterator()
-        while it.hasNext():
-            it.next().unpersist(False)
-        # reset the dedup module's single-slot frames too: after the
-        # blanket unpersist they would hand a LATER query an unpersisted
-        # frame that recomputes per consumer (bench.py's fix, mirrored)
-        from funnel_report_etl_pipeline__spark.operators import dedup as _dedup
-
-        _dedup._PERSISTED_GRAMS.clear()
-        _dedup._PERSISTED_PAIRS.clear()
+        # between-queries hygiene (shared with bench.py): drop persisted
+        # blocks + reset dedup's single-slot frames, failure-isolated
+        release_all_caches(spark)
 
     errs = {k: v for k, v in results.items() if isinstance(v, str)}
     timed = sorted(
