@@ -342,3 +342,34 @@ def test_sliding_rollup_each_event_in_two_windows(spark, stream_dir):
     # windows are window_end - window_start = 1 day wide
     for r in out:
         assert (r.window_end - r.window_start) == timedelta(days=1)
+
+
+def test_sliding_rollup_append_mode_emits_only_finalized_windows(spark, stream_dir):
+    """Append-mode drain of the sliding rollup (ADVICE round-8: every
+    prior exercise used complete mode, where the watermark evicts
+    nothing). The final watermark is max(ts) − 1 h = Jan 2 09:00; with
+    1-day windows sliding 12 h, exactly the two windows covering the
+    day-1 events have window_end ≤ watermark and must be EMITTED, while
+    the day-2 event's two windows (ends Jan 2 12:00 / Jan 3 00:00) stay
+    in state unemitted — the append-mode emission/eviction semantics the
+    docstring claims."""
+    from funnel_report_etl_pipeline__spark.streaming import sliding_rollup_stream
+
+    out = run_to_memory(
+        sliding_rollup_stream(read_event_stream(spark, stream_dir)),
+        "sliding_append_t",
+        "append",
+    ).collect()
+    wm = T0 + timedelta(hours=24) - timedelta(hours=1)  # Jan 2 09:00
+    assert out, "append drain emitted nothing — watermark flush broke"
+    assert all(r.window_end <= wm for r in out)
+    starts = {r.window_start for r in out}
+    assert starts == {
+        datetime(2025, 12, 31, 12, 0, 0),
+        datetime(2026, 1, 1, 0, 0, 0),
+    }
+    # day-1 has 8 events, each in exactly these 2 emitted windows; the
+    # day-2 view contributes to no emitted window
+    assert sum(r.n_events for r in out) == 2 * 8
+    views = {r.window_start: r for r in out if r.event_type == "view"}
+    assert views[datetime(2026, 1, 1, 0, 0, 0)].n_events == 5
