@@ -46,10 +46,24 @@ def estimated_size_bytes(df: DataFrame) -> int | None:
 
 
 def maybe_broadcast(df: DataFrame, gate_bytes: int | None = None) -> DataFrame:
-    """Hint ``broadcast(df)`` only while the optimizer's size estimate stays
-    under the gate; otherwise return ``df`` unchanged so AQE chooses the
-    strategy from runtime stats. Unknown estimate ⇒ no hint (fail safe:
-    worst case is a shuffle join, never an oversized broadcast)."""
+    """Hint ``broadcast(df)`` only while the optimizer's size estimate
+    stays under the gate; PAST the gate, hint ``shuffle_hash`` instead of
+    returning the frame bare.
+
+    Why the degrade side is a shuffle-hash hint and not "let AQE choose":
+    the round-9 dim-growth probe (tools/dim_growth_probe.py, customer/part
+    replicated 2048× to 30-41M rows / 350-440 MB file estimate) showed
+    that with the hint merely ABSENT, Catalyst/AQE still picked broadcast
+    from its own column-pruned compressed-size estimates — completing one
+    query 14× slow behind a 30M-row broadcast build and failing another
+    outright ("Not enough memory to build and broadcast") on the driver.
+    The planner's estimate (pruned file bytes) systematically undercounts
+    the in-memory hashed-relation size of a high-row-count dim, so once
+    OUR estimate says the frame is past broadcast scale, the join must be
+    pinned to the distributed-build strategy: shuffle_hash keeps the
+    hash-join plan (no sort) with a per-partition build — scale-safe at
+    any dim size. Unknown estimate ⇒ same treatment (fail safe: worst
+    case is an unnecessary shuffle, never an oversized broadcast)."""
     if gate_bytes is None:
         try:
             gate_bytes = int(df.sparkSession.conf.get(_CONF_KEY, str(DEFAULT_GATE_BYTES)))
@@ -57,5 +71,5 @@ def maybe_broadcast(df: DataFrame, gate_bytes: int | None = None) -> DataFrame:
             gate_bytes = DEFAULT_GATE_BYTES
     est = estimated_size_bytes(df)
     if est is None or est > gate_bytes:
-        return df
+        return df.hint("shuffle_hash")
     return F.broadcast(df)

@@ -30,6 +30,8 @@ __all__ = [
     "resize_stub",
     "frame_sample_stub",
     "media_features",
+    "media_fingerprints",
+    "perceptual_hash_stub",
 ]
 
 # typed metadata contract accompanying any opaque media column
@@ -156,6 +158,50 @@ def binary_meta(df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id")
                     "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
                     "width": [d["width"] for d in decoded],
                     "height": [d["height"] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(extract, out_schema)
+
+
+def perceptual_hash_stub(payload: bytes) -> str:
+    """Placeholder for a DCT perceptual hash (pHash/aHash). Deterministic
+    fake over the STUB-DECODED features: a real pHash downsamples the
+    decoded image to a coarse geometry-invariant signature; this stub
+    hashes the stub decode's (width, height) "geometry" so assets whose
+    decoded dimensions coincide land in one bucket — the candidate-bucket
+    shape of real perceptual dedup (bucket join, never pairwise), with
+    every byte of the chain replicable by any engine's varchar sha256
+    (the frame_sample_stub trick) so the registered query carries a full
+    value-hash oracle. A real deployment replaces only this function."""
+    d = decode_stub(payload)
+    return hashlib.sha256(f"{d['width']}x{d['height']}".encode()).hexdigest()[:8]
+
+
+def media_fingerprints(
+    df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sha256, phash) per media asset in ONE Arrow-batched
+    mapInPandas hop — the fingerprint pass media dedup runs before its
+    bucket joins: exact identity (sha256 of the bytes) and perceptual
+    bucket (stub pHash over the decoded features). Yields per Arrow
+    batch; memory bounded regardless of partition size."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sha256", T.StringType()),
+            T.StructField("phash", T.StringType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[bin_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "phash": [perceptual_hash_stub(p) for p in payloads],
                 }
             )
 

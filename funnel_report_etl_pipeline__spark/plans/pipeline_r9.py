@@ -1,5 +1,9 @@
-"""Round-9 queries: sketch-percentile twins for the last two exact-
-percentile plans, completing the registry's 100 TB percentile story.
+"""Round-9 queries: (a) sketch-percentile twins for the last exact-
+percentile plans, completing the registry's 100 TB percentile story, and
+(b) the multimodal deepening — media dedup (exact sha256 + perceptual-
+bucket canonicalization through the Arrow fingerprint pass) and the
+modality token-budget mixture readout (`media_dedup`,
+`modality_mixture_stats`; operators/multimodal.py carries the stubs).
 
 `equidepth_price_histogram` and `winsorized_revenue_mean` compute exact
 percentiles with Spark's `percentile` aggregate, which buffers the whole
@@ -305,3 +309,177 @@ def session_bounce_stats_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame
         "p50_duration_s",
         "p90_duration_s",
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Media dedup: exact sha256 + perceptual-bucket canonicalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             sha256(substr(text, 1, 32)) AS sha256,
+             16 + CAST(('0x' || substr(sha256(substr(text, 1, 32)), 1, 2))
+                       AS INT) % 64 AS w,
+             16 + CAST(('0x' || substr(sha256(substr(text, 1, 32)), 3, 2))
+                       AS INT) % 64 AS h
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, sha256,
+             substr(sha256(CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR)),
+                    1, 8) AS phash
+      FROM m
+    )
+    SELECT doc_id, sha256, phash,
+           MIN(doc_id) OVER (PARTITION BY sha256) AS exact_canon,
+           CAST(doc_id > MIN(doc_id) OVER (PARTITION BY sha256) AS BIGINT)
+             AS is_exact_dup,
+           MIN(doc_id) OVER (PARTITION BY phash) AS near_canon,
+           CAST(doc_id > MIN(doc_id) OVER (PARTITION BY phash) AS BIGINT)
+             AS is_near_dup
+    FROM p
+    """,
+    tags=("pipeline-r9", "multimodal", "dedup"),
+)
+def media_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-asset deduplication over an opaque binary column: ONE
+    Arrow-batched fingerprint pass (`media_fingerprints` — sha256 of the
+    bytes + a perceptual-hash stub over the stub-decoded geometry), then
+    two hash-grain canonicalizations: exact identity (same bytes → same
+    sha256; the planted thumbnail collisions give real signal — 24 dup
+    assets at sf0.01) and perceptual bucket (stub pHash; assets whose
+    decoded dimensions coincide share a candidate bucket). Each asset
+    gets its cluster's MIN doc_id as canonical — min-over-hash-partition
+    windows, never a pairwise join, so bucket size never produces a
+    quadratic frame. The payload is the leading 32 bytes (the thumbnail
+    stand-in for this text-shimmed corpus — `attach_binary_payload`
+    pattern). At 100 TB: one Python hop (Arrow, per-batch yield), two
+    hash-grain exchanges; perceptual buckets cap at the 64×64 stub
+    geometry grid, and a real pHash's wider space only shrinks them."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.substring("text", 1, 32), "UTF-8").alias("payload")
+    )
+    from funnel_report_etl_pipeline__spark.operators.multimodal import (
+        media_fingerprints,
+    )
+
+    fp = media_fingerprints(d, "payload", "doc_id")
+    ws = Window.partitionBy("sha256")
+    wp = Window.partitionBy("phash")
+    exact_canon = F.min("doc_id").over(ws)
+    near_canon = F.min("doc_id").over(wp)
+    return fp.select(
+        "doc_id",
+        "sha256",
+        "phash",
+        exact_canon.alias("exact_canon"),
+        (F.col("doc_id") > exact_canon).cast("long").alias("is_exact_dup"),
+        near_canon.alias("near_canon"),
+        (F.col("doc_id") > near_canon).cast("long").alias("is_near_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Modality mixture: per-media-type corpus/token-budget accounting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "modality_mixture_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) % 10 AS mcode
+      FROM documents
+    ),
+    typed AS (
+      SELECT *,
+             CASE WHEN mcode <= 5 THEN 'text'
+                  WHEN mcode <= 7 THEN 'image'
+                  WHEN mcode = 8 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             CASE WHEN mcode <= 5 THEN CAST((n_bytes + 3) // 4 AS BIGINT)
+                  WHEN mcode <= 7 THEN 256
+                  WHEN mcode = 8 THEN CAST(n_bytes // 32 AS BIGINT)
+                  ELSE 1024 END AS est_tokens
+      FROM m
+    ),
+    g AS (
+      SELECT media_type,
+             CAST(COUNT(*) AS BIGINT) AS n_assets,
+             CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+             CAST(SUM(est_tokens) AS BIGINT) AS total_tokens
+      FROM typed GROUP BY media_type
+    )
+    SELECT media_type, n_assets, total_bytes, total_tokens,
+           CAST(total_bytes AS DOUBLE)
+             / CAST(SUM(total_bytes) OVER () AS DOUBLE) AS byte_share,
+           CAST(total_tokens AS DOUBLE)
+             / CAST(SUM(total_tokens) OVER () AS DOUBLE) AS token_share
+    FROM g ORDER BY media_type
+    """,
+    tags=("pipeline-r9", "multimodal", "mixture"),
+)
+def modality_mixture_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture-planning readout for a multimodal corpus: per media
+    type, asset counts, raw byte footprint, and the estimated TOKEN
+    budget each modality contributes to a training run (text ≈ bytes/4
+    BPE heuristic; image = 256 patch tokens; audio ≈ bytes/32 codec
+    frames; video = 4 sampled frames × 256) — the numbers a data-mixing
+    plan is written in. Modality is assigned from the typed-metadata
+    stub (a sha-derived code on this text-shimmed corpus; a real ingest
+    carries media_type in MEDIA_META_SCHEMA). One Arrow fingerprint/meta
+    pass, one ≤4-group aggregate, shares computed by an unpartitioned
+    window over the 4-row aggregate — every cross-row sum is integer, so
+    the two closing divisions are the only IEEE ops. At 100 TB: one
+    Python hop + one 4-group map-side-combined shuffle."""
+    from funnel_report_etl_pipeline__spark.operators.multimodal import (
+        attach_binary_payload,
+        binary_meta,
+    )
+
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
+
+    meta = binary_meta(docs, "payload", "doc_id")
+    mcode = (
+        F.conv(F.substring("sha256", 5, 2), 16, 10).cast("int") % 10
+    ).alias("mcode")
+    typed = meta.select("doc_id", "n_bytes", mcode).select(
+        "doc_id",
+        "n_bytes",
+        F.when(F.col("mcode") <= 5, "text")
+        .when(F.col("mcode") <= 7, "image")
+        .when(F.col("mcode") == 8, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.when(F.col("mcode") <= 5, F.expr("(n_bytes + 3) div 4"))
+        .when(F.col("mcode") <= 7, F.lit(256).cast("long"))
+        .when(F.col("mcode") == 8, F.expr("n_bytes div 32"))
+        .otherwise(F.lit(1024).cast("long"))
+        .alias("est_tokens"),
+    )
+    g = typed.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum("est_tokens").cast("long").alias("total_tokens"),
+    )
+    wall = Window.partitionBy()
+    return g.select(
+        "media_type",
+        "n_assets",
+        "total_bytes",
+        "total_tokens",
+        (
+            F.col("total_bytes").cast("double")
+            / F.sum("total_bytes").over(wall).cast("double")
+        ).alias("byte_share"),
+        (
+            F.col("total_tokens").cast("double")
+            / F.sum("total_tokens").over(wall).cast("double")
+        ).alias("token_share"),
+    ).orderBy("media_type")

@@ -145,13 +145,15 @@ _WINDOW: tuple[str, ...] = (
     "equidepth_price_histogram_approx",
     "winsorized_revenue_mean_approx",
     "session_bounce_stats_approx",
+    # round-9 multimodal deepening: exact+perceptual media dedup and the
+    # modality token-budget mixture readout
+    "media_dedup",
+    "modality_mixture_stats",
     # round-8 keepers (each holds a fresh CORRECTNESS_r08 green row;
     # they yield their slots to round-9 registrations as those land —
     # new queries enter the window the round they are registered)
-    "shipping_class_priority",
     "t_closeness_profile",
     "cms_frequency_calibration",
-    "zipf_token_slope",
     "jaccard_prefix_filter_pairs",
     "degree_assortativity",
     "weighted_sample_per_source",

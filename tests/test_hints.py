@@ -21,6 +21,11 @@ def _has_broadcast_hint(df) -> bool:
     return "Hint" in plan and "broadcast" in plan.lower()
 
 
+def _has_shuffle_hash_hint(df) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Hint" in plan and "shuffle_hash" in plan.lower()
+
+
 def test_estimate_is_positive_and_plan_side(spark):
     nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
     est = estimated_size_bytes(nation)
@@ -37,7 +42,10 @@ def test_no_hint_above_gate(spark):
     nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
     out = maybe_broadcast(nation, gate_bytes=1)
     assert not _has_broadcast_hint(out)
-    # and the frame is returned untouched — same plan object semantics
+    # past the gate the frame is pinned to the distributed-build hash
+    # join (round-9 dim-growth probe: a bare frame lets the planner's
+    # optimistic pruned estimates broadcast a 40M-row dim and OOM)
+    assert _has_shuffle_hash_hint(out)
     assert out.schema == nation.schema
 
 
@@ -47,6 +55,7 @@ def test_gate_reads_session_conf(spark):
     try:
         spark.conf.set(key, "1")
         assert not _has_broadcast_hint(maybe_broadcast(nation))
+        assert _has_shuffle_hash_hint(maybe_broadcast(nation))
         spark.conf.set(key, str(10**9))
         assert _has_broadcast_hint(maybe_broadcast(nation))
     finally:

@@ -189,3 +189,82 @@ def test_release_all_caches_clears_blocks_and_slots(spark):
     assert rdds.size() == 0
     # idempotent + safe on an already-clean session
     release_all_caches(spark)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_media_dedup_exact_and_perceptual_clusters(spark, specs, tmp_path_factory):
+    # docs 1 and 3 share their first 32 chars (exact dups); doc 4 is the
+    # byte-identical payload again, so all three share one sha cluster
+    # with doc 1 canonical. doc 2 is unique.
+    head = "the quick brown fox jumps over x "  # 33 chars -> first 32 equal
+    docs = _docs(
+        spark,
+        [
+            (1, head + "alpha tail", "en", "web", 43),
+            (2, "a completely different document body", "en", "web", 36),
+            (3, head + "beta tail entirely", "en", "web", 51),
+            (4, head + "alpha tail", "en", "crawl", 43),
+        ],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "mdedup", {"documents": docs})
+    out = {r["doc_id"]: r for r in specs["media_dedup"].fn(spark, sf).collect()}
+    assert len(out) == 4
+    assert out[1]["sha256"] == out[3]["sha256"] == out[4]["sha256"]
+    assert out[2]["sha256"] != out[1]["sha256"]
+    assert [out[i]["exact_canon"] for i in (1, 3, 4)] == [1, 1, 1]
+    assert [out[i]["is_exact_dup"] for i in (1, 3, 4)] == [0, 1, 1]
+    assert out[2]["is_exact_dup"] == 0 and out[2]["exact_canon"] == 2
+    # identical payloads share the perceptual bucket too (same stub
+    # geometry), so exact dups are always near dups
+    assert out[3]["is_near_dup"] == 1 and out[4]["is_near_dup"] == 1
+    # the perceptual hash is the documented stub chain: sha256("WxH")[:8]
+    import hashlib
+
+    from funnel_report_etl_pipeline__spark.operators.multimodal import (
+        decode_stub,
+        perceptual_hash_stub,
+    )
+
+    payload = (head + "alpha tail")[:32].encode()
+    d = decode_stub(payload)
+    want = hashlib.sha256(f"{d['width']}x{d['height']}".encode()).hexdigest()[:8]
+    assert out[1]["phash"] == want == perceptual_hash_stub(payload)
+
+
+def test_modality_mixture_token_budget_shares(spark, specs, tmp_path_factory):
+    """Shares must sum to 1, counts to the corpus, and each modality's
+    token formula must match its documented closed form."""
+    import hashlib
+
+    texts = [f"document number {i} with some filler body text" * (i + 1) for i in range(40)]
+    docs = _docs(
+        spark, [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    )
+    sf = _write_sf(spark, tmp_path_factory, "mmix", {"documents": docs})
+    out = specs["modality_mixture_stats"].fn(spark, sf).collect()
+    assert sum(r["n_assets"] for r in out) == 40
+    assert sum(r["byte_share"] for r in out) == pytest.approx(1.0)
+    assert sum(r["token_share"] for r in out) == pytest.approx(1.0)
+    # independent python recomputation of the mixture
+    want = {}
+    for i, t in enumerate(texts):
+        b = t.encode()
+        code = int(hashlib.sha256(b).hexdigest()[4:6], 16) % 10
+        mt = "text" if code <= 5 else "image" if code <= 7 else "audio" if code == 8 else "video"
+        tok = (
+            (len(b) + 3) // 4 if mt == "text"
+            else 256 if mt == "image"
+            else len(b) // 32 if mt == "audio"
+            else 1024
+        )
+        e = want.setdefault(mt, [0, 0, 0])
+        e[0] += 1
+        e[1] += len(b)
+        e[2] += tok
+    got = {r["media_type"]: (r["n_assets"], r["total_bytes"], r["total_tokens"]) for r in out}
+    assert got == {k: tuple(v) for k, v in want.items()}

@@ -63,6 +63,10 @@ PYTHON_PATH_EXCEPTIONS = {
     "multimodal_features",
     "arrow_udf_normalize",
     "grouped_arrow_stats",  # applyInPandas grouped map (FlatMapGroupsInPandas)
+    # round-9 multimodal family: the media fingerprint/meta pass is the
+    # sanctioned mapInPandas hop (stub codecs, real Arrow plumbing)
+    "media_dedup",
+    "modality_mixture_stats",
 }
 
 
@@ -326,6 +330,10 @@ WINDOW_SHUFFLE_BUDGET = {
     # same session assembly as the exact sibling (one user-grain window
     # exchange + day re-agg); the sketch swap adds no exchange
     "session_bounce_stats_approx": 2,
+    # round-9 multimodal: one Arrow fingerprint hop + the two hash-grain
+    # min-windows (exact sha + perceptual bucket) / one ≤4-group agg
+    "media_dedup": 2,
+    "modality_mixture_stats": 1,
 }
 
 

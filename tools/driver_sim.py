@@ -9,14 +9,17 @@ what the external gate does — runs ``entry(spark)`` plus every
 stringification; rows sorted by all columns, columns sorted by name).
 
 Usage: python tools/driver_sim.py [--json OUT.json] [--changed-since REV]
-       [sf_dir] [query ...]
+       [--parallel N] [sf_dir] [query ...]
 
 ``--changed-since REV`` selects the affected query subset from ``git diff
 REV``: a query runs iff its plan module changed, or a changed package
 module's name appears in its plan module's source (a deliberate SUPERSET —
 textual reference tracing over-selects rather than misses), or the entry
-module itself changed (then everything runs). With 161 registered queries
-the full sweep is ~8 min; a 5-query change gates in under a minute.
+module itself changed (then everything runs). ``--parallel N`` shards the
+sweep over N child processes (one JVM each, cpu/N cores per child) and
+merges their JSON — the 210-query full gate drops from ~25 min serial to
+a few minutes wall; a 5-query change still gates serially in under a
+minute.
 """
 
 from __future__ import annotations
@@ -119,13 +122,106 @@ def changed_query_names(rev: str, qs: dict) -> set[str] | None:
     return sel
 
 
+def parallel_main(
+    n: int, sf_dir: str, only: set[str], changed_rev: str | None, json_path: str | None
+) -> int:
+    """Shard the sweep over ``n`` child driver_sim processes (one JVM
+    each) and merge their --json outputs. Round-robin sharding over the
+    sorted name list balances the heavy graph/dedup queries across
+    workers; each child gets cpu_count/n cores so the shards time-slice
+    the machine instead of oversubscribing it 8x. Correctness results
+    are unaffected by concurrency (each child owns its session + DuckDB
+    connection); do NOT use the per-query timings from a parallel run
+    for benchmarking — children contend for cores."""
+    import json as _json
+    import subprocess
+    import tempfile
+    import time
+
+    mod = load_entry()
+    qs = mod.queries()
+    names = set(qs)
+    if only:
+        names &= only
+    if changed_rev is not None:
+        sel = changed_query_names(changed_rev, qs)
+        if sel is None:
+            print(f"--changed-since {changed_rev}: entry-level change, running ALL")
+        else:
+            names &= sel
+            print(f"--changed-since {changed_rev}: {len(names)} affected queries")
+            if not names:
+                print("no registered query affected by the diff")
+                return 0
+    ordered = sorted(names)
+    shards = [ordered[i::n] for i in range(n)]
+    shards = [s for s in shards if s]
+    cores = max(2, (os.cpu_count() or 32) // len(shards))
+    t0 = time.time()
+    procs, outs = [], []
+    for i, shard in enumerate(shards):
+        tf = tempfile.mktemp(suffix=f"_dsim{i}.json")
+        outs.append(tf)
+        env = dict(os.environ, DRIVER_SIM_CORES=str(cores))
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--json", tf, sf_dir, *shard],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+                env=env,
+                cwd=os.getcwd(),
+            )
+        )
+    merged: dict[str, dict] = {}
+    broken = False
+    for p, tf in zip(procs, outs):
+        out, _ = p.communicate()
+        sys.stdout.write(out)
+        try:
+            with open(tf) as fh:
+                merged.update(_json.load(fh)["queries"])
+            os.unlink(tf)
+        except Exception as e:  # noqa: BLE001 — a dead child is a failed sweep
+            broken = True
+            print(f"worker shard output {tf} unreadable: {e}", file=sys.stderr)
+    failures = sorted(
+        k for k, v in merged.items() if v["status"] not in ("pass", "rows_only")
+    )
+    missing = sorted(names - set(merged))
+    if missing:
+        broken = True
+        print(f"MISSING results for {len(missing)} queries: {missing[:10]}")
+    wall = round(time.time() - t0, 1)
+    print(
+        f"\nparallel sweep: {len(merged)} queries, {len(failures)} failures, "
+        f"{len(shards)} workers x local[{cores}], {wall}s wall"
+    )
+    print(f"{len(failures)} failures: {failures}")
+    if json_path:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(merged),
+            "n_pass": sum(1 for r in merged.values() if r["status"] == "pass"),
+            "n_rows_only": sum(1 for r in merged.values() if r["status"] == "rows_only"),
+            "n_fail": len(failures),
+            "failures": failures,
+            "parallel": {"workers": len(shards), "cores_per_worker": cores, "wall_sec": wall},
+            "queries": {k: merged[k] for k in sorted(merged)},
+        }
+        with open(json_path, "w") as fh:
+            _json.dump(summary, fh, indent=1, default=str)
+        print(f"wrote {json_path}")
+    return 1 if (failures or broken) else 0
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv):
-            print("usage: driver_sim.py [--json OUT.json] [--changed-since REV] [sf_dir] [query ...]", file=sys.stderr)
+            print("usage: driver_sim.py [--json OUT.json] [--changed-since REV] [--parallel N] [sf_dir] [query ...]", file=sys.stderr)
             return 2
         json_path = argv[i + 1]
         del argv[i : i + 2]
@@ -134,11 +230,19 @@ def main() -> int:
         i = argv.index("--changed-since")
         changed_rev = argv[i + 1]
         del argv[i : i + 2]
+    n_par = 0
+    if "--parallel" in argv:
+        i = argv.index("--parallel")
+        n_par = int(argv[i + 1])
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    if n_par > 1:
+        return parallel_main(n_par, sf_dir, only, changed_rev, json_path)
+    cores = os.environ.get("DRIVER_SIM_CORES", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", cores)
         .getOrCreate()
     )
     con = duckdb.connect()
