@@ -25,12 +25,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Default gate: 256 MiB *estimated* logical size. Broadcast frames are
-# compact-encoded on the wire, so a 256 MiB scan estimate lands well under
-# Spark's 8 GB hard broadcast cap with wide margin, while still letting every
-# gate-scale dimension table (sf0.1 customer ≈ 1 MiB) through. Override per
-# session with spark.funnel.broadcastGateBytes.
-DEFAULT_GATE_BYTES = 256 << 20
+# Default gate: 64 MiB *estimated* logical size — recalibrated from
+# 256 MiB by the round-9 dim-growth probe. The optimizer's sizeInBytes
+# reflects columnar-COMPRESSED scan bytes, but a broadcast materializes a
+# row-format hashed relation whose memory runs ~5-20× that estimate (plus
+# one copy per executor): at 2048× dim growth, frames estimating 180 MB
+# pruned (30-41M rows) slipped a 256 MiB gate and then either built a
+# 23-38 s broadcast or died outright with "Not enough memory to build and
+# broadcast". 64 MiB ≈ ≤1 GB worst-case in-memory — the ceiling a
+# real executor tolerates — and matches the session
+# autoBroadcastJoinThreshold, so the hint's role stays "pin the good plan
+# against stat drift", never "force a broadcast Catalyst would refuse".
+# Every gate-scale dimension (sf0.1 customer ≈ 1 MiB) still passes.
+# Override per session with spark.funnel.broadcastGateBytes.
+DEFAULT_GATE_BYTES = 64 << 20
 
 _CONF_KEY = "spark.funnel.broadcastGateBytes"
 

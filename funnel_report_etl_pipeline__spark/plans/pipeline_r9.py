@@ -93,6 +93,7 @@ _OCTILES = (0.125, 0.250, 0.375, 0.500, 0.625, 0.750, 0.875)
     GROUP BY 1 ORDER BY bucket
     """,
     tags=("pipeline-r9", "stats", "dataops", "approx"),
+    bench=True,
 )
 def equidepth_price_histogram_approx_q(
     spark: SparkSession, sf_dir: str
@@ -163,6 +164,7 @@ def equidepth_price_histogram_approx_q(
     GROUP BY oc.segment ORDER BY oc.segment
     """,
     tags=("pipeline-r9", "stats", "robust", "approx"),
+    bench=True,
 )
 def winsorized_revenue_mean_approx_q(
     spark: SparkSession, sf_dir: str
@@ -252,6 +254,7 @@ def winsorized_revenue_mean_approx_q(
     FROM per GROUP BY day ORDER BY day
     """,
     tags=("pipeline-r9", "events", "analytics", "approx"),
+    bench=True,
 )
 def session_bounce_stats_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`session_bounce_stats`' 100 TB dwell-time path: identical session
@@ -344,6 +347,7 @@ def session_bounce_stats_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM p
     """,
     tags=("pipeline-r9", "multimodal", "dedup"),
+    bench=True,
 )
 def media_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-asset deduplication over an opaque binary column: ONE
@@ -424,6 +428,7 @@ def media_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM g ORDER BY media_type
     """,
     tags=("pipeline-r9", "multimodal", "mixture"),
+    bench=True,
 )
 def modality_mixture_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mixture-planning readout for a multimodal corpus: per media
