@@ -84,3 +84,29 @@ def test_values_unchanged_either_side_of_gate(spark):
     a = {(r.c_nationkey, r.n) for r in base(maybe_broadcast(cust)).collect()}
     b = {(r.c_nationkey, r.n) for r in base(maybe_broadcast(cust, gate_bytes=1)).collect()}
     assert a == b and a
+
+
+def test_degrade_path_pins_shuffled_hash_join_in_real_query(spark):
+    """The dim-growth probe's finding, pinned at test scale: force every
+    maybe_broadcast gate shut via the session conf and the winsorized
+    query must plan its customer join as a ShuffledHashJoin — NO
+    broadcast join may carry the custkey (the planner's own pruned
+    estimates would otherwise broadcast a corpus-scale dim and OOM, the
+    round-9 probe failure) — while values stay identical to the
+    broadcast-era plan."""
+    from funnel_report_etl_pipeline__spark.plans.registry import load_all
+
+    fn = load_all()["winsorized_revenue_mean"].fn
+    base = {tuple(r) for r in fn(spark, SF_SMALL).collect()}
+    key = "spark.funnel.broadcastGateBytes"
+    try:
+        spark.conf.set(key, "1")
+        df = fn(spark, SF_SMALL)
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in phys
+        assert not any(
+            "custkey" in ln for ln in phys.splitlines() if "BroadcastHashJoin" in ln
+        )
+        assert {tuple(r) for r in df.collect()} == base
+    finally:
+        spark.conf.unset(key)
