@@ -53,31 +53,51 @@ def estimated_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
-def maybe_broadcast(df: DataFrame, gate_bytes: int | None = None) -> DataFrame:
-    """Hint ``broadcast(df)`` only while the optimizer's size estimate
-    stays under the gate; PAST the gate, hint ``shuffle_hash`` instead of
-    returning the frame bare.
+def _estimate_trustworthy(df: DataFrame) -> bool:
+    """True when the frame is a scan/filter/project chain, whose size
+    estimate reflects actual file bytes. A Join/Aggregate in the plan
+    makes the estimate garbage-HIGH: Catalyst multiplies child sizes, so
+    a 150-row customer⋈nation frame estimated at 2.87 GB at sf0.001
+    (round-9 finding on local_supplier_volume) would trip any gate and
+    pin a needless shuffle on a tiny frame."""
+    try:
+        lp = df._jdf.queryExecution().optimizedPlan().toString()
+        return "Join" not in lp and "Aggregate" not in lp and "Window" not in lp
+    except Exception:
+        return False
 
-    Why the degrade side is a shuffle-hash hint and not "let AQE choose":
-    the round-9 dim-growth probe (tools/dim_growth_probe.py, customer/part
-    replicated 2048× to 30-41M rows / 350-440 MB file estimate) showed
-    that with the hint merely ABSENT, Catalyst/AQE still picked broadcast
-    from its own column-pruned compressed-size estimates — completing one
-    query 14× slow behind a 30M-row broadcast build and failing another
-    outright ("Not enough memory to build and broadcast") on the driver.
-    The planner's estimate (pruned file bytes) systematically undercounts
-    the in-memory hashed-relation size of a high-row-count dim, so once
-    OUR estimate says the frame is past broadcast scale, the join must be
-    pinned to the distributed-build strategy: shuffle_hash keeps the
-    hash-join plan (no sort) with a per-partition build — scale-safe at
-    any dim size. Unknown estimate ⇒ same treatment (fail safe: worst
-    case is an unnecessary shuffle, never an oversized broadcast)."""
+
+def maybe_broadcast(df: DataFrame, gate_bytes: int | None = None) -> DataFrame:
+    """Size-gated join hint with estimate-quality awareness:
+
+    * estimate under the gate → ``broadcast`` hint (pin the gate-scale
+      plan against stat drift);
+    * estimate over the gate AND trustworthy (scan/filter/project chain,
+      where sizeInBytes is real file bytes) → ``shuffle_hash`` hint. The
+      round-9 dim-growth probe (tools/dim_growth_probe.py: customer/part
+      at 2048×, 30-41M rows) showed that with the hint merely ABSENT,
+      AQE still picked broadcast from runtime compressed-shuffle sizes —
+      one query 14× slow behind a 30M-row broadcast build, another dead
+      with "Not enough memory to build and broadcast" — because
+      compressed bytes undercount hashed-relation memory ~5-20× on
+      high-row-count frames. Pinning the distributed per-partition build
+      is the scale-safe strategy once the frame is provably large.
+    * estimate over the gate but NOT trustworthy (Join/Aggregate in the
+      plan — Catalyst multiplies child sizes, inflating a 150-row frame
+      to gigabytes) → return the frame BARE and let AQE decide from
+      runtime stats, which are accurate for the genuinely-small derived
+      frames this path sees (bounded keysets, per-group bounds).
+
+    Unknown estimate ⇒ bare (fail safe either way: worst case is a
+    shuffle join, never an oversized broadcast forced by a hint)."""
     if gate_bytes is None:
         try:
             gate_bytes = int(df.sparkSession.conf.get(_CONF_KEY, str(DEFAULT_GATE_BYTES)))
         except Exception:
             gate_bytes = DEFAULT_GATE_BYTES
     est = estimated_size_bytes(df)
-    if est is None or est > gate_bytes:
+    if est is not None and est <= gate_bytes:
+        return F.broadcast(df)
+    if est is not None and _estimate_trustworthy(df):
         return df.hint("shuffle_hash")
-    return F.broadcast(df)
+    return df

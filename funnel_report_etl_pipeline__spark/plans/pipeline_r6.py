@@ -1586,9 +1586,14 @@ def local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
     ).select("n_nationkey", "n_name")
-    cust = _t(spark, sf_dir, "customer").join(
-        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
-    ).select("c_custkey", "c_nationkey", "n_name")
+    # the size-gated hint wraps the customer SCAN, never the
+    # customer⋈nation join output: a scan's estimate is its file
+    # footprint (trustworthy on both sides of the gate), while Catalyst
+    # estimates a join output by MULTIPLYING child sizes — 2.87 GB for
+    # this 150-row frame at sf0.001 — which would trip any size gate and
+    # pin a needless shuffle (round-9 hints lesson). The bounded nation
+    # frame (≤25 rows) broadcasts unconditionally after.
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = (
         _t(spark, sf_dir, "orders")
         .filter((F.col("o_orderdate") >= cut_lo) & (F.col("o_orderdate") < cut_hi))
@@ -1601,9 +1606,13 @@ def local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     ).cast("decimal(22,4)")
+    oc = (
+        orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("o_orderkey", "c_nationkey", "n_name")
+    )
     return (
-        li.join(orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey),
-                li.l_orderkey == orders.o_orderkey)
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
         .join(
             maybe_broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))

@@ -110,3 +110,19 @@ def test_degrade_path_pins_shuffled_hash_join_in_real_query(spark):
         assert {tuple(r) for r in df.collect()} == base
     finally:
         spark.conf.unset(key)
+
+
+def test_untrustworthy_estimate_returns_bare_frame(spark):
+    """A Join/Aggregate output's size estimate is multiplied garbage —
+    past the gate the helper must return such frames BARE (AQE decides
+    from accurate runtime stats) instead of pinning a shuffle on what is
+    actually a tiny frame (round-9: customer⋈nation estimated 2.87 GB
+    for 150 rows)."""
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    out = maybe_broadcast(joined, gate_bytes=1)
+    assert not _has_broadcast_hint(out)
+    assert not _has_shuffle_hash_hint(out)
+    # under the gate a derived frame still gets the broadcast pin
+    assert _has_broadcast_hint(maybe_broadcast(joined, gate_bytes=1 << 60))
