@@ -488,3 +488,340 @@ def modality_mixture_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("total_tokens").over(wall).cast("double")
         ).alias("token_share"),
     ).orderBy("media_type")
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution (completes the attribution family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_decay_attribution",
+    oracle="""
+    WITH pv AS (
+      SELECT v.event_id AS view_id, v.user_id, p.event_id AS pid, p.value,
+             CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 600000000 AS INT)
+               AS steps
+      FROM events v
+      JOIN events p
+        ON v.user_id = p.user_id
+       AND v.event_type = 'view' AND p.event_type = 'purchase'
+       AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ),
+    w AS (
+      SELECT view_id, user_id, pid, value,
+             1.0 / CAST(1 << steps AS DOUBLE) AS w
+      FROM pv
+    ),
+    s AS (SELECT *, SUM(w) OVER (PARTITION BY pid) AS sw FROM w)
+    SELECT view_id, user_id,
+           CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value * (w / sw) AS DECIMAL(22,6))) AS DOUBLE)
+             AS credit
+    FROM s GROUP BY view_id, user_id
+    """,
+    tags=("pipeline-r9", "analytics", "attribution"),
+    bench=True,
+)
+def time_decay_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — completes the attribution
+    quartet (last-touch / linear / streaming): each purchase's value is
+    split across the user's preceding-hour views with weights HALVING
+    per 10 minutes of view→purchase age, normalized per purchase. Same
+    single user-keyed interval self-join + purchase-grain window +
+    view-grain re-agg as `linear_attribution`. Cross-engine exactness:
+    the decay weight is the exact dyadic rational 1/2^steps (integer
+    shift, never `pow` — the pinned not-engine-exact function); the
+    per-purchase weight sum adds ≤64ths exactly in double, so the
+    normalized share and value·share are the same two IEEE ops on both
+    engines, then decimal-summed. At 100 TB: the join shuffles on
+    user_id once; windows are purchase-grain."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    pv = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pts") > F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    # shiftleft's bit-count must be a Column here, which the Python API
+    # only accepts via SQL; 1 << steps stays an exact integer (steps <= 6)
+    w = F.expr(
+        "1.0 / cast(shiftleft(1, cast((unix_micros(pts) - unix_micros(vts))"
+        " div 600000000 as int)) as double)"
+    )
+    sw = F.sum("w").over(Window.partitionBy("pid"))
+    shares = pv.withColumn("w", w).withColumn("sw", sw)
+    return shares.groupBy("view_id", "user_id").agg(
+        F.count_distinct("pid").cast("long").alias("n_purchases"),
+        F.sum(
+            (F.col("value") * (F.col("w") / F.col("sw"))).cast("decimal(22,6)")
+        )
+        .cast("double")
+        .alias("credit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phrase-proximity search (retrieval family)
+# ---------------------------------------------------------------------------
+
+_PROX_T1, _PROX_T2, _PROX_K = "vector", "stream", 20
+
+
+@register(
+    "phrase_proximity_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) s
+    ),
+    a AS (SELECT doc_id, pos FROM tok WHERE tok = '{_PROX_T1}'),
+    b AS (SELECT doc_id, pos FROM tok WHERE tok = '{_PROX_T2}'),
+    d AS (
+      SELECT a.doc_id,
+             CAST(MIN(ABS(a.pos - b.pos)) AS BIGINT) AS proximity,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM a JOIN b ON a.doc_id = b.doc_id
+      GROUP BY a.doc_id
+    )
+    SELECT doc_id, proximity, n_pairs,
+           CAST(ROW_NUMBER() OVER (ORDER BY proximity, doc_id) AS BIGINT)
+             AS rnk
+    FROM d ORDER BY proximity, doc_id LIMIT {_PROX_K}
+    """,
+    tags=("pipeline-r9", "text", "retrieval"),
+    bench=True,
+)
+def phrase_proximity_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-proximity retrieval: the top-k documents where two query
+    terms appear CLOSEST together (min absolute token-position
+    distance) — the proximity-scoring layer a BM25 bag-of-words ranker
+    cannot express (`bm25_search` ranks the same corpus by tf-idf; this
+    ranks by positional coherence). Positions come from one
+    posexplode; the per-document position pairing is a doc_id-keyed
+    join of the two term position lists (each list is the term's
+    occurrence count within ONE doc — candidate-bounded, never
+    corpus-pair-grain), collapsed to min-distance per doc; the global
+    top-k compiles to TakeOrderedAndProject (bounded per-partition
+    heaps, no corpus-grain window). Integer positions throughout;
+    (proximity, doc_id) is a total order so the selected set is
+    engine-deterministic; the trailing rnk window orders the 20
+    already-selected rows."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    tok = d.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    a = tok.filter(F.col("tok") == _PROX_T1).select("doc_id", F.col("pos").alias("pa"))
+    b = tok.filter(F.col("tok") == _PROX_T2).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    per_doc = (
+        a.join(b, a.doc_id == b.doc_b)
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("proximity"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    top = per_doc.orderBy("proximity", "doc_id").limit(_PROX_K)
+    rnk = F.row_number().over(Window.orderBy("proximity", "doc_id")).cast("long")
+    return top.withColumn("rnk", rnk)
+
+
+# ---------------------------------------------------------------------------
+# Quality-canonical dedup clusters (dedup x quality composition)
+# ---------------------------------------------------------------------------
+
+
+def _cluster_quality_oracle() -> str:
+    from funnel_report_etl_pipeline__spark.plans.pipeline_r5 import (
+        _QC_BIAS,
+        _QC_W_STOP,
+        _QC_W_UNIQ,
+        _QC_W_WLEN,
+        _STOP_SQL,
+    )
+
+    logit = (
+        f"{_QC_BIAS} + {_QC_W_STOP} * stop_rate + {_QC_W_UNIQ} * uniq_rate"
+        f" + {_QC_W_WLEN} * mean_wlen"
+    )
+    return f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                 length(replace(text, ' ', '')) AS n_letters
+          FROM documents),
+    g0 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    g AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g0
+      ) WHERE df <= 1000
+    ),
+    h AS (
+      SELECT doc_id, gram,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h1,
+             (CAST(('0x' || substr(md5(gram), 16, 12)) AS BIGINT) | 1) AS h2
+      FROM g
+    ),
+    m AS (
+      SELECT doc_id, i, MIN(h1 + i * h2) AS mh
+      FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i) perms
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band_idx,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
+      FROM m GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.id_a
+      JOIN g gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+      GROUP BY c.id_a, c.id_b
+    ),
+    p AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+    walk(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id
+    ),
+    lbl AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+    q AS (
+      SELECT doc_id,
+             {_QC_BIAS} + {_QC_W_STOP}
+               * (CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL})))
+                       AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+             + {_QC_W_UNIQ}
+               * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE))
+             + {_QC_W_WLEN}
+               * (CAST(n_letters AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+               AS quality_logit
+      FROM t WHERE len(toks) > 0
+    ),
+    c AS (
+      SELECT q.doc_id, CAST(COALESCE(l.comp, q.doc_id) AS BIGINT)
+               AS component, q.quality_logit
+      FROM q LEFT JOIN lbl l ON q.doc_id = l.id
+    )
+    SELECT doc_id, component, quality_logit,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+             AS cluster_size,
+           CAST(MIN(doc_id) OVER (PARTITION BY component) = doc_id
+                AS BIGINT) AS is_minid_canonical,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY component
+                  ORDER BY quality_logit DESC, doc_id) = 1
+                AS BIGINT) AS is_quality_canonical
+    FROM c
+    """
+
+
+@register(
+    "dedup_cluster_quality_canon",
+    oracle=_cluster_quality_oracle(),
+    tags=("pipeline-r9", "dedup", "quality", "composition"),
+    bench=True,
+)
+def dedup_cluster_quality_canon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters with QUALITY-based canonical selection — the
+    production dedup recipe: inside each MinHash-LSH connected
+    component, keep the member the quality classifier scores HIGHEST
+    (min-doc_id is an arbitrary-but-stable fallback; a real corpus
+    wants the cleanest copy, not the lowest id). Composes the two
+    registered pipelines: `dedup_clusters`' banded-LSH → verify →
+    pointer-doubling CC labels, joined with `quality_classifier`'s
+    fixed-weight lexical logit, then one component-grain window picks
+    the argmax (logit DESC, doc_id tiebreak — logits are bit-identical
+    across engines per the quality_classifier contract, so the ordering
+    never diverges). Both canonicals are emitted so the policy delta is
+    auditable (at sf0.01, the quality canonical differs from the min-id
+    canonical in real clusters). At 100 TB: identical cost to
+    dedup_clusters (the CC dominates) + one map-side quality pass and a
+    cluster-grain window."""
+    from funnel_report_etl_pipeline__spark.operators.dedup import (
+        dedup_assign_clusters,
+        minhash_dedup_pairs,
+    )
+    from funnel_report_etl_pipeline__spark.operators.text import STOPWORDS
+    from funnel_report_etl_pipeline__spark.plans.pipeline_r5 import (
+        _QC_BIAS,
+        _QC_W_STOP,
+        _QC_W_UNIQ,
+        _QC_W_WLEN,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        docs, threshold=0.8, persist_grams=True, persist_pairs=True
+    ).select("id_a", "id_b")
+    clusters = dedup_assign_clusters(docs, pairs)
+    toks = F.split(F.col("text"), " ")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_rate = F.size(
+        F.filter(toks, lambda x: F.array_contains(stops, x))
+    ).cast("double") / F.size(toks).cast("double")
+    uniq_rate = F.size(F.array_distinct(toks)).cast("double") / F.size(
+        toks
+    ).cast("double")
+    mean_wlen = F.length(
+        F.regexp_replace(F.col("text"), " ", "")
+    ).cast("double") / F.size(toks).cast("double")
+    logit = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W_STOP) * stop_rate
+        + F.lit(_QC_W_UNIQ) * uniq_rate
+        + F.lit(_QC_W_WLEN) * mean_wlen
+    )
+    q = docs.filter(F.size(F.split(F.col("text"), " ")) > 0).select(
+        "doc_id", logit.alias("quality_logit")
+    )
+    c = q.join(clusters, "doc_id").select("doc_id", "component", "quality_logit")
+    wc = Window.partitionBy("component")
+    wq = Window.partitionBy("component").orderBy(
+        F.col("quality_logit").desc(), "doc_id"
+    )
+    return c.select(
+        "doc_id",
+        "component",
+        "quality_logit",
+        F.count("*").over(wc).cast("long").alias("cluster_size"),
+        (F.min("doc_id").over(wc) == F.col("doc_id"))
+        .cast("long")
+        .alias("is_minid_canonical"),
+        (F.row_number().over(wq) == 1).cast("long").alias("is_quality_canonical"),
+    )

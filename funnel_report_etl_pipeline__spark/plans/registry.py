@@ -149,17 +149,20 @@ _WINDOW: tuple[str, ...] = (
     # modality token-budget mixture readout
     "media_dedup",
     "modality_mixture_stats",
+    # round-9 second batch: time-decay attribution (completes the
+    # attribution family), phrase-proximity retrieval, and the
+    # quality-canonical dedup-cluster composition
+    "time_decay_attribution",
+    "phrase_proximity_search",
+    "dedup_cluster_quality_canon",
     # round-8 keepers (each holds a fresh CORRECTNESS_r08 green row;
     # they yield their slots to round-9 registrations as those land —
     # new queries enter the window the round they are registered)
-    "t_closeness_profile",
     "cms_frequency_calibration",
-    "jaccard_prefix_filter_pairs",
     "degree_assortativity",
     "weighted_sample_per_source",
     "bpe_merge_induction",
     "k_core_peeling",
-    "bloom_prefilter_join",
     "weighted_reservoir_sample",
     "bpe_token_stats",
 )

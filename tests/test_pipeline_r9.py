@@ -268,3 +268,75 @@ def test_modality_mixture_token_budget_shares(spark, specs, tmp_path_factory):
         e[2] += tok
     got = {r["media_type"]: (r["n_assets"], r["total_bytes"], r["total_tokens"]) for r in out}
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_time_decay_attribution_halving_weights(spark, specs, tmp_path_factory):
+    # one purchase (60.0) at 12:00; views 5 min before (steps 0, w=1) and
+    # 25 min before (steps 2, w=1/4): sw=1.25 -> credits 48 and 12
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    ev = _ev(
+        spark,
+        [
+            (1, datetime(2024, 1, 1, 11, 55), 7, "view", 0.0, "{}"),
+            (2, datetime(2024, 1, 1, 11, 35), 7, "view", 0.0, "{}"),
+            (3, t, 7, "purchase", 60.0, "{}"),
+        ],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "tdecay", {"events": ev})
+    out = {r["view_id"]: r for r in specs["time_decay_attribution"].fn(spark, sf).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["credit"] == pytest.approx(48.0)
+    assert out[2]["credit"] == pytest.approx(12.0)
+    assert out[1]["n_purchases"] == out[2]["n_purchases"] == 1
+
+
+def test_phrase_proximity_orders_by_min_distance(spark, specs, tmp_path_factory):
+    docs = _docs(
+        spark,
+        [
+            (1, "vector x stream tail tail", "en", "web", 25),
+            (2, "vector stream tail", "en", "web", 18),
+            (3, "vector only here", "en", "web", 16),
+            (4, "stream a a vector", "en", "web", 17),
+        ],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "prox", {"documents": docs})
+    out = specs["phrase_proximity_search"].fn(spark, sf).collect()
+    assert [(r["doc_id"], r["proximity"], r["rnk"]) for r in out] == [
+        (2, 1, 1),
+        (1, 2, 2),
+        (4, 3, 3),
+    ]
+
+
+def test_quality_canonical_beats_minid_canonical(spark, specs, tmp_path_factory):
+    # doc 2 = doc 1's text plus appended stopwords: 3-gram Jaccard stays
+    # >= 0.8 (near-dup cluster) but the stopword rate pushes doc 2's
+    # quality logit above doc 1's, so the QUALITY canonical is doc 2
+    # while the min-id canonical remains doc 1.
+    base = " ".join(f"w{i}" for i in range(40))
+    richer = base + " the a and of to in"
+    docs = _docs(
+        spark,
+        [
+            (1, base, "en", "web", len(base)),
+            (2, richer, "en", "web", len(richer)),
+            (3, "totally unrelated content block here", "en", "web", 36),
+        ],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "qcanon", {"documents": docs})
+    out = {r["doc_id"]: r for r in specs["dedup_cluster_quality_canon"].fn(spark, sf).collect()}
+    assert out[1]["component"] == out[2]["component"]
+    assert out[1]["cluster_size"] == out[2]["cluster_size"] == 2
+    assert out[1]["is_minid_canonical"] == 1 and out[2]["is_minid_canonical"] == 0
+    assert out[2]["is_quality_canonical"] == 1 and out[1]["is_quality_canonical"] == 0
+    assert out[2]["quality_logit"] > out[1]["quality_logit"]
+    assert out[3]["cluster_size"] == 1 and out[3]["is_quality_canonical"] == 1

@@ -334,6 +334,15 @@ WINDOW_SHUFFLE_BUDGET = {
     # min-windows (exact sha + perceptual bucket) / one ≤4-group agg
     "media_dedup": 2,
     "modality_mixture_stats": 1,
+    # round-9 second batch: user-keyed interval join + purchase-grain
+    # window + view re-agg / doc-keyed position join + TakeOrdered / the
+    # cluster composition = pairs chain (cache-state-dependent like its
+    # dedup_minhash_* siblings would be, but the final label+quality
+    # frame plans stably at 3 here: CC label agg, quality join,
+    # component window)
+    "time_decay_attribution": 2,
+    "phrase_proximity_search": 1,
+    "dedup_cluster_quality_canon": None,
 }
 
 
