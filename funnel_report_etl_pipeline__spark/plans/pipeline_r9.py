@@ -825,3 +825,51 @@ def dedup_cluster_quality_canon_q(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("is_minid_canonical"),
         (F.row_number().over(wq) == 1).cast("long").alias("is_quality_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-n stratified sample (deterministic hash-rank SRS per stratum)
+# ---------------------------------------------------------------------------
+
+_STRAT_N = 10  # testdata has 25 docs/source; 10 keeps the gate selective (200/500)
+
+
+@register(
+    "stratified_fixed_n_sample",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS hk,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_STRAT_N}
+    """,
+    tags=("pipeline-r9", "sampling"),
+    bench=True,
+)
+def stratified_fixed_n_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified simple random sample: exactly n documents
+    per source, selected by rank over a content-addressed hash — the
+    standard construction for fixed-size per-stratum eval/holdout sets.
+    Unlike the rate-based `balanced_source_sample` (whose per-stratum
+    count is binomial around the target), the hash-rank pick is exactly
+    n, yet still deterministic across runs, engines, cluster sizes, and
+    repartitioning (md5(doc_id) is the sort key; doc_id breaks the
+    theoretical hash-tie). The rank-≤-n window rewrites to
+    WindowGroupLimit: each task keeps a bounded per-stratum heap BEFORE
+    the stratum exchange, so the shuffle moves O(strata × n) survivors
+    plus spill — not the corpus — and per-stratum state never exceeds n
+    rows. At 100 TB: one stratum-keyed exchange of pre-limited rows."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    hk = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(hk, "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _STRAT_N)
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"), "rk")
+    )

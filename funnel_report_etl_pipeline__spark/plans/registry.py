@@ -155,11 +155,11 @@ _WINDOW: tuple[str, ...] = (
     "time_decay_attribution",
     "phrase_proximity_search",
     "dedup_cluster_quality_canon",
+    "stratified_fixed_n_sample",
     # round-8 keepers (each holds a fresh CORRECTNESS_r08 green row;
     # they yield their slots to round-9 registrations as those land —
     # new queries enter the window the round they are registered)
     "cms_frequency_calibration",
-    "degree_assortativity",
     "weighted_sample_per_source",
     "bpe_merge_induction",
     "k_core_peeling",

@@ -340,3 +340,23 @@ def test_quality_canonical_beats_minid_canonical(spark, specs, tmp_path_factory)
     assert out[2]["is_quality_canonical"] == 1 and out[1]["is_quality_canonical"] == 0
     assert out[2]["quality_logit"] > out[1]["quality_logit"]
     assert out[3]["cluster_size"] == 1 and out[3]["is_quality_canonical"] == 1
+
+
+def test_stratified_fixed_n_is_exact_and_deterministic(spark, specs, tmp_path_factory):
+    """Exactly min(n, stratum size) rows per source, identical across
+    repeated runs (content-addressed pick, no RNG)."""
+    docs = _docs(
+        spark,
+        [(i, f"doc body {i}", "en", f"s{i % 3}", 10) for i in range(40)]
+        + [(100, "lone doc", "en", "rare", 8)],
+    )
+    sf = _write_sf(spark, tmp_path_factory, "strat", {"documents": docs})
+    a = specs["stratified_fixed_n_sample"].fn(spark, sf).collect()
+    b = specs["stratified_fixed_n_sample"].fn(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from collections import Counter
+
+    per = Counter(r["source"] for r in a)
+    # 3 sources with 14/13/13 docs -> exactly 10 each; 'rare' has 1 -> 1
+    assert per == {"s0": 10, "s1": 10, "s2": 10, "rare": 1}
+    assert all(r["rk"] <= 10 for r in a)

@@ -343,6 +343,9 @@ WINDOW_SHUFFLE_BUDGET = {
     "time_decay_attribution": 2,
     "phrase_proximity_search": 1,
     "dedup_cluster_quality_canon": None,
+    # rank<=n rewrites to WindowGroupLimit: pre-limited rows through one
+    # stratum exchange (structural assert below pins the group limit)
+    "stratified_fixed_n_sample": 1,
 }
 
 
@@ -584,4 +587,14 @@ def test_equidepth_boundaries_broadcast_one_agg_exchange(spark):
     1-row frame), and the only hash exchange is the bucket aggregate."""
     p = plan_of(spark, "equidepth_price_histogram")
     assert "BroadcastExchange" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    """rank ≤ n must compile to WindowGroupLimit (partial map-side +
+    final): each task keeps a bounded per-stratum heap BEFORE the
+    exchange, so the shuffle moves O(strata × n) survivors, never the
+    corpus."""
+    p = plan_of(spark, "stratified_fixed_n_sample")
+    assert p.count("WindowGroupLimit") == 2
     assert p.count("Exchange hashpartitioning") == 1
