@@ -97,24 +97,49 @@ def main() -> int:
     stat_label = f"median_of_{ns[0]}" if len(ns) == 1 else (
         f"median_of_{ns[0]}_to_{ns[-1]}" if ns else "median"
     )
-    # The per-query min/spread/n detail goes to STDERR: the driver that
-    # records BENCH_r{N}.json keeps only a bounded tail of the final
-    # stdout line (round-7's recording shows a mid-JSON truncation with
-    # parsed=null), so the headline line must stay compact — medians
-    # only. The full stats remain observable in the run log.
-    print(json.dumps({"stats": stats, "stat": stat_label}), file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "stat": stat_label,
-            }
-        )
-    )
+    # The external driver keeps only the LAST 2000 characters of output
+    # (every BENCH_r07-r09 artifact has tail_len exactly 2000 with
+    # parsed=null — the headline line outgrew the window as the registry
+    # grew). Two-tier output therefore:
+    #   1. BENCH_FULL.json at the repo root — the complete, durable
+    #      artifact (medians + min/spread/n per query), committed each
+    #      round so per-query round-over-round comparison never depends
+    #      on the driver's capture window.
+    #   2. ONE final stdout line, adaptively sized to parse from a
+    #      2000-char tail: totals always; per-query medians slowest-first,
+    #      dropped from the fast end until the line fits (the slow tail
+    #      is what regression triage needs; omissions are counted and
+    #      the full file is named).
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "stat": stat_label,
+        "n_queries": len(timings),
+        "failed": failed,
+        "queries": timings,
+        "stats": stats,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+
+    tail_budget = int(os.environ.get("SPARK_GRAFT_BENCH_TAIL_BUDGET", "1900"))
+    by_cost = sorted(timings, key=lambda n: -(timings[n] or 0.0))
+    line_obj = {k: full[k] for k in ("metric", "value", "unit", "sf", "stat", "n_queries")}
+    if failed:
+        line_obj["failed"] = failed
+    kept = len(by_cost)
+    while kept >= 0:
+        line_obj["queries"] = {n: timings[n] for n in by_cost[:kept]}
+        if kept < len(by_cost):
+            line_obj["queries_omitted"] = len(by_cost) - kept
+            line_obj["full"] = "BENCH_FULL.json"
+        line = json.dumps(line_obj, separators=(",", ":"))
+        if len(line) <= tail_budget:
+            break
+        kept -= max(1, (len(line) - tail_budget) // 30)
+    print(line)
     # the JSON line still comes out, but a failure is not a success
     return 1 if failed else 0
 

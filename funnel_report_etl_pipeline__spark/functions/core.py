@@ -84,7 +84,11 @@ def pct_py(value: float, total: float) -> float:
 # the *_approx queries still return correct-by-design approximate answers
 # — exactly what a 100 TB deployment wants — so production runs and scale
 # probes set this to false, and the hash gate keeps the strict default.
-SKETCH_GUARD_CONF = "spark.funnelreport.sketchExactRegimeGuard"
+# Lives under the project's single spark.funnel.* conf prefix (round-9
+# advice: the key briefly shipped as spark.funnelreport.*, splitting the
+# conf surface; that spelling still reads as a fallback).
+SKETCH_GUARD_CONF = "spark.funnel.sketchExactRegimeGuard"
+_SKETCH_GUARD_CONF_LEGACY = "spark.funnelreport.sketchExactRegimeGuard"
 
 
 def sketch_regime_guard(spark, name: str, n_col: str, accuracy: int) -> Column:
@@ -97,7 +101,10 @@ def sketch_regime_guard(spark, name: str, n_col: str, accuracy: int) -> Column:
     plain NULL literal (guard disabled) when ``SKETCH_GUARD_CONF`` is
     false: the approximate regime is the intended behavior at scale, and
     only the oracle gate needs the loud failure."""
-    if spark.conf.get(SKETCH_GUARD_CONF, "true").lower() != "true":
+    enabled = spark.conf.get(
+        SKETCH_GUARD_CONF, spark.conf.get(_SKETCH_GUARD_CONF_LEGACY, "true")
+    )
+    if enabled.lower() != "true":
         return F.lit(None)
     return F.assert_true(
         F.col(n_col) <= F.lit(accuracy),

@@ -53,16 +53,52 @@ def estimated_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+# Logical-plan node classes whose size estimates derive directly from
+# file/scan statistics (possibly scaled by a filter-selectivity factor,
+# which only shrinks them). Any node OUTSIDE this set — Join (child-size
+# multiplication), Aggregate/Window (group-count guesses), Expand/Generate
+# (row multiplication) — makes the estimate untrustworthy, so the walk is
+# an ALLOWLIST that fails closed: an unknown node type degrades to the
+# bare-frame path, never to a pinned shuffle on a possibly-tiny frame.
+_SIZE_FAITHFUL_NODES = frozenset({
+    "LogicalRelation",       # DSv1 file scan (parquet/csv): stats = file bytes
+    "DataSourceV2Relation",  # DSv2 scan
+    "DataSourceV2ScanRelation",
+    "HiveTableRelation",
+    "LocalRelation",         # literal rows: exact size
+    "OneRowRelation",
+    "Range",                 # exact row count
+    "Project",               # column pruning scales size faithfully
+    "Filter",                # selectivity estimate only shrinks
+    "SubqueryAlias",
+    "ResolvedHint",
+    "LocalLimit",
+    "GlobalLimit",
+})
+
+
 def _estimate_trustworthy(df: DataFrame) -> bool:
     """True when the frame is a scan/filter/project chain, whose size
     estimate reflects actual file bytes. A Join/Aggregate in the plan
     makes the estimate garbage-HIGH: Catalyst multiplies child sizes, so
     a 150-row customer⋈nation frame estimated at 2.87 GB at sf0.001
     (round-9 finding on local_supplier_volume) would trip any gate and
-    pin a needless shuffle on a tiny frame."""
+    pin a needless shuffle on a tiny frame.
+
+    Classified by walking the optimized plan's node CLASSES (round-9
+    advice: the previous rendered-text substring match could misfire on
+    relation/column/path names containing "Join"/"Aggregate", and missed
+    row-multiplying nodes like Expand/Generate entirely)."""
     try:
-        lp = df._jdf.queryExecution().optimizedPlan().toString()
-        return "Join" not in lp and "Aggregate" not in lp and "Window" not in lp
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() not in _SIZE_FAITHFUL_NODES:
+                return False
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return True
     except Exception:
         return False
 
@@ -73,15 +109,21 @@ def maybe_broadcast(df: DataFrame, gate_bytes: int | None = None) -> DataFrame:
     * estimate under the gate → ``broadcast`` hint (pin the gate-scale
       plan against stat drift);
     * estimate over the gate AND trustworthy (scan/filter/project chain,
-      where sizeInBytes is real file bytes) → ``shuffle_hash`` hint. The
-      round-9 dim-growth probe (tools/dim_growth_probe.py: customer/part
-      at 2048×, 30-41M rows) showed that with the hint merely ABSENT,
-      AQE still picked broadcast from runtime compressed-shuffle sizes —
-      one query 14× slow behind a 30M-row broadcast build, another dead
-      with "Not enough memory to build and broadcast" — because
-      compressed bytes undercount hashed-relation memory ~5-20× on
-      high-row-count frames. Pinning the distributed per-partition build
-      is the scale-safe strategy once the frame is provably large.
+      where sizeInBytes is real file bytes) → ``merge`` hint (sort-merge
+      join). The round-9 dim-growth probe (tools/dim_growth_probe.py:
+      customer/part at 2048×, 30-41M rows) showed that with the hint
+      merely ABSENT, AQE still picked broadcast from runtime
+      compressed-shuffle sizes — one query 14× slow behind a 30M-row
+      broadcast build, another dead with "Not enough memory to build and
+      broadcast" — because compressed bytes undercount hashed-relation
+      memory ~5-20× on high-row-count frames. The hint's job is to
+      FORBID broadcast once the frame is provably large; among the
+      non-broadcast strategies, sort-merge is the only one whose
+      per-partition memory is bounded by the sorter's spill threshold —
+      round 9 pinned ``shuffle_hash`` here, but a ShuffledHashJoin's
+      build-side hash map cannot spill, so a skewed join key or a dim
+      past the probed 2048× growth could OOM a single executor: the
+      exact failure class the gate exists to prevent (round-9 advice).
     * estimate over the gate but NOT trustworthy (Join/Aggregate in the
       plan — Catalyst multiplies child sizes, inflating a 150-row frame
       to gigabytes) → return the frame BARE and let AQE decide from
@@ -99,5 +141,5 @@ def maybe_broadcast(df: DataFrame, gate_bytes: int | None = None) -> DataFrame:
     if est is not None and est <= gate_bytes:
         return F.broadcast(df)
     if est is not None and _estimate_trustworthy(df):
-        return df.hint("shuffle_hash")
+        return df.hint("merge")
     return df

@@ -21,9 +21,9 @@ def _has_broadcast_hint(df) -> bool:
     return "Hint" in plan and "broadcast" in plan.lower()
 
 
-def _has_shuffle_hash_hint(df) -> bool:
+def _has_merge_hint(df) -> bool:
     plan = df._jdf.queryExecution().logical().toString()
-    return "Hint" in plan and "shuffle_hash" in plan.lower()
+    return "Hint" in plan and "merge" in plan.lower()
 
 
 def test_estimate_is_positive_and_plan_side(spark):
@@ -42,10 +42,11 @@ def test_no_hint_above_gate(spark):
     nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
     out = maybe_broadcast(nation, gate_bytes=1)
     assert not _has_broadcast_hint(out)
-    # past the gate the frame is pinned to the distributed-build hash
-    # join (round-9 dim-growth probe: a bare frame lets the planner's
-    # optimistic pruned estimates broadcast a 40M-row dim and OOM)
-    assert _has_shuffle_hash_hint(out)
+    # past the gate the frame is pinned to sort-merge (round-9 dim-growth
+    # probe: a bare frame lets the planner's optimistic pruned estimates
+    # broadcast a 40M-row dim and OOM; merge rather than shuffle_hash
+    # because the SMJ sorter spills where a hash build cannot)
+    assert _has_merge_hint(out)
     assert out.schema == nation.schema
 
 
@@ -55,7 +56,7 @@ def test_gate_reads_session_conf(spark):
     try:
         spark.conf.set(key, "1")
         assert not _has_broadcast_hint(maybe_broadcast(nation))
-        assert _has_shuffle_hash_hint(maybe_broadcast(nation))
+        assert _has_merge_hint(maybe_broadcast(nation))
         spark.conf.set(key, str(10**9))
         assert _has_broadcast_hint(maybe_broadcast(nation))
     finally:
@@ -86,13 +87,14 @@ def test_values_unchanged_either_side_of_gate(spark):
     assert a == b and a
 
 
-def test_degrade_path_pins_shuffled_hash_join_in_real_query(spark):
+def test_degrade_path_pins_sort_merge_join_in_real_query(spark):
     """The dim-growth probe's finding, pinned at test scale: force every
     maybe_broadcast gate shut via the session conf and the winsorized
-    query must plan its customer join as a ShuffledHashJoin — NO
-    broadcast join may carry the custkey (the planner's own pruned
-    estimates would otherwise broadcast a corpus-scale dim and OOM, the
-    round-9 probe failure) — while values stay identical to the
+    query must plan its customer join as a SortMergeJoin — NO broadcast
+    join may carry the custkey (the planner's own pruned estimates would
+    otherwise broadcast a corpus-scale dim and OOM, the round-9 probe
+    failure), and no ShuffledHashJoin either (its build-side hash map
+    cannot spill — round-9 advice) — while values stay identical to the
     broadcast-era plan."""
     from funnel_report_etl_pipeline__spark.plans.registry import load_all
 
@@ -103,9 +105,11 @@ def test_degrade_path_pins_shuffled_hash_join_in_real_query(spark):
         spark.conf.set(key, "1")
         df = fn(spark, SF_SMALL)
         phys = df._jdf.queryExecution().executedPlan().toString()
-        assert "ShuffledHashJoin" in phys
+        assert "SortMergeJoin" in phys
         assert not any(
-            "custkey" in ln for ln in phys.splitlines() if "BroadcastHashJoin" in ln
+            "custkey" in ln
+            for ln in phys.splitlines()
+            if "BroadcastHashJoin" in ln or "ShuffledHashJoin" in ln
         )
         assert {tuple(r) for r in df.collect()} == base
     finally:
@@ -123,6 +127,6 @@ def test_untrustworthy_estimate_returns_bare_frame(spark):
     joined = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
     out = maybe_broadcast(joined, gate_bytes=1)
     assert not _has_broadcast_hint(out)
-    assert not _has_shuffle_hash_hint(out)
+    assert not _has_merge_hint(out)
     # under the gate a derived frame still gets the broadcast pin
     assert _has_broadcast_hint(maybe_broadcast(joined, gate_bytes=1 << 60))

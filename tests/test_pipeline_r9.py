@@ -123,10 +123,12 @@ def test_approx_twins_match_exact_twins_at_gate_scale(spark, specs):
 def test_sketch_regime_guard_fails_loud_and_conf_disables(spark):
     """The shared guard must (a) fail the JOB with its explicit message
     when the value count exceeds the sketch accuracy, and (b) become a
-    no-op NULL under spark.funnelreport.sketchExactRegimeGuard=false —
-    the conf production / scale probes set to run the *_approx queries
-    in their intended approximate regime."""
+    no-op NULL under spark.funnel.sketchExactRegimeGuard=false — the
+    conf production / scale probes set to run the *_approx queries in
+    their intended approximate regime — with the round-9
+    spark.funnelreport.* spelling still honored as a legacy fallback."""
     from funnel_report_etl_pipeline__spark.functions.core import (
+        _SKETCH_GUARD_CONF_LEGACY,
         SKETCH_GUARD_CONF,
         sketch_regime_guard,
     )
@@ -147,6 +149,13 @@ def test_sketch_regime_guard_fails_loud_and_conf_disables(spark):
         assert df.select(F.when(off.isNull(), F.lit(1)).alias("v")).collect()[0].v == 1
     finally:
         spark.conf.unset(SKETCH_GUARD_CONF)
+    # legacy prefix alone still disables the guard (back-compat read)
+    spark.conf.set(_SKETCH_GUARD_CONF_LEGACY, "false")
+    try:
+        off = sketch_regime_guard(spark, "unit_probe", "__n", 3)
+        assert df.select(F.when(off.isNull(), F.lit(1)).alias("v")).collect()[0].v == 1
+    finally:
+        spark.conf.unset(_SKETCH_GUARD_CONF_LEGACY)
 
 
 def test_session_bounce_approx_matches_exact_at_gate_scale(spark, specs):

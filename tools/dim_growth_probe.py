@@ -11,13 +11,17 @@ tests previously covered only at the helper level:
    keys (facts verbatim — the inverse of tpch_scale_probe's growth
    shape) until their optimizer size estimate exceeds the 256 MiB gate.
 2. Asserts ``maybe_broadcast`` now degrades the grown scans to the
-   shuffle_hash hint (no broadcast hint), and that the queries' physical
-   plans place NO broadcast join on the grown dimension key. The FIRST
-   run of this probe is what forced that design: with the hint merely
-   absent, Catalyst/AQE's column-pruned compressed-size estimates still
-   chose broadcast — one query ran 14× slow behind a 30M-row broadcast
-   build, another died with "Not enough memory to build and broadcast" —
-   so the degrade side now pins the distributed-build strategy.
+   merge (sort-merge) hint (no broadcast hint), and that the queries'
+   physical plans place NO broadcast join on the grown dimension key.
+   The FIRST run of this probe is what forced that design: with the hint
+   merely absent, Catalyst/AQE's column-pruned compressed-size estimates
+   still chose broadcast — one query ran 14× slow behind a 30M-row
+   broadcast build, another died with "Not enough memory to build and
+   broadcast" — so the degrade side pins a non-broadcast strategy.
+   Round 9 pinned shuffle_hash; round 10 moved the pin to merge because
+   a ShuffledHashJoin build-side hash map cannot spill (a skewed key or
+   a dim past this probe's 2048× could OOM one executor), while the SMJ
+   sorter spills to disk.
 3. Runs three maybe_broadcast-consuming TPC-H shapes to completion on
    the grown dir and hash-compares each against its registered DuckDB
    oracle over the SAME grown tables — the degrade path must stay
@@ -100,12 +104,12 @@ def main() -> int:
         scan = spark.read.parquet(f"{out}/{t}.parquet")
         est = estimated_size_bytes(scan)
         lp = maybe_broadcast(scan)._jdf.queryExecution().logical().toString()
-        degraded = "shuffle_hash" in lp.lower() and "broadcast" not in lp.lower()
+        degraded = "merge" in lp.lower() and "broadcast" not in lp.lower()
         print(
             json.dumps(
                 {"dim": t, "rows": scan.count(), "est_bytes": est,
                  "past_gate": bool(est and est > gate),
-                 "hint_degraded_to_shuffle_hash": degraded}
+                 "hint_degraded_to_merge": degraded}
             ),
             flush=True,
         )

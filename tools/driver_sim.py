@@ -158,16 +158,24 @@ def parallel_main(
     shards = [s for s in shards if s]
     cores = max(2, (os.cpu_count() or 32) // len(shards))
     t0 = time.time()
-    procs, outs = [], []
+    procs, outs, errlogs = [], [], []
     for i, shard in enumerate(shards):
-        tf = tempfile.mktemp(suffix=f"_dsim{i}.json")
+        # mkstemp, not the race-prone deprecated mktemp: the path exists
+        # (and is ours) before the child is told to write it
+        fd, tf = tempfile.mkstemp(suffix=f"_dsim{i}.json")
+        os.close(fd)
         outs.append(tf)
+        # child stderr goes to a per-shard log, not DEVNULL — when a
+        # shard's JSON is missing the JVM/worker crash diagnostic is the
+        # only clue why (round-9 advice)
+        el = open(tf + ".stderr", "w")
+        errlogs.append(el)
         env = dict(os.environ, DRIVER_SIM_CORES=str(cores))
         procs.append(
             subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--json", tf, sf_dir, *shard],
                 stdout=subprocess.PIPE,
-                stderr=subprocess.DEVNULL,
+                stderr=el,
                 text=True,
                 env=env,
                 cwd=os.getcwd(),
@@ -175,16 +183,24 @@ def parallel_main(
         )
     merged: dict[str, dict] = {}
     broken = False
-    for p, tf in zip(procs, outs):
+    for p, tf, el in zip(procs, outs, errlogs):
         out, _ = p.communicate()
+        el.close()
         sys.stdout.write(out)
         try:
             with open(tf) as fh:
                 merged.update(_json.load(fh)["queries"])
             os.unlink(tf)
+            os.unlink(el.name)
         except Exception as e:  # noqa: BLE001 — a dead child is a failed sweep
             broken = True
             print(f"worker shard output {tf} unreadable: {e}", file=sys.stderr)
+            try:
+                with open(el.name) as fh:
+                    stderr_tail = fh.read()[-4000:]
+                print(f"--- shard stderr tail ({el.name}) ---\n{stderr_tail}", file=sys.stderr)
+            except OSError:
+                pass
     failures = sorted(
         k for k, v in merged.items() if v["status"] not in ("pass", "rows_only")
     )

@@ -115,7 +115,7 @@ def main() -> int:
     # scale probes run the *_approx sketch queries PAST their oracle
     # exactness regime on purpose — that approximate behavior is the
     # 100 TB path under measurement, so relax the hash-gate guard
-    spark.conf.set("spark.funnelreport.sketchExactRegimeGuard", "false")
+    spark.conf.set("spark.funnel.sketchExactRegimeGuard", "false")
     specs = load_all()
     for mult in scales:
         out = tempfile.mkdtemp(prefix=f"tpch_scale_{mult}x_")
