@@ -125,23 +125,42 @@ def main() -> int:
         json.dump(full, fh, indent=1)
 
     tail_budget = int(os.environ.get("SPARK_GRAFT_BENCH_TAIL_BUDGET", "1900"))
-    by_cost = sorted(timings, key=lambda n: -(timings[n] or 0.0))
+    print(tail_safe_line(full, tail_budget))
+    # the JSON line still comes out, but a failure is not a success
+    return 1 if failed else 0
+
+
+def tail_safe_line(full: dict, tail_budget: int) -> str:
+    """The final stdout line, guaranteed to parse from a bounded tail
+    capture: totals always present; per-query medians ordered
+    slowest-first and dropped from the FAST end until the line fits
+    (the slow tail is what regression triage needs). Omissions are
+    counted and the complete committed artifact is named."""
+    timings = full["queries"]
+    by_cost = sorted(timings, key=lambda n: (-(timings[n] or 0.0), n))
     line_obj = {k: full[k] for k in ("metric", "value", "unit", "sf", "stat", "n_queries")}
-    if failed:
-        line_obj["failed"] = failed
-    kept = len(by_cost)
-    while kept >= 0:
+    if full.get("failed"):
+        line_obj["failed"] = full["failed"]
+    def render(kept: int) -> str:
         line_obj["queries"] = {n: timings[n] for n in by_cost[:kept]}
         if kept < len(by_cost):
             line_obj["queries_omitted"] = len(by_cost) - kept
             line_obj["full"] = "BENCH_FULL.json"
-        line = json.dumps(line_obj, separators=(",", ":"))
-        if len(line) <= tail_budget:
-            break
-        kept -= max(1, (len(line) - tail_budget) // 30)
-    print(line)
-    # the JSON line still comes out, but a failure is not a success
-    return 1 if failed else 0
+        else:
+            line_obj.pop("queries_omitted", None)
+            line_obj.pop("full", None)
+        return json.dumps(line_obj, separators=(",", ":"))
+
+    # largest prefix of the slowest-first list that fits (binary search;
+    # entry sizes vary by name length so step-decrement would overshoot)
+    lo, hi = 0, len(by_cost)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if len(render(mid)) <= tail_budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    return render(lo)
 
 
 if __name__ == "__main__":
