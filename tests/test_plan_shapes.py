@@ -598,3 +598,60 @@ def test_stratified_sample_uses_window_group_limit(spark):
     p = plan_of(spark, "stratified_fixed_n_sample")
     assert p.count("WindowGroupLimit") == 2
     assert p.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# Static plan pins for the top bench-cost queries (round-9 verdict ask #2).
+# PLAN_AUDIT.md records these counts per round, but nothing asserted them —
+# so a refactor that adds an exchange surfaced only as an unexplained bench
+# delta a round later (the round-9 +80% minhash_band_skew flag cost a full
+# pinned-commit A/B to exonerate; this pin would have answered instantly).
+# Counts are measured with the dedup single-slot caches RESET (the minhash
+# chain's static plan otherwise depends on which sibling ran first) — that
+# is also why these queries' WINDOW_SHUFFLE_BUDGET entries are None.
+# exchanges/broadcast are exact pins of the reviewed shape, python must be
+# 0 (no Arrow hatch belongs on any of these chains), codegen is a floor.
+# ---------------------------------------------------------------------------
+TOP_COST_PLAN_PINS = {
+    #                               exch  bcast  codegen_min
+    "k_core_peeling":              (0,    0,     3),  # checkpoint-truncated peel result
+    "pagerank_coorder":            (10,   3,     0),  # per-iteration contribution shuffles
+    "cms_frequency_calibration":   (3,    2,     0),  # sketch agg + probe distinct + exact agg
+    "minhash_band_skew":           (5,    1,     0),  # shared gram->sig chain + 8-row audit agg
+    "minhash_jaccard_calibration": (19,   11,    0),  # candidate join + per-b/r re-aggs
+    "degree_assortativity":        (4,    1,     0),  # checkpointed edges + degree joins
+    "community_modularity":        (3,    4,     0),
+    "semantic_dedup_clusters":     (2,    0,     0),
+    "dedup_cluster_quality_canon": (3,    1,     0),  # CC label agg + quality join + window
+    "dedup_minhash_lsh":           (16,   7,     0),  # band self-join + verify chain
+    "dedup_minhash_fast":          (16,   7,     0),
+    "dedup_clusters":              (2,    0,     0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(TOP_COST_PLAN_PINS))
+def test_top_cost_query_plan_pins(spark, name):
+    import re
+
+    from funnel_report_etl_pipeline__spark.session import release_all_caches
+
+    # full cache hygiene, not just the slot lists: the session cache
+    # manager substitutes any registered cached subtree into new plans,
+    # so a stale persisted gram frame changes the static exchange count
+    release_all_caches(spark)
+    plan = plan_of(spark, name)
+    exch = plan.count("Exchange hashpartitioning")
+    bcast = plan.count("BroadcastExchange")
+    py = sum(
+        plan.count(tok)
+        for tok in (
+            "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+            "MapInPandas", "PythonMapInArrow",
+        )
+    )
+    codegen = len(re.findall(r"\*\(\d+\)", plan))
+    want_exch, want_bcast, want_cg = TOP_COST_PLAN_PINS[name]
+    assert exch == want_exch, f"{name}: exchanges {exch} != pinned {want_exch}"
+    assert bcast == want_bcast, f"{name}: broadcasts {bcast} != pinned {want_bcast}"
+    assert py == 0, f"{name}: python node appeared in a JVM-only chain"
+    assert codegen >= want_cg, f"{name}: codegen spans {codegen} < floor {want_cg}"
