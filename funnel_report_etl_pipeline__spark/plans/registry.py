@@ -71,6 +71,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline_r8,  # round-8 batch (Q15/Q17/Q19/Q21 + drift/skew audits)
         pipeline_r8b,  # round-8 close batch #2 (stats / ETL / decontamination)
         pipeline_r9,  # round-9 batch (sketch-percentile twins, multimodal)
+        pipeline_r10,  # round-10 batch (persistent ANN index, corpus refresh)
     )
 
     return REGISTRY
@@ -156,11 +157,17 @@ _WINDOW: tuple[str, ...] = (
     "phrase_proximity_search",
     "dedup_cluster_quality_canon",
     "stratified_fixed_n_sample",
-    # round-8 keepers (each holds a fresh CORRECTNESS_r08 green row;
-    # they yield their slots to round-9 registrations as those land —
+    # round-10 registrations — windowed from day one: the persistent ANN
+    # index lifecycle (build → save → load → serve), sharing the
+    # fresh-build siblings' oracles so a green row proves save/load
+    # losslessness (each displaces a keeper holding a committed external
+    # green row: cms_frequency_calibration r09, weighted_sample_per_source
+    # r09)
+    "ann_ivf_prebuilt",
+    "ann_pq_prebuilt",
+    # round-8/9 keepers (each holds a fresh committed external green row;
+    # they yield their slots to new registrations as those land —
     # new queries enter the window the round they are registered)
-    "cms_frequency_calibration",
-    "weighted_sample_per_source",
     "bpe_merge_induction",
     "k_core_peeling",
     "weighted_reservoir_sample",

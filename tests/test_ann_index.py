@@ -1,0 +1,107 @@
+"""Persistent ANN index lifecycle (operators/ann_index.py): build →
+save → load → serve must be lossless (results bit-identical to the
+fresh-build operators), and the ensure_* entry points must be
+idempotent — the second run of a daily job reads the artifact instead
+of rewriting it (round-9 verdict ask #3's done-criteria)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.operators.ann_index import (
+    build_ivf_medoid_index,
+    build_pq_index,
+    corpus_signature,
+    cosine_topk_ivf_prebuilt,
+    ensure_ivf_medoid_index,
+    ensure_pq_index,
+    pq_topk_prebuilt,
+)
+from funnel_report_etl_pipeline__spark.operators.similarity import (
+    cosine_topk_ivf_medoid,
+    pq_topk,
+)
+
+from .conftest import SF_SMALL
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def _mtimes(root: str) -> dict[str, float]:
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_ivf_loaded_index_serves_identical_results(spark, tmp_path):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_medoid_index(emb, idx, n_cells=16)
+    assert meta["family"] == "ivf_medoid" and int(meta["n_vectors"]) == emb.count()
+    fresh = {tuple(r) for r in cosine_topk_ivf_medoid(emb, queries, k=5, n_cells=16, n_probe=2).collect()}
+    served = {tuple(r) for r in cosine_topk_ivf_prebuilt(emb, queries, idx, k=5, n_probe=2).collect()}
+    assert served == fresh and served  # bit-identical, non-empty
+
+
+def test_pq_loaded_index_serves_identical_results(spark, tmp_path):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "pq")
+    build_pq_index(emb, idx, n_segments=8, seg_dim=8, n_codes=16)
+    fresh = {tuple(r) for r in pq_topk(emb, queries, k=5).collect()}
+    served = {tuple(r) for r in pq_topk_prebuilt(queries, idx, k=5).collect()}
+    assert served == fresh and served
+
+
+def test_ensure_skips_rebuild_when_signature_matches(spark, tmp_path):
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    ensure_ivf_medoid_index(emb, idx, n_cells=16)
+    before = _mtimes(idx)
+    assert before, "index files missing after build"
+    meta2 = ensure_ivf_medoid_index(emb, idx, n_cells=16)
+    assert _mtimes(idx) == before, "second ensure rewrote an unchanged index"
+    assert int(meta2["n_vectors"]) == emb.count()
+
+
+def test_ensure_rebuilds_on_corpus_change(spark, tmp_path):
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    ensure_ivf_medoid_index(emb, idx, n_cells=16)
+    grown = emb.filter(F.col("vec_id") % 7 != 0)  # a changed corpus
+    meta = ensure_ivf_medoid_index(grown, idx, n_cells=16)
+    assert int(meta["n_vectors"]) == grown.count() != emb.count()
+    # the rebuilt index serves the NEW corpus's answers
+    q = grown.filter(F.col("vec_id") < 10)
+    fresh = {tuple(r) for r in cosine_topk_ivf_medoid(grown, q, k=5, n_cells=16, n_probe=2).collect()}
+    served = {tuple(r) for r in cosine_topk_ivf_prebuilt(grown, q, idx, k=5, n_probe=2).collect()}
+    assert served == fresh
+
+
+def test_pq_ensure_idempotent_and_param_sensitive(spark, tmp_path):
+    emb = _emb(spark)
+    idx = str(tmp_path / "pq")
+    ensure_pq_index(emb, idx, n_segments=8, seg_dim=8, n_codes=16)
+    before = _mtimes(idx)
+    ensure_pq_index(emb, idx, n_segments=8, seg_dim=8, n_codes=16)
+    assert _mtimes(idx) == before
+    # different params -> rebuild (meta reflects the new codebook size)
+    meta = ensure_pq_index(emb, idx, n_segments=8, seg_dim=8, n_codes=8)
+    assert int(meta["n_codes"]) == 8
+
+
+def test_corpus_signature_is_order_independent(spark):
+    emb = _emb(spark)
+    a = corpus_signature(emb, "vec_id")
+    b = corpus_signature(emb.orderBy(F.col("vec_id").desc()), "vec_id")
+    c = corpus_signature(emb.repartition(7), "vec_id")
+    assert a == b == c

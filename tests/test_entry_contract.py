@@ -89,14 +89,17 @@ def test_driver_window_composition_pinned():
     import subprocess
 
     repo_root = Path(__file__).resolve().parents[1]
+    # r* not r0*: the round-10+ artifacts (CORRECTNESS_r10.json, ...)
+    # must keep counting toward the verified set or the contract would
+    # silently stop seeing new green rows after round 9
     tracked = set(
         subprocess.run(
-            ["git", "ls-files", "CORRECTNESS_r0*.json"],
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
             cwd=repo_root, capture_output=True, text=True, check=True,
         ).stdout.split()
     )
     verified = set()
-    for p in sorted(repo_root.glob("CORRECTNESS_r0*.json")):
+    for p in sorted(repo_root.glob("CORRECTNESS_r*.json")):
         if p.name not in tracked:
             continue
         for name, row in json.loads(p.read_text()).items():

@@ -346,6 +346,14 @@ WINDOW_SHUFFLE_BUDGET = {
     # rank<=n rewrites to WindowGroupLimit: pre-limited rows through one
     # stratum exchange (structural assert below pins the group limit)
     "stratified_fixed_n_sample": 1,
+    # round-10 prebuilt-ANN serving plans (the index build runs inside
+    # ensure_* BEFORE the returned plan and is idempotent-skipped on
+    # every run after the first): IVF = assignment join + per-qid rank
+    # window, cells/queries broadcast; PQ = code-grain ADC join + the
+    # (qid,cid) pivot agg, codebook/ADC broadcast — the corpus' raw
+    # vectors never appear in the PQ serve plan at all
+    "ann_ivf_prebuilt": 2,
+    "ann_pq_prebuilt": 2,
 }
 
 
