@@ -165,10 +165,13 @@ _WINDOW: tuple[str, ...] = (
     # r09)
     "ann_ivf_prebuilt",
     "ann_pq_prebuilt",
+    # the composed daily corpus-refresh job (incremental dedup → curation
+    # → stratified sample → idempotent shard export, one lineage;
+    # displaces keeper bpe_merge_induction, external row r09)
+    "corpus_refresh_pipeline",
     # round-8/9 keepers (each holds a fresh committed external green row;
     # they yield their slots to new registrations as those land —
     # new queries enter the window the round they are registered)
-    "bpe_merge_induction",
     "k_core_peeling",
     "weighted_reservoir_sample",
     "bpe_token_stats",

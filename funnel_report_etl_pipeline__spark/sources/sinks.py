@@ -247,6 +247,65 @@ def write_training_shards(
     )
 
 
+def _shards_manifest(spark: SparkSession, out_path: str, id_col: str) -> DataFrame:
+    """Manifest recomputed FROM THE WRITTEN FILES (what landed on disk,
+    not what the input lineage promised)."""
+    spark.catalog.refreshByPath(out_path)
+    written = spark.read.parquet(out_path)
+    wkey = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        written.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(wkey).alias("content_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def ensure_training_shards(
+    df: DataFrame,
+    out_path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Idempotent shard export: the daily-job form of
+    ``write_training_shards``. The input's content signature (row count +
+    order-independent BIGINT sum of 32-bit md5(id) prefixes — the same
+    checksum the manifest carries) is compared against the signature
+    saved beside the data (``<out>_meta.parquet``); on a match the write
+    is SKIPPED entirely and the manifest is recomputed from the existing
+    files, so re-running the job after a no-change day touches nothing
+    (pinned by file-mtime tests). A changed/grown corpus mismatches the
+    signature and rewrites the shards + meta atomically-enough for a
+    single-writer daily job (concurrent writers need a lock or a
+    run-id-suffixed directory swap — out of scope here)."""
+    spark = df.sparkSession
+    key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    row = df.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum(key), F.lit(0)).alias("sig")
+    ).collect()[0]
+    n_in, sig_in = int(row["n"]), int(row["sig"])
+    meta_path = out_path.rstrip("/") + "_meta.parquet"
+    try:
+        m = spark.read.parquet(meta_path).collect()
+        if m and int(m[0]["n_rows"]) == n_in and int(m[0]["sig"]) == sig_in and int(
+            m[0]["n_shards"]
+        ) == n_shards:
+            return _shards_manifest(spark, out_path, id_col)
+    except Exception:  # noqa: BLE001 — missing/garbled meta = first run
+        pass
+    manifest = write_training_shards(df, out_path, n_shards=n_shards, id_col=id_col)
+    spark.createDataFrame(
+        [(n_in, sig_in, n_shards)], "n_rows long, sig long, n_shards long"
+    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    return manifest
+
+
 def convert_landing_zone(
     spark: SparkSession,
     base: str,

@@ -354,6 +354,10 @@ WINDOW_SHUFFLE_BUDGET = {
     # vectors never appear in the PQ serve plan at all
     "ann_ivf_prebuilt": 2,
     "ann_pq_prebuilt": 2,
+    # the returned manifest reads the WRITTEN shard files (one shard-grain
+    # agg exchange); the refresh stages run inside ensure_training_shards
+    # before the returned plan and are idempotence-skipped on later runs
+    "corpus_refresh_pipeline": 1,
 }
 
 
