@@ -373,3 +373,63 @@ def test_sliding_rollup_append_mode_emits_only_finalized_windows(spark, stream_d
     assert sum(r.n_events for r in out) == 2 * 8
     views = {r.window_start: r for r in out if r.event_type == "view"}
     assert views[datetime(2026, 1, 1, 0, 0, 0)].n_events == 5
+
+
+def test_sliding_rollup_update_mode_evicts_state_measurably(spark, tmp_path):
+    """UPDATE-mode drain with the state-store's own metrics (round-9
+    verdict ask #6): the "watermark-evicted" claim in
+    funnel_stream.sliding_rollup_stream must be measured, not asserted.
+    Three file-batches arriving in event-time order (day 1 → day 2 →
+    day 4) advance the watermark past day 1's windows, so the progress
+    metrics must show numRowsRemoved > 0 and a final numRowsTotal
+    smaller than the number of windows ever created — while the memory
+    sink's per-key LAST emission still matches the batch twin."""
+    import json as _json
+
+    from funnel_report_etl_pipeline__spark.streaming import sliding_rollup_stream
+
+    path = str(tmp_path / "ev_multi")
+    slices = [
+        EVENTS[:8],                          # day 1
+        [EVENTS[8]],                         # day 2 (view at +24 h)
+        [_mk(10, 2, "view", 60 * 24 * 3)],   # day 4 — pushes the watermark
+    ]
+    schema = "event_id long, user_id long, event_type string, ts timestamp, value double"
+    for sl in slices:  # sequential appends → one file per slice, mtime-ordered
+        spark.createDataFrame(sl, schema).coalesce(1).write.mode("append").parquet(path)
+
+    q = (
+        sliding_rollup_stream(read_event_stream(spark, path))
+        .writeStream.format("memory")
+        .queryName("sliding_upd_evict_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progs = [_json.loads(p.json) for p in q.recentProgress]
+    removed = sum(
+        op.get("numRowsRemoved", 0) for p in progs for op in p.get("stateOperators", [])
+    )
+    final_total = next(
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in reversed(progs)
+        if p.get("stateOperators")
+    )
+    batch = (
+        spark.read.parquet(path)
+        .groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .collect()
+    )
+    assert removed > 0, "watermark evicted nothing — the state-bound claim is unmeasured"
+    assert final_total < len(batch), (removed, final_total, len(batch))
+    # parity: the last emission per key carries the final count
+    out = spark.table("sliding_upd_evict_t").collect()
+    got: dict[tuple, int] = {}
+    for r in out:  # counts are monotone across updates: max = final
+        k = (r.window_start, r.event_type)
+        got[k] = max(got.get(k, 0), r.n_events)
+    want = {(r.window_start, r.event_type): r.n_events for r in batch}
+    assert got == want

@@ -531,8 +531,95 @@ def main() -> int:
         )
         return _canon_ok(s, b)
 
+    # 13. UPDATE-mode drain of the sliding rollup with MEASURED state
+    #     eviction (round-9 verdict ask #6): the "watermark-evicted" claim
+    #     in funnel_stream.py must be a number from the engine's own
+    #     state-store metrics, not an assertion. Four file-batches over 30
+    #     days of events → the watermark advances ~7.5 days per batch and
+    #     closed 1-day/12-h windows are REMOVED from state
+    #     (numRowsRemoved > 0) while live ones remain (final numRowsTotal
+    #     < all keys ever created). Parity: update mode re-emits a key
+    #     each batch it changes, so the memory sink holds a history —
+    #     the batch twin's exact final row must appear among each key's
+    #     emissions, key sets must match, and per-key max(n_events) (the
+    #     count is monotone across updates) must equal the batch count.
+    def _sliding_update_eviction():
+        from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+            sliding_rollup_stream,
+        )
+
+        q = (
+            sliding_rollup_stream(stream_src())
+            .writeStream.format("memory")
+            .queryName("ss_slide_upd")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progs = [json.loads(p.json) for p in q.recentProgress]
+        removed = sum(
+            op.get("numRowsRemoved", 0)
+            for p in progs
+            for op in p.get("stateOperators", [])
+        )
+        final_total = next(
+            (
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in reversed(progs)
+                if p.get("stateOperators")
+            ),
+            None,
+        )
+        s = spark.table("ss_slide_upd").toPandas()
+        b = (
+            ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(22,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .toPandas()
+        )
+        key = ["window_start", "window_end", "event_type"]
+        s_keys = set(map(tuple, s[key].itertuples(index=False)))
+        b_keys = set(map(tuple, b[key].itertuples(index=False)))
+        emitted = set(map(tuple, s.itertuples(index=False)))
+        final_rows_emitted = all(tuple(r) in emitted for r in b.itertuples(index=False))
+        max_n = s.groupby(key)["n_events"].max()
+        b_n = b.set_index(key)["n_events"]
+        counts_final = bool((max_n.sort_index() == b_n.sort_index()).all())
+        res = {
+            "rows_match": s_keys == b_keys,
+            "schema_match": sorted(s.columns) == sorted(b.columns),
+            "hash_match": bool(
+                s_keys == b_keys
+                and final_rows_emitted
+                and counts_final
+                and removed > 0
+                and final_total is not None
+                and final_total < len(b)
+            ),
+            "stream_rows": len(s),
+            "batch_rows": len(b),
+            "state_rows_removed": int(removed),
+            "state_rows_final": int(final_total) if final_total is not None else None,
+            "windows_ever": len(b),
+            "err": None,
+        }
+        return res
+
     run("daily_rollup_stream", _daily)
     run("sliding_rollup_stream", _sliding)
+    run("sliding_rollup_update_eviction", _sliding_update_eviction)
     run("session_stream", _session)
     run("view_purchase_attribution", _attrib)
     run("curation_gate_stream", _curation)
