@@ -224,3 +224,179 @@ def corpus_refresh_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensure_training_shards(
         samp, out, n_shards=_REFRESH_N_SHARDS, id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: the tuning-evidence readout for the IVF family
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 5
+
+
+@register(
+    "ann_recall_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    med AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS INT) AS cell,
+             v AS mv
+      FROM (SELECT vec_id, v FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+    ),
+    csims AS (
+      SELECT e.vec_id AS id, m.cell,
+             list_dot_product(v, mv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(mv, mv)))
+               AS csim
+      FROM e, med m
+    ),
+    ranked AS (
+      SELECT id, cell,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cell ASC) AS r
+      FROM csims
+    ),
+    c_cell AS (SELECT id AS cid, cell FROM ranked WHERE r = 1),
+    q_cell AS (SELECT id AS qid, cell FROM ranked WHERE r <= 2 AND id < 10),
+    iscored AS (
+      SELECT q.qid, c.cid,
+             list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))
+               AS cosine
+      FROM q_cell q
+      JOIN c_cell c USING (cell)
+      JOIN e qe ON qe.vec_id = q.qid
+      JOIN e ce ON ce.vec_id = c.cid
+      WHERE q.qid <> c.cid
+    ),
+    ivf AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+        FROM iscored
+      ) t WHERE rnk <= {_RECALL_K}
+    ),
+    bscored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cosine
+      FROM e q, e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ),
+    brute AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+        FROM bscored
+      ) t WHERE rnk <= {_RECALL_K}
+    )
+    SELECT b.qid,
+           CAST(COUNT(i.cid) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.cid = i.cid
+    GROUP BY b.qid
+    """,
+    tags=("pipeline-r10", "similarity", "ann", "audit"),
+    bench=True,
+)
+def ann_recall_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the production IVF shape (16 medoid cells, 2-probe)
+    against the exact brute-force top-5, per query vector — the
+    operator's tuning evidence AS A QUERY, so index-parameter recall
+    (n_cells/n_probe trade-off) is value-hash-verified and re-measured
+    at every gate, not just asserted once in pytest. All outputs are
+    integers (hit counts), so the audit is bit-exact on any engine.
+    Scale shape: the brute side is the calibration yardstick over the
+    BOUNDED query set (10 vectors — brute cost is |Q|·corpus, not
+    corpus²); at 100 TB the audit runs on a held-out query sample, the
+    same way recall is measured on a real index."""
+    from funnel_report_etl_pipeline__spark.operators.similarity import (
+        cosine_topk_brute,
+        cosine_topk_ivf_medoid,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = cosine_topk_brute(emb, q, k=_RECALL_K).select("qid", "cid")
+    ivf = cosine_topk_ivf_medoid(
+        emb, q, k=_RECALL_K, n_cells=16, n_probe=2
+    ).select("qid", F.col("cid").alias("icid"))
+    joined = brute.join(
+        ivf,
+        (brute.qid == ivf.qid) & (brute.cid == ivf.icid),
+        "left",
+    )
+    return (
+        joined.groupBy(brute.qid.alias("qid"))
+        .agg(
+            F.count("icid").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OOV rate by source: vocabulary-coverage audit for tokenizer/corpus fit
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_SIZE = 16
+
+
+@register(
+    "oov_rate_by_source",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok ASC LIMIT {_OOV_VOCAB_SIZE}
+      )
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+           CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) * 1000000 AS BIGINT)
+             // COUNT(*) AS oov_ppm
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY source
+    """,
+    tags=("pipeline-r10", "text", "vocabulary"),
+    bench=True,
+)
+def oov_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus' own top-16
+    token vocabulary — the coverage audit run before committing a
+    tokenizer/vocab to a data mixture (a source with a high OOV rate
+    under the candidate vocab will fragment into long byte-fallback
+    sequences and eat the token budget). Integer outputs only: counts
+    and ppm via integer division (Spark `div` ≙ DuckDB `//`), so the
+    rates are bit-exact. Scale shape: one token explode; the vocab is a
+    token-grain count capped by TakeOrderedAndProject (per-partition
+    bounded heaps, broadcast after — never a corpus-grain sort); the
+    coverage pass re-aggregates per (source), all map-side combinable."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(_OOV_VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    n_oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast("long")
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            n_oov.alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 1000000) div n_tokens").alias("oov_ppm"),
+        )
+    )

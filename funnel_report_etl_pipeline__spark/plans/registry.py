@@ -169,11 +169,14 @@ _WINDOW: tuple[str, ...] = (
     # → stratified sample → idempotent shard export, one lineage;
     # displaces keeper bpe_merge_induction, external row r09)
     "corpus_refresh_pipeline",
-    # round-8/9 keepers (each holds a fresh committed external green row;
-    # they yield their slots to new registrations as those land —
-    # new queries enter the window the round they are registered)
-    "k_core_peeling",
-    "weighted_reservoir_sample",
+    # the IVF recall audit (tuning evidence as a query) and the
+    # vocabulary-coverage OOV audit (displace keepers k_core_peeling and
+    # weighted_reservoir_sample, external rows r09)
+    "ann_recall_audit",
+    "oov_rate_by_source",
+    # round-8/9 keeper (holds a fresh committed external green row;
+    # yields its slot to new registrations as those land — new queries
+    # enter the window the round they are registered)
     "bpe_token_stats",
 )
 

@@ -358,6 +358,11 @@ WINDOW_SHUFFLE_BUDGET = {
     # agg exchange); the refresh stages run inside ensure_training_shards
     # before the returned plan and are idempotence-skipped on later runs
     "corpus_refresh_pipeline": 1,
+    # recall audit: brute scan-side top-k + the medoid IVF chain's
+    # bounded joins, then one qid-grain count; OOV: token-grain vocab agg
+    # (TakeOrdered-capped, broadcast back) + per-source coverage agg
+    "ann_recall_audit": 7,
+    "oov_rate_by_source": 2,
 }
 
 
