@@ -233,7 +233,19 @@ def write_training_shards(
     )
     spark = df.sparkSession
     spark.catalog.refreshByPath(out_path)
-    written = spark.read.parquet(out_path)
+    from pyspark.errors import AnalysisException
+
+    try:
+        written = spark.read.parquet(out_path)
+    except AnalysisException as e:
+        # an EMPTY input writes only _SUCCESS (no partition dirs, no
+        # schema to infer) — a zero-survivor day is a legitimate daily-
+        # job outcome and must yield an empty manifest, not a crash
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        return spark.createDataFrame(
+            [], "shard int, n_rows long, content_checksum long"
+        )
     wkey = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -250,8 +262,18 @@ def write_training_shards(
 def _shards_manifest(spark: SparkSession, out_path: str, id_col: str) -> DataFrame:
     """Manifest recomputed FROM THE WRITTEN FILES (what landed on disk,
     not what the input lineage promised)."""
+    from pyspark.errors import AnalysisException
+
     spark.catalog.refreshByPath(out_path)
-    written = spark.read.parquet(out_path)
+    try:
+        written = spark.read.parquet(out_path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        # zero-survivor export: only _SUCCESS on disk — empty manifest
+        return spark.createDataFrame(
+            [], "shard int, n_rows long, content_checksum long"
+        )
     wkey = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("long")

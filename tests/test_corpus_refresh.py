@@ -85,3 +85,27 @@ def test_changed_day_triggers_rewrite(spark, tmp_path, monkeypatch):
     m2 = {tuple(r) for r in ensure_training_shards(docs.filter(F.col("doc_id") < 200), out, n_shards=4).collect()}
     assert m1 != m2
     assert sum(r[1] for r in m2) > sum(r[1] for r in m1)
+
+
+def test_zero_survivor_day_yields_empty_manifest_not_crash(spark, tmp_path):
+    """A day where every new doc dedups away is a legitimate outcome: the
+    export must return an EMPTY manifest (and stay idempotent), not die
+    on schema inference over a directory holding only _SUCCESS — the
+    10x probe found exactly this crash when replicated texts all hit
+    the snapshot's hash set."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        ensure_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    empty = docs.filter("doc_id < 0")
+    out = str(tmp_path / "shards")
+    m1 = ensure_training_shards(empty, out, n_shards=4)
+    assert m1.collect() == []
+    assert [f.name for f in m1.schema.fields] == ["shard", "n_rows", "content_checksum"]
+    # second run: signature (0, 0) matches the saved meta -> pure read,
+    # still empty, still no crash
+    m2 = ensure_training_shards(empty, out, n_shards=4)
+    assert m2.collect() == []
