@@ -109,3 +109,57 @@ def test_zero_survivor_day_yields_empty_manifest_not_crash(spark, tmp_path):
     # still empty, still no crash
     m2 = ensure_training_shards(empty, out, n_shards=4)
     assert m2.collect() == []
+
+
+def test_token_skip_never_executes_the_lineage(spark, tmp_path):
+    """With change_token given, the repeated run's skip decision reads
+    metadata only: a poisoned lineage (assert_true that would fail any
+    job that runs it) must NOT be triggered on the skip path — while a
+    NEW token re-executes and rewrites."""
+    from pyspark.sql import functions as F
+
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        ensure_training_shards,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .filter("doc_id < 50")
+    )
+    out = str(tmp_path / "shards")
+    m1 = {tuple(r) for r in ensure_training_shards(docs, out, n_shards=4, change_token="day1").collect()}
+    poisoned = docs.select(
+        F.when(
+            F.assert_true(F.lit(False), F.lit("lineage executed on skip path")).isNull(),
+            F.col("doc_id"),
+        ).alias("doc_id"),
+        "source",
+        "text",
+    )
+    # same token -> pure metadata skip; the poisoned plan never runs
+    m2 = {tuple(r) for r in ensure_training_shards(poisoned, out, n_shards=4, change_token="day1").collect()}
+    assert m2 == m1
+    # new token -> the lineage DOES run (and here, loudly fails)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="lineage executed"):
+        ensure_training_shards(poisoned, out, n_shards=4, change_token="day2").collect()
+
+
+def test_listing_token_tracks_file_changes(tmp_path):
+    from funnel_report_etl_pipeline__spark.sources.sinks import listing_token
+
+    t_missing = listing_token(str(tmp_path / "nope"))
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"xx")
+    t1 = listing_token(str(d))
+    assert t1 != t_missing
+    # hidden/underscore files (checksums, _SUCCESS) don't churn the token
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / ".a.parquet.crc").write_bytes(b"y")
+    assert listing_token(str(d)) == t1
+    # a data change does
+    (d / "a.parquet").write_bytes(b"xxyy")
+    assert listing_token(str(d)) != t1
