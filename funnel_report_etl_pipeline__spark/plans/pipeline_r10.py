@@ -408,3 +408,138 @@ def oov_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_oov * 1000000) div n_tokens").alias("oov_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed serving: the billion-scale shape, from both saved indexes
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle(
+    n_segments: int = 8,
+    seg_dim: int = 8,
+    n_codes: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    k: int = 5,
+) -> str:
+    """Composes the IVF oracle's cell CTEs with the PQ oracle's
+    encode/ADC CTEs (same fixed left-associated distance strings as
+    pipeline_r5._pq_oracle, so the double addition order matches the
+    Spark expression tree term for term)."""
+
+    def dist(vcol: str) -> str:
+        terms = [
+            f"(({vcol}[s*{seg_dim}+{j}]-av[s*{seg_dim}+{j}])"
+            f"*({vcol}[s*{seg_dim}+{j}]-av[s*{seg_dim}+{j}]))"
+            for j in range(1, seg_dim + 1)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out}+{t})"
+        return out
+
+    piv = ", ".join(
+        f"SUM(CASE WHEN enc.s={s} THEN dist END) AS d{s}" for s in range(n_segments)
+    )
+    ssum = "d0"
+    for s in range(1, n_segments):
+        ssum = f"({ssum}+d{s})"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    med AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS INT) AS cell,
+             v AS mv
+      FROM (SELECT vec_id, v FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells})
+    ),
+    csims AS (
+      SELECT e.vec_id AS id, m.cell,
+             list_dot_product(v, mv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(mv, mv)))
+               AS csim
+      FROM e, med m
+    ),
+    cranked AS (
+      SELECT id, cell,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cell ASC) AS r
+      FROM csims
+    ),
+    c_cell AS (SELECT id AS cid, cell FROM cranked WHERE r = 1),
+    q_cell AS (SELECT id AS qid, cell FROM cranked
+               WHERE r <= {n_probe} AND id % 100 = 0),
+    a AS (
+      SELECT code, av FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                 - 1 AS code,
+               v AS av
+        FROM e
+      ) t WHERE code < {n_codes}
+    ),
+    seg AS (SELECT unnest(range(0, {n_segments})) AS s),
+    enc AS (
+      SELECT cid, s, code FROM (
+        SELECT c.vec_id AS cid, seg.s, a.code,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id, seg.s
+                                  ORDER BY {dist('c.v')}, a.code) AS rn
+        FROM e c, a, seg
+      ) t WHERE rn = 1
+    ),
+    adc AS (
+      SELECT q.vec_id AS qid, seg.s, a.code, {dist('q.v')} AS dist
+      FROM e q, a, seg WHERE q.vec_id % 100 = 0
+    ),
+    cand AS (
+      SELECT q.qid, c.cid FROM q_cell q JOIN c_cell c USING (cell)
+      WHERE q.qid <> c.cid
+    ),
+    piv AS (
+      SELECT cand.qid, cand.cid, {piv}
+      FROM cand
+      JOIN enc ON enc.cid = cand.cid
+      JOIN adc ON adc.qid = cand.qid AND adc.s = enc.s AND adc.code = enc.code
+      GROUP BY cand.qid, cand.cid
+    )
+    SELECT qid, cid, adc_dist, rnk FROM (
+      SELECT qid, cid, {ssum} AS adc_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY {ssum}, cid) AS BIGINT) AS rnk
+      FROM piv
+    ) r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "ann_ivfpq_prebuilt",
+    oracle=_ivfpq_oracle(),
+    tags=("pipeline-r10", "similarity", "ann", "index"),
+    bench=True,
+)
+def ann_ivfpq_prebuilt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served from BOTH saved artifacts (operators/ann_index.py::
+    ivfpq_topk_prebuilt): candidates come from the saved IVF assignments
+    (each query probes 2 of 16 cells), scores from the saved PQ codes via
+    the query-side ADC table — compute ∝ |Q|·corpus·n_probe/n_cells at
+    n_segments bytes/vector, the composition real billion-vector serving
+    runs. The 10× probe: the full-ADC `ann_pq_prebuilt` was 17.3 s warm;
+    this shape restricts the same scoring to probed cells. Corpus raw
+    vectors are never read at serve time."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        ensure_ivf_medoid_index,
+        ensure_pq_index,
+        ivfpq_topk_prebuilt,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf_dir = os.path.join(_index_root(sf_dir), "ivf16")
+    pq_dir = os.path.join(_index_root(sf_dir), "pq8x16")
+    ensure_ivf_medoid_index(emb, ivf_dir, n_cells=16)
+    ensure_pq_index(emb, pq_dir, n_segments=8, seg_dim=8, n_codes=16)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_topk_prebuilt(
+        queries, ivf_dir, pq_dir, k=5, n_probe=2, n_segments=8, seg_dim=8
+    )

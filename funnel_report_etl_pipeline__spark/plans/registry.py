@@ -145,7 +145,6 @@ _WINDOW: tuple[str, ...] = (
     # a round-8 keeper holding a fresh CORRECTNESS_r08 row)
     "equidepth_price_histogram_approx",
     "winsorized_revenue_mean_approx",
-    "session_bounce_stats_approx",
     # round-9 multimodal deepening: exact+perceptual media dedup and the
     # modality token-budget mixture readout
     "media_dedup",
@@ -165,6 +164,9 @@ _WINDOW: tuple[str, ...] = (
     # r09)
     "ann_ivf_prebuilt",
     "ann_pq_prebuilt",
+    # IVF-PQ composed serving from both saved artifacts (displaces the
+    # r9 registration session_bounce_stats_approx, external row r09)
+    "ann_ivfpq_prebuilt",
     # the composed daily corpus-refresh job (incremental dedup → curation
     # → stratified sample → idempotent shard export, one lineage;
     # displaces keeper bpe_merge_induction, external row r09)

@@ -105,3 +105,69 @@ def test_corpus_signature_is_order_independent(spark):
     b = corpus_signature(emb.orderBy(F.col("vec_id").desc()), "vec_id")
     c = corpus_signature(emb.repartition(7), "vec_id")
     assert a == b == c
+
+
+def test_ivfpq_all_cells_probe_equals_full_adc(spark, tmp_path):
+    """Probing every IVF cell makes the composed IVF-PQ serve score the
+    SAME candidate set as the full-ADC scan — results must be
+    bit-identical to pq_topk_prebuilt (which is itself pinned identical
+    to the fresh pq_topk above)."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        build_ivf_medoid_index,
+        build_pq_index,
+        ivfpq_topk_prebuilt,
+        pq_topk_prebuilt,
+    )
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    ivf = str(tmp_path / "ivf")
+    pq = str(tmp_path / "pq")
+    build_ivf_medoid_index(emb, ivf, n_cells=16)
+    build_pq_index(emb, pq, n_segments=8, seg_dim=8, n_codes=16)
+    # pq_topk keeps self-pairs (a corpus query matches itself at its own
+    # quantization error); the composed serve excludes them — so the
+    # expected set is the full scan with self-pairs dropped and ranks
+    # recomputed
+    full6 = pq_topk_prebuilt(queries, pq, k=6).collect()
+    expected = set()
+    per_q: dict[int, list] = {}
+    for r in sorted(full6, key=lambda r: (r["qid"], r["rnk"])):
+        if r["qid"] != r["cid"]:
+            per_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in per_q.items():
+        for i, r in enumerate(rows[:5], start=1):
+            expected.add((qid, r["cid"], r["adc_dist"], i))
+    composed = {
+        tuple(r)
+        for r in ivfpq_topk_prebuilt(queries, ivf, pq, k=5, n_probe=16).collect()
+    }
+    assert composed == expected and composed
+
+
+def test_ivfpq_two_probe_results_are_subset_scored_identically(spark, tmp_path):
+    """At n_probe=2 the composed serve ranks a SUBSET of the full-ADC
+    candidates: every returned (qid, cid, adc_dist) must carry exactly
+    the full scan's distance for that pair (the cell restriction prunes
+    candidates, never changes scores)."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        build_ivf_medoid_index,
+        build_pq_index,
+        ivfpq_topk_prebuilt,
+        pq_topk_prebuilt,
+    )
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    ivf = str(tmp_path / "ivf")
+    pq = str(tmp_path / "pq")
+    build_ivf_medoid_index(emb, ivf, n_cells=16)
+    build_pq_index(emb, pq, n_segments=8, seg_dim=8, n_codes=16)
+    full = {
+        (r["qid"], r["cid"]): r["adc_dist"]
+        for r in pq_topk_prebuilt(queries, pq, k=10_000).collect()
+    }
+    out = ivfpq_topk_prebuilt(queries, ivf, pq, k=5, n_probe=2).collect()
+    assert out
+    for r in out:
+        assert full[(r["qid"], r["cid"])] == r["adc_dist"]

@@ -363,6 +363,9 @@ WINDOW_SHUFFLE_BUDGET = {
     # (TakeOrdered-capped, broadcast back) + per-source coverage agg
     "ann_recall_audit": 7,
     "oov_rate_by_source": 2,
+    # IVF-PQ composed serve: assignment->candidate join (cells/queries/
+    # ADC/codebook all broadcast), code join, (qid,cid) pivot agg
+    "ann_ivfpq_prebuilt": 3,
 }
 
 
