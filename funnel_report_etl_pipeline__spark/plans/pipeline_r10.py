@@ -543,3 +543,60 @@ def ann_ivfpq_prebuilt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk_prebuilt(
         queries, ivf_dir, pq_dir, k=5, n_probe=2, n_segments=8, seg_dim=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: the multi-dimensional clustering curve, value-verified
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from funnel_report_etl_pipeline__spark.operators.layout import zvalue_sql
+
+    z = zvalue_sql("o_custkey", "datediff('day', TIMESTAMP '1995-01-01', o_orderdate)")
+    return f"""
+    WITH z AS (
+      SELECT o_orderkey, {z} AS zval FROM orders
+    )
+    SELECT CAST(zval // 1048576 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(zval) AS BIGINT) AS z_min,
+           CAST(MAX(zval) AS BIGINT) AS z_max,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey
+    FROM z GROUP BY z_bucket
+    """
+
+
+@register(
+    "zorder_curve",
+    oracle=_zorder_oracle(),
+    tags=("pipeline-r10", "layout", "zorder"),
+    bench=True,
+)
+def zorder_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order curve values over (o_custkey, order-day) bucketed
+    into 2^20-wide readout cells — the bit-interleave behind
+    `write_zorder` (operators/layout.py), verified value-exact against
+    the identical DuckDB arithmetic. The curve is what makes BOTH filter
+    dimensions prune after one layout write: each output file holds a
+    rectangle of the (custkey, day) plane instead of a stripe. The
+    layout payoff itself is measured from parquet footers in
+    tests/test_layout_zorder.py (per-file ranges shrink on both
+    dimensions; point filters straddle fewer files than a single-key
+    sort layout). Scan-side expression only — zero exchanges before the
+    bucket aggregate."""
+    from funnel_report_etl_pipeline__spark.operators.layout import zvalue
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+    z = zvalue(F.col("o_custkey"), day, bits=16)
+    return (
+        o.select("o_orderkey", z.alias("zval"))
+        .groupBy(F.expr("zval div 1048576").alias("z_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("zval").cast("long").alias("z_min"),
+            F.max("zval").cast("long").alias("z_max"),
+            F.min("o_orderkey").cast("long").alias("min_orderkey"),
+        )
+    )

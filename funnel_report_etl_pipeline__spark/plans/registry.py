@@ -147,7 +147,6 @@ _WINDOW: tuple[str, ...] = (
     "winsorized_revenue_mean_approx",
     # round-9 multimodal deepening: exact+perceptual media dedup and the
     # modality token-budget mixture readout
-    "media_dedup",
     "modality_mixture_stats",
     # round-9 second batch: time-decay attribution (completes the
     # attribution family), phrase-proximity retrieval, and the
@@ -176,6 +175,11 @@ _WINDOW: tuple[str, ...] = (
     # weighted_reservoir_sample, external rows r09)
     "ann_recall_audit",
     "oov_rate_by_source",
+    # Z-order curve values (the layout family's verifiable core;
+    # displaces the r9 registration media_dedup, external row r09 —
+    # its twin modality_mixture_stats keeps the Arrow-hatch family's
+    # external presence)
+    "zorder_curve",
     # round-8/9 keeper (holds a fresh committed external green row;
     # yields its slot to new registrations as those land — new queries
     # enter the window the round they are registered)

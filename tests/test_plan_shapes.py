@@ -366,6 +366,8 @@ WINDOW_SHUFFLE_BUDGET = {
     # IVF-PQ composed serve: assignment->candidate join (cells/queries/
     # ADC/codebook all broadcast), code join, (qid,cid) pivot agg
     "ann_ivfpq_prebuilt": 3,
+    # bit-interleave is a scan-side expression; one bucket-agg exchange
+    "zorder_curve": 1,
 }
 
 
