@@ -128,6 +128,40 @@ def build_ivf_medoid_index(
     return meta
 
 
+def _install_index(spark: SparkSession, tmp_dir: str, out_dir: str, is_current) -> dict:
+    """Atomically install a freshly-built index directory. Three cases:
+
+    * ``out_dir`` absent → one ``os.rename`` (atomic on one filesystem);
+    * ``out_dir`` present and CURRENT (``is_current(meta)``) → a
+      concurrent builder of the same deterministic index won the rename
+      race; our identical tmp build is discarded (round-10 finding: the
+      gate's parallel shards each ran an ensure_* against a fresh SF and
+      one read a half-written in-place build — builds must never write
+      into the served path);
+    * ``out_dir`` present and STALE (we are rebuilding after a corpus
+      change) → swap: rename old away, rename tmp in, delete old.
+
+    Residual race (reader mid-swap / two swappers) needs a lock or
+    versioned directories — out of scope for a single-writer daily job;
+    the deterministic-content property makes any rename winner correct."""
+    import shutil
+
+    try:
+        os.rename(tmp_dir, out_dir)
+        return _read_meta(spark, os.path.join(out_dir, "meta.parquet"))
+    except OSError:
+        pass
+    existing = _read_meta(spark, os.path.join(out_dir, "meta.parquet"))
+    if existing is not None and is_current(existing):
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return existing
+    old = f"{out_dir}.old.{os.getpid()}"
+    os.rename(out_dir, old)
+    os.rename(tmp_dir, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return _read_meta(spark, os.path.join(out_dir, "meta.parquet"))
+
+
 def ensure_ivf_medoid_index(
     corpus: DataFrame,
     out_dir: str,
@@ -137,14 +171,27 @@ def ensure_ivf_medoid_index(
 ) -> dict:
     """Idempotent build: skip when the saved meta matches params AND the
     corpus signature — repeated runs (and the second run of a daily job)
-    read the existing artifact instead of rewriting it."""
+    read the existing artifact instead of rewriting it. Builds go to a
+    temp directory and install via atomic rename, so concurrent
+    builders (or a crash mid-build) never leave a half-written index in
+    the served path."""
     spark = corpus.sparkSession
+    n, sig = None, None
+
+    def is_current(meta: dict) -> bool:
+        nonlocal n, sig
+        if meta.get("family") != "ivf_medoid" or int(meta["n_cells"]) != n_cells:
+            return False
+        if n is None:
+            n, sig = corpus_signature(corpus, id_col)
+        return int(meta["n_vectors"]) == n and int(meta["corpus_sig"]) == sig
+
     meta = _read_meta(spark, os.path.join(out_dir, "meta.parquet"))
-    if meta is not None and meta.get("family") == "ivf_medoid" and int(meta["n_cells"]) == n_cells:
-        n, sig = corpus_signature(corpus, id_col)
-        if int(meta["n_vectors"]) == n and int(meta["corpus_sig"]) == sig:
-            return meta
-    return build_ivf_medoid_index(corpus, out_dir, n_cells, id_col, vec_col)
+    if meta is not None and is_current(meta):
+        return meta
+    tmp = f"{out_dir}.build.{os.getpid()}"
+    build_ivf_medoid_index(corpus, tmp, n_cells, id_col, vec_col)
+    return _install_index(spark, tmp, out_dir, is_current)
 
 
 def cosine_topk_ivf_prebuilt(
@@ -288,21 +335,30 @@ def ensure_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
+    """Idempotent + concurrency-safe like ``ensure_ivf_medoid_index``:
+    temp-dir build, atomic-rename install."""
     spark = corpus.sparkSession
+    n, sig = None, None
+
+    def is_current(meta: dict) -> bool:
+        nonlocal n, sig
+        if (
+            meta.get("family") != "pq"
+            or int(meta["n_segments"]) != n_segments
+            or int(meta["seg_dim"]) != seg_dim
+            or int(meta["n_codes"]) != n_codes
+        ):
+            return False
+        if n is None:
+            n, sig = corpus_signature(corpus, id_col)
+        return int(meta["n_vectors"]) == n and int(meta["corpus_sig"]) == sig
+
     meta = _read_meta(spark, os.path.join(out_dir, "meta.parquet"))
-    if (
-        meta is not None
-        and meta.get("family") == "pq"
-        and int(meta["n_segments"]) == n_segments
-        and int(meta["seg_dim"]) == seg_dim
-        and int(meta["n_codes"]) == n_codes
-    ):
-        n, sig = corpus_signature(corpus, id_col)
-        if int(meta["n_vectors"]) == n and int(meta["corpus_sig"]) == sig:
-            return meta
-    return build_pq_index(
-        corpus, out_dir, n_segments, seg_dim, n_codes, id_col, vec_col
-    )
+    if meta is not None and is_current(meta):
+        return meta
+    tmp = f"{out_dir}.build.{os.getpid()}"
+    build_pq_index(corpus, tmp, n_segments, seg_dim, n_codes, id_col, vec_col)
+    return _install_index(spark, tmp, out_dir, is_current)
 
 
 def pq_topk_prebuilt(

@@ -171,3 +171,49 @@ def test_ivfpq_two_probe_results_are_subset_scored_identically(spark, tmp_path):
     assert out
     for r in out:
         assert full[(r["qid"], r["cid"])] == r["adc_dist"]
+
+
+def test_concurrent_identical_build_is_discarded_not_installed(spark, tmp_path):
+    """The round-10 gate race: two shards ensure_* the same fresh index
+    concurrently. Builds now land in a temp dir and install by atomic
+    rename — a loser whose winner is CURRENT discards its build, leaving
+    the served directory untouched (no half-written in-place write)."""
+    import os
+
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        _install_index,
+        build_ivf_medoid_index,
+        ensure_ivf_medoid_index,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    ensure_ivf_medoid_index(emb, idx, n_cells=16)
+    before = _mtimes(idx)
+    # a "concurrent" builder finished its own tmp build just after us
+    tmp = idx + ".build.fake"
+    build_ivf_medoid_index(emb, tmp, n_cells=16)
+    meta = _install_index(spark, tmp, idx, is_current=lambda m: True)
+    assert int(meta["n_cells"]) == 16
+    assert not os.path.exists(tmp), "loser's tmp build not cleaned up"
+    assert _mtimes(idx) == before, "winner's installed index was touched"
+
+
+def test_stale_index_swapped_atomically(spark, tmp_path):
+    import os
+
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        _install_index,
+        build_ivf_medoid_index,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_medoid_index(emb.filter(F.col("vec_id") < 50), idx, n_cells=8)  # stale
+    tmp = idx + ".build.new"
+    build_ivf_medoid_index(emb, tmp, n_cells=16)
+    meta = _install_index(spark, tmp, idx, is_current=lambda m: False)
+    assert int(meta["n_cells"]) == 16 and int(meta["n_vectors"]) == emb.count()
+    assert not os.path.exists(tmp)
+    assert not os.path.exists(idx + f".old.{os.getpid()}")
