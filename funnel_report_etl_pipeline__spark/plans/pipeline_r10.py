@@ -551,9 +551,11 @@ def ann_ivfpq_prebuilt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zorder_oracle() -> str:
-    from funnel_report_etl_pipeline__spark.operators.layout import zvalue_sql
+    from funnel_report_etl_pipeline__spark.sources.layout import zorder_key_sql
 
-    z = zvalue_sql("o_custkey", "datediff('day', TIMESTAMP '1995-01-01', o_orderdate)")
+    z = zorder_key_sql(
+        ["datediff('day', TIMESTAMP '1995-01-01', o_orderdate)", "o_custkey"], 16
+    )
     return f"""
     WITH z AS (
       SELECT o_orderkey, {z} AS zval FROM orders
@@ -576,20 +578,24 @@ def _zorder_oracle() -> str:
 def zorder_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/Z-order curve values over (o_custkey, order-day) bucketed
     into 2^20-wide readout cells — the bit-interleave behind
-    `write_zorder` (operators/layout.py), verified value-exact against
-    the identical DuckDB arithmetic. The curve is what makes BOTH filter
+    `write_zordered` (sources/layout.py, the round-8 k-column Morton
+    layout), verified value-exact against the identical DuckDB
+    arithmetic (`zorder_key_sql`). The curve is what makes BOTH filter
     dimensions prune after one layout write: each output file holds a
     rectangle of the (custkey, day) plane instead of a stripe. The
     layout payoff itself is measured from parquet footers in
-    tests/test_layout_zorder.py (per-file ranges shrink on both
-    dimensions; point filters straddle fewer files than a single-key
-    sort layout). Scan-side expression only — zero exchanges before the
-    bucket aggregate."""
-    from funnel_report_etl_pipeline__spark.operators.layout import zvalue
+    tests/test_layout.py (synthetic grid boxes) and
+    tests/test_layout_zorder.py (real orders data vs a single-key sort:
+    per-file ranges shrink on both dimensions; point filters straddle
+    fewer files). Scan-side expression only — zero exchanges before the
+    bucket aggregate. Inputs here are already small non-negative ints,
+    so the key uses raw bits (no min/max normalization) and the oracle
+    needs no stats CTE."""
+    from funnel_report_etl_pipeline__spark.sources.layout import zorder_key
 
     o = _t(spark, sf_dir, "orders")
     day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
-    z = zvalue(F.col("o_custkey"), day, bits=16)
+    z = zorder_key([day, F.col("o_custkey")], bits=16).cast("long")
     return (
         o.select("o_orderkey", z.alias("zval"))
         .groupBy(F.expr("zval div 1048576").alias("z_bucket"))

@@ -112,3 +112,69 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_key_sql(cols: list[str], bits: int) -> str:
+    """DuckDB twin of ``zorder_key`` for columns that are ALREADY
+    non-negative integers on the [0, 2^bits) grid (no min/max
+    normalization — the form the value-hash oracle of `zorder_curve`
+    uses). Identical bit placement: value bit i of column j lands at key
+    bit i*k + (k-1-j)."""
+    k = len(cols)
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(f"((({c} >> {i}) & 1) << {i * k + (k - 1 - j)})")
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} | {t})"
+    return f"CAST({out} AS BIGINT)"
+
+
+def file_minmax_stats(path: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max for ``cols`` straight from the parquet footers —
+    the exact statistics a pruning scan consults. Driver-side metadata
+    read (footers only, no data pages)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for dirpath, _, files in os.walk(path):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(dirpath, fname)).metadata
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    name = c.path_in_schema
+                    if name not in cols or c.statistics is None:
+                        continue
+                    st = c.statistics
+                    if st.min is not None:
+                        mins[name] = st.min if name not in mins else min(mins[name], st.min)
+                    if st.max is not None:
+                        maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+            out.append(
+                {
+                    "file": fname,
+                    **{f"{c}_min": mins.get(c) for c in cols},
+                    **{f"{c}_max": maxs.get(c) for c in cols},
+                }
+            )
+    return out
+
+
+def files_straddling(stats: list[dict], col: str, value) -> int:
+    """How many files a point filter ``col = value`` must open, judged by
+    footer min/max alone — the pruning metric the layout optimizes."""
+    n = 0
+    for s in stats:
+        lo, hi = s.get(f"{col}_min"), s.get(f"{col}_max")
+        if lo is None or hi is None or (lo <= value <= hi):
+            n += 1
+    return n

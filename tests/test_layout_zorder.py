@@ -1,19 +1,19 @@
-"""Z-order layout (operators/layout.py): the pruning payoff measured
-from parquet footers, not asserted. A single-key sort layout gives the
-sort key tight per-file ranges and the other dimension full-width
-ranges; the Z-curve layout must give BOTH dimensions sub-full-width
-ranges and fewer straddled files for point filters on the non-sort
-dimension."""
+"""Z-order layout on REAL table data (orders), complementing
+tests/test_layout.py's synthetic-grid box-overlap measurements: vs a
+single-key sort layout, the Z-curve must give BOTH dimensions
+sub-full-width per-file ranges and fewer straddled files for point
+filters on the non-sort dimension — measured from the parquet footer
+stats a pruning scan actually consults (sources/layout.py helpers)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from funnel_report_etl_pipeline__spark.operators.layout import (
+from funnel_report_etl_pipeline__spark.sources.layout import (
     file_minmax_stats,
     files_straddling,
-    write_zorder,
-    zvalue,
+    write_zordered,
+    zorder_key,
 )
 
 from .conftest import SF_MED
@@ -38,8 +38,7 @@ def _avg_width(stats, col):
     return sum(widths) / len(widths)
 
 
-def test_zorder_tightens_both_dimensions_vs_single_key_sort(spark, tmp_path):
-    df = _orders_dims(spark)
+def _write_both(spark, df, tmp_path):
     naive = str(tmp_path / "naive")  # sort by ck only — the usual layout
     (
         df.repartitionByRange(16, "ck")
@@ -48,12 +47,13 @@ def test_zorder_tightens_both_dimensions_vs_single_key_sort(spark, tmp_path):
         .parquet(naive)
     )
     zpath = str(tmp_path / "zord")
-    write_zorder(df, zpath, "ck", "dy", bits=16, n_files=16)
+    write_zordered(df, zpath, ["ck", "dy"], n_files=16, bits=16)
+    return file_minmax_stats(naive, ["ck", "dy"]), file_minmax_stats(zpath, ["ck", "dy"])
 
-    n_stats = file_minmax_stats(naive, ["ck", "dy"])
-    z_stats = file_minmax_stats(zpath, ["ck", "dy"])
+
+def test_zorder_tightens_both_dimensions_vs_single_key_sort(spark, tmp_path):
+    n_stats, z_stats = _write_both(spark, _orders_dims(spark), tmp_path)
     assert len(n_stats) >= 16 and len(z_stats) >= 16
-
     # the sort key is tight in the naive layout — z-order gives some of
     # that up...
     assert _avg_width(n_stats, "ck") < _avg_width(z_stats, "ck")
@@ -66,18 +66,7 @@ def test_zorder_tightens_both_dimensions_vs_single_key_sort(spark, tmp_path):
 
 
 def test_zorder_point_filters_straddle_fewer_files_on_second_dim(spark, tmp_path):
-    df = _orders_dims(spark)
-    naive = str(tmp_path / "naive")
-    (
-        df.repartitionByRange(16, "ck")
-        .sortWithinPartitions("ck")
-        .write.mode("overwrite")
-        .parquet(naive)
-    )
-    zpath = str(tmp_path / "zord")
-    write_zorder(df, zpath, "ck", "dy", bits=16, n_files=16)
-    n_stats = file_minmax_stats(naive, ["ck", "dy"])
-    z_stats = file_minmax_stats(zpath, ["ck", "dy"])
+    n_stats, z_stats = _write_both(spark, _orders_dims(spark), tmp_path)
     probes = [100, 800, 1500, 2200]
     n_open = sum(files_straddling(n_stats, "dy", v) for v in probes)
     z_open = sum(files_straddling(z_stats, "dy", v) for v in probes)
@@ -86,19 +75,21 @@ def test_zorder_point_filters_straddle_fewer_files_on_second_dim(spark, tmp_path
     assert z_open < n_open
 
 
-def test_zvalue_roundtrip_bits(spark):
-    """Interleave correctness on exact points: de-interleaving the
-    expression's output recovers both inputs (checked in Python on
-    collected values)."""
+def test_zorder_key_roundtrip_bits(spark):
+    """Interleave correctness on exact points: de-interleaving
+    zorder_key([a, b]) recovers both inputs (a at odd key bits, b at
+    even — the documented i*k + (k-1-j) placement)."""
     rows = spark.range(0, 1000, 37).select(
         (F.col("id") % 300).cast("int").alias("a"),
         (F.col("id") % 171).cast("int").alias("b"),
     )
-    out = rows.select("a", "b", zvalue(F.col("a"), F.col("b"), 16).alias("z")).collect()
+    out = rows.select(
+        "a", "b", zorder_key([F.col("a"), F.col("b")], 16).alias("z")
+    ).collect()
     assert out
     for r in out:
         a = b = 0
         for i in range(16):
-            a |= ((r.z >> (2 * i)) & 1) << i
-            b |= ((r.z >> (2 * i + 1)) & 1) << i
+            a |= ((r.z >> (2 * i + 1)) & 1) << i
+            b |= ((r.z >> (2 * i)) & 1) << i
         assert (a, b) == (r.a, r.b)
