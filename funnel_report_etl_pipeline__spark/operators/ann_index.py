@@ -489,3 +489,52 @@ def ivfpq_topk_prebuilt(
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def ivfpq_rerank_topk_prebuilt(
+    corpus: DataFrame,
+    queries: DataFrame,
+    ivf_dir: str,
+    pq_dir: str,
+    k: int = 5,
+    m: int = 20,
+    n_probe: int = 2,
+    n_segments: int = 8,
+    seg_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full production serving recipe: IVF cells restrict the
+    candidate space, PQ codes rank it cheaply (ADC top-``m``), and only
+    those m survivors per query are re-ranked by EXACT cosine over their
+    raw vectors. The corpus vector table is touched for |Q|·m rows
+    total — the join on the candidate ids is the only place full-width
+    vectors leave the scan, which is what makes exact quality affordable
+    at billion-vector scale (quantization error caps at the re-rank
+    boundary instead of the answer). Returns (qid, cid, cosine, rnk)."""
+    cand = ivfpq_topk_prebuilt(
+        queries, ivf_dir, pq_dir, k=m, n_probe=n_probe,
+        n_segments=n_segments, seg_dim=seg_dim, id_col=id_col, vec_col=vec_col,
+    ).select("qid", "cid")
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    rer = (
+        cand.join(c, "cid")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "cid",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        rer.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -513,6 +513,36 @@ def _ivfpq_oracle(
     """
 
 
+def _ivfpq_rerank_oracle(m: int = 20, k: int = 5) -> str:
+    """IVF-PQ candidates (ADC top-m) re-ranked by EXACT cosine — the
+    composed oracle wraps the ivfpq body's CTE chain (the ADC ranking
+    becomes an inner table) and ranks the survivors by the brute-verified
+    dot-product form."""
+    inner = _ivfpq_oracle(k=m).strip()
+    assert inner.startswith("WITH ")
+    ctes = inner[len("WITH "):inner.rindex("SELECT qid, cid, adc_dist")].rstrip()
+    final = inner[inner.rindex("SELECT qid, cid, adc_dist"):]
+    return f"""
+    WITH {ctes},
+    cand_m AS ({final}),
+    rer AS (
+      SELECT cand_m.qid, cand_m.cid,
+             list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))
+               AS cosine
+      FROM cand_m
+      JOIN e qe ON qe.vec_id = cand_m.qid
+      JOIN e ce ON ce.vec_id = cand_m.cid
+    )
+    SELECT qid, cid, cosine, rnk FROM (
+      SELECT qid, cid, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, cid ASC) AS BIGINT) AS rnk
+      FROM rer
+    ) t WHERE rnk <= {k}
+    """
+
+
 @register(
     "ann_ivfpq_prebuilt",
     oracle=_ivfpq_oracle(),
@@ -604,5 +634,127 @@ def zorder_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("zval").cast("long").alias("z_min"),
             F.max("zval").cast("long").alias("z_max"),
             F.min("o_orderkey").cast("long").alias("min_orderkey"),
+        )
+    )
+
+
+@register(
+    "ann_ivfpq_rerank",
+    oracle=_ivfpq_rerank_oracle(),
+    tags=("pipeline-r10", "similarity", "ann", "index"),
+    bench=True,
+)
+def ann_ivfpq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete billion-scale serving recipe from the saved
+    artifacts: IVF cells (2/16 probed) restrict, PQ ADC ranks the
+    candidates to a top-20 shortlist, exact cosine re-ranks the
+    shortlist to the final top-5 — raw corpus vectors are read for
+    |Q|·20 rows only (the candidate-id join), so exact answer quality
+    costs a bounded lookup instead of a corpus scan. Composes
+    `ann_ivfpq_prebuilt`'s oracle with the brute-verified cosine form;
+    rerank-subset and quality properties pinned in pytest."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        ensure_ivf_medoid_index,
+        ensure_pq_index,
+        ivfpq_rerank_topk_prebuilt,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf_dir = os.path.join(_index_root(sf_dir), "ivf16")
+    pq_dir = os.path.join(_index_root(sf_dir), "pq8x16")
+    ensure_ivf_medoid_index(emb, ivf_dir, n_cells=16)
+    ensure_pq_index(emb, pq_dir, n_segments=8, seg_dim=8, n_codes=16)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_rerank_topk_prebuilt(
+        emb, queries, ivf_dir, pq_dir, k=5, m=20, n_probe=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style dimension-truncation fidelity audit
+# ---------------------------------------------------------------------------
+
+_TRUNC_DIM = 32
+_FID_K = 5
+
+
+@register(
+    "dim_truncation_fidelity",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (embedding::DOUBLE[])[1:{_TRUNC_DIM}] AS vt
+      FROM embeddings
+    ),
+    fullsc AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cosine
+      FROM e q, e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ),
+    fulltop AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+        FROM fullsc
+      ) t WHERE rnk <= {_FID_K}
+    ),
+    trsc AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             list_dot_product(q.vt, c.vt)
+               / (sqrt(list_dot_product(q.vt, q.vt)) * sqrt(list_dot_product(c.vt, c.vt)))
+               AS cosine
+      FROM e q, e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ),
+    trtop AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+        FROM trsc
+      ) t WHERE rnk <= {_FID_K}
+    )
+    SELECT f.qid,
+           CAST(COUNT(t.cid) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM fulltop f LEFT JOIN trtop t ON f.qid = t.qid AND f.cid = t.cid
+    GROUP BY f.qid
+    """,
+    tags=("pipeline-r10", "similarity", "embedding", "audit"),
+    bench=True,
+)
+def dim_truncation_fidelity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: how much of the exact top-5
+    survives when cosine runs on only the first {dim} of 64 embedding
+    dimensions — the question behind shipping truncated (MRL) embeddings
+    to cut index memory D/d-fold. Per query: overlap count between the
+    full-dimension top-5 and the truncated top-5 (integer outputs,
+    bit-exact; the fixed left-fold dot products are the
+    similarity_topk_brute-verified form on both engines). Scale shape:
+    both rankings are scan-side dot products against the broadcast
+    10-query set — |Q|·corpus, the same calibration-yardstick class as
+    `ann_recall_audit`; at 100 TB it runs on a held-out sample."""
+    from funnel_report_etl_pipeline__spark.operators.similarity import (
+        cosine_topk_brute,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _TRUNC_DIM).alias("embedding")
+    )
+    q_full = emb.filter(F.col("vec_id") < 10)
+    q_tr = trunc.filter(F.col("vec_id") < 10)
+    fulltop = cosine_topk_brute(emb, q_full, k=_FID_K).select("qid", "cid")
+    trtop = cosine_topk_brute(trunc, q_tr, k=_FID_K).select(
+        "qid", F.col("cid").alias("tcid")
+    )
+    joined = fulltop.join(
+        trtop, (fulltop.qid == trtop.qid) & (fulltop.cid == trtop.tcid), "left"
+    )
+    return (
+        joined.groupBy(fulltop.qid.alias("qid"))
+        .agg(
+            F.count("tcid").cast("long").alias("n_kept"),
+            F.count(F.lit(1)).cast("long").alias("k"),
         )
     )

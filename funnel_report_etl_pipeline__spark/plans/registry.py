@@ -151,8 +151,6 @@ _WINDOW: tuple[str, ...] = (
     # round-9 second batch: time-decay attribution (completes the
     # attribution family), phrase-proximity retrieval, and the
     # quality-canonical dedup-cluster composition
-    "time_decay_attribution",
-    "phrase_proximity_search",
     "dedup_cluster_quality_canon",
     "stratified_fixed_n_sample",
     # round-10 registrations — windowed from day one: the persistent ANN
@@ -166,6 +164,11 @@ _WINDOW: tuple[str, ...] = (
     # IVF-PQ composed serving from both saved artifacts (displaces the
     # r9 registration session_bounce_stats_approx, external row r09)
     "ann_ivfpq_prebuilt",
+    # IVF-PQ + exact-rerank (the complete serving recipe) and the
+    # MRL-style truncation fidelity audit (displace r9 registrations
+    # time_decay_attribution / phrase_proximity_search, external rows r09)
+    "ann_ivfpq_rerank",
+    "dim_truncation_fidelity",
     # the composed daily corpus-refresh job (incremental dedup → curation
     # → stratified sample → idempotent shard export, one lineage;
     # displaces keeper bpe_merge_induction, external row r09)

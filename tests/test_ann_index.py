@@ -217,3 +217,62 @@ def test_stale_index_swapped_atomically(spark, tmp_path):
     assert int(meta["n_cells"]) == 16 and int(meta["n_vectors"]) == emb.count()
     assert not os.path.exists(tmp)
     assert not os.path.exists(idx + f".old.{os.getpid()}")
+
+
+def test_ivfpq_rerank_all_probe_large_m_equals_brute(spark, tmp_path):
+    """With every cell probed and m covering the whole corpus, the
+    rerank stage sees ALL non-self candidates — the final top-5 must be
+    exactly the brute-force cosine top-5 (quantization fully confined
+    to a shortlist that happens to be everything)."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        build_ivf_medoid_index,
+        build_pq_index,
+        ivfpq_rerank_topk_prebuilt,
+    )
+    from funnel_report_etl_pipeline__spark.operators.similarity import (
+        cosine_topk_brute,
+    )
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    ivf = str(tmp_path / "ivf")
+    pq = str(tmp_path / "pq")
+    build_ivf_medoid_index(emb, ivf, n_cells=16)
+    build_pq_index(emb, pq, n_segments=8, seg_dim=8, n_codes=16)
+    brute = {tuple(r) for r in cosine_topk_brute(emb, queries, k=5).collect()}
+    rer = {
+        tuple(r)
+        for r in ivfpq_rerank_topk_prebuilt(
+            emb, queries, ivf, pq, k=5, m=10_000, n_probe=16
+        ).collect()
+    }
+    assert rer == brute and rer
+
+
+def test_ivfpq_rerank_scores_are_exact_cosines(spark, tmp_path):
+    """At production settings (m=20, n_probe=2) every returned cosine
+    must equal the exact pairwise cosine — the re-rank stage reports
+    true similarities, never ADC approximations."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        build_ivf_medoid_index,
+        build_pq_index,
+        ivfpq_rerank_topk_prebuilt,
+    )
+    from funnel_report_etl_pipeline__spark.operators.similarity import (
+        cosine_topk_brute,
+    )
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    ivf = str(tmp_path / "ivf")
+    pq = str(tmp_path / "pq")
+    build_ivf_medoid_index(emb, ivf, n_cells=16)
+    build_pq_index(emb, pq, n_segments=8, seg_dim=8, n_codes=16)
+    exact = {
+        (r["qid"], r["cid"]): r["cosine"]
+        for r in cosine_topk_brute(emb, queries, k=10_000).collect()
+    }
+    out = ivfpq_rerank_topk_prebuilt(emb, queries, ivf, pq, k=5, m=20, n_probe=2).collect()
+    assert out
+    for r in out:
+        assert exact[(r["qid"], r["cid"])] == r["cosine"]

@@ -368,6 +368,12 @@ WINDOW_SHUFFLE_BUDGET = {
     "ann_ivfpq_prebuilt": 3,
     # bit-interleave is a scan-side expression; one bucket-agg exchange
     "zorder_curve": 1,
+    # rerank = the ivfpq candidate chain + the bounded candidate-id join
+    # (corpus vectors enter ONLY there) + per-qid rank window
+    "ann_ivfpq_rerank": 3,
+    # two brute rankings (scan-side dot products, broadcast queries) +
+    # the per-qid overlap count
+    "dim_truncation_fidelity": 5,
 }
 
 
