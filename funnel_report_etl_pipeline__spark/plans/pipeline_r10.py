@@ -758,3 +758,95 @@ def dim_truncation_fidelity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned table / time travel: the commit log as a verified query
+# ---------------------------------------------------------------------------
+
+
+def _versioned_root(sf_dir: str) -> str:
+    base = os.environ.get("SPARK_GRAFT_VERSIONED_DIR", "/tmp/spark_graft_versioned")
+    return os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
+
+
+def _versioned_oracle() -> str:
+    from funnel_report_etl_pipeline__spark.operators.text import STOPWORDS
+
+    ck = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    return f"""
+    WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    kept AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_intersect(list_distinct(string_split(text, ' ')),
+                   {list(STOPWORDS)!r})) AS n_stop,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents WHERE doc_id % 3 <> 0
+      ) t
+      WHERE n_tokens BETWEEN 10 AND 1000
+        AND CAST(n_stop AS DOUBLE) / n_distinct > 0
+    ),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM kept),
+    v3 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM v2
+      ) t WHERE rn = 1
+    )
+    SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+           CAST(SUM({ck}) AS BIGINT) AS content_checksum FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM({ck}) AS BIGINT) FROM v2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), COUNT(*), CAST(SUM({ck}) AS BIGINT) FROM v3
+    """
+
+
+@register(
+    "versioned_snapshot_manifest",
+    oracle=_versioned_oracle(),
+    tags=("pipeline-r10", "etl", "versioning", "time-travel"),
+    bench=True,
+)
+def versioned_snapshot_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal Delta/Iceberg-style snapshot versioning over plain parquet
+    (sources/sinks.py: data rename THEN commit manifest — readers list
+    manifests, so crashed writes are invisible orphans, and any committed
+    version is time-travel-readable forever). This query materializes a
+    deterministic 3-version history of the documents corpus — v1 the
+    snapshot day, v2 snapshot + quality-kept new docs, v3 the exact-
+    deduped curation of v2 — and returns the COMMIT LOG (version,
+    n_rows, order-independent id checksum), so the protocol's bookkeeping
+    itself is value-hash verified. Idempotent: an existing history whose
+    v1 row still matches the current snapshot is served as-is; a changed
+    corpus rebuilds from scratch. Time-travel/rollback/orphan semantics
+    are pinned in tests/test_versioned.py."""
+    import shutil
+
+    from funnel_report_etl_pipeline__spark.operators.dedup import exact_dedup
+    from funnel_report_etl_pipeline__spark.operators.text import quality_keep_expr
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        read_versioned,
+        table_versions,
+        version_manifest,
+        write_versioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = os.path.join(_versioned_root(sf_dir), "docs_table")
+    v1 = docs.filter(F.col("doc_id") % 3 == 0)
+    if table_versions(spark, table) == [1, 2, 3]:
+        committed = version_manifest(spark, table).filter("version = 1").collect()
+        if committed and committed[0]["n_rows"] == v1.count():
+            return version_manifest(spark, table).orderBy("version")
+    shutil.rmtree(table, ignore_errors=True)
+    write_versioned(v1, table, id_col="doc_id")
+    kept = docs.filter(F.col("doc_id") % 3 != 0).filter(quality_keep_expr("text"))
+    v2 = v1.unionByName(kept)
+    write_versioned(v2, table, id_col="doc_id")
+    v2_back = read_versioned(spark, table, 2)
+    v3 = exact_dedup(v2_back, "text", "doc_id").select("doc_id")
+    write_versioned(v3, table, id_col="doc_id")
+    return version_manifest(spark, table).orderBy("version")

@@ -143,7 +143,6 @@ _WINDOW: tuple[str, ...] = (
     # round-9 registrations — windowed from day one: the GK-sketch
     # twins that retire the exact-percentile scale flags (each displaces
     # a round-8 keeper holding a fresh CORRECTNESS_r08 row)
-    "equidepth_price_histogram_approx",
     "winsorized_revenue_mean_approx",
     # round-9 multimodal deepening: exact+perceptual media dedup and the
     # modality token-budget mixture readout
@@ -169,6 +168,9 @@ _WINDOW: tuple[str, ...] = (
     # time_decay_attribution / phrase_proximity_search, external rows r09)
     "ann_ivfpq_rerank",
     "dim_truncation_fidelity",
+    # versioned-table commit log (time travel; displaces the r9
+    # registration equidepth_price_histogram_approx, external row r09)
+    "versioned_snapshot_manifest",
     # the composed daily corpus-refresh job (incremental dedup → curation
     # → stratified sample → idempotent shard export, one lineage;
     # displaces keeper bpe_merge_induction, external row r09)

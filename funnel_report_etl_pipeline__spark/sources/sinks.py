@@ -460,3 +460,118 @@ def compact_small_files(
     df = spark.read.parquet(in_path)
     df.repartition(n_files).write.mode(mode).parquet(out_path)
     return n_files
+
+
+# ---------------------------------------------------------------------------
+# Versioned table: manifest-committed snapshots with time travel
+# ---------------------------------------------------------------------------
+
+
+def write_versioned(df: DataFrame, table_dir: str, id_col: str) -> int:
+    """Append a new immutable SNAPSHOT version of ``df`` to a versioned
+    table (the minimal Delta/Iceberg-style commit protocol over plain
+    parquet, no table-format library):
+
+    1. data lands in a temp dir, then ``os.rename``s to ``v=N/``;
+    2. ONLY THEN is the commit manifest row written
+       (``_versions/N.parquet``: version, n_rows, order-independent id
+       checksum).
+
+    Readers enumerate MANIFESTS, never data directories, so a crash
+    between the two steps leaves an invisible orphan rather than a
+    half-table, and a version is readable exactly when its commit row
+    exists. Returns the new version number. Single-writer protocol
+    (concurrent writers racing to the same N need a lock/CAS — the same
+    scope note as the index installer)."""
+    import os
+
+    spark = df.sparkSession
+    os.makedirs(os.path.join(table_dir, "_versions"), exist_ok=True)
+    existing = table_versions(spark, table_dir)
+    n = (max(existing) + 1) if existing else 1
+    tmp = os.path.join(table_dir, f".v{n}.tmp.{os.getpid()}")
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(table_dir, f"v={n}"))
+    spark.catalog.refreshByPath(os.path.join(table_dir, f"v={n}"))
+    written = spark.read.parquet(os.path.join(table_dir, f"v={n}"))
+    key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    row = written.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum(key), F.lit(0)).alias("sig")
+    ).collect()[0]
+    spark.createDataFrame(
+        [(n, int(row["n"]), int(row["sig"]))],
+        "version long, n_rows long, content_checksum long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(table_dir, "_versions", f"{n}.parquet")
+    )
+    return n
+
+
+def table_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    """Committed versions (manifest rows present), ascending."""
+    import os
+
+    vdir = os.path.join(table_dir, "_versions")
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for name in os.listdir(vdir):
+        # a manifest is a Spark parquet DIRECTORY; it counts as committed
+        # only once its _SUCCESS marker exists (written last), so a crash
+        # mid-manifest-write is as invisible as a crash mid-data-write
+        if (
+            name.endswith(".parquet")
+            and name[:-8].isdigit()
+            and os.path.exists(os.path.join(vdir, name, "_SUCCESS"))
+        ):
+            out.append(int(name[:-8]))
+    return sorted(out)
+
+
+def read_versioned(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Time travel: read snapshot ``version`` (default: latest COMMITTED).
+    Raises if the requested version has no commit manifest — an orphan
+    data directory from a crashed write is not a readable version."""
+    import os
+
+    committed = table_versions(spark, table_dir)
+    if not committed:
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
+    v = committed[-1] if version is None else version
+    if v not in committed:
+        raise FileNotFoundError(f"version {v} is not committed in {table_dir}")
+    return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
+
+
+def version_manifest(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The commit log as a DataFrame (version, n_rows, content_checksum) —
+    what an auditor or an incremental consumer reads to decide what
+    changed between snapshots."""
+    import os
+
+    vs = table_versions(spark, table_dir)
+    if not vs:
+        return spark.createDataFrame(
+            [], "version long, n_rows long, content_checksum long"
+        )
+    paths = [os.path.join(table_dir, "_versions", f"{v}.parquet") for v in vs]
+    return spark.read.parquet(*paths)
+
+
+def rollback_versioned(spark: SparkSession, table_dir: str, to_version: int) -> list[int]:
+    """Drop every version ABOVE ``to_version`` (manifest first, then the
+    now-orphaned data — the reverse of commit order, so a crash mid-
+    rollback degrades to invisible orphans, never a manifest pointing at
+    deleted data). Returns the removed versions."""
+    import os
+    import shutil
+
+    removed = [v for v in table_versions(spark, table_dir) if v > to_version]
+    for v in removed:
+        shutil.rmtree(os.path.join(table_dir, "_versions", f"{v}.parquet"))
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
+    return removed

@@ -374,6 +374,9 @@ WINDOW_SHUFFLE_BUDGET = {
     # two brute rankings (scan-side dot products, broadcast queries) +
     # the per-qid overlap count
     "dim_truncation_fidelity": 5,
+    # returned manifest = a 3-file read + sort (the history build runs
+    # inside fn() before the returned plan, idempotence-skipped after)
+    "versioned_snapshot_manifest": 0,
 }
 
 
