@@ -686,3 +686,31 @@ def test_top_cost_query_plan_pins(spark, name):
     assert bcast == want_bcast, f"{name}: broadcasts {bcast} != pinned {want_bcast}"
     assert py == 0, f"{name}: python node appeared in a JVM-only chain"
     assert codegen >= want_cg, f"{name}: codegen spans {codegen} < floor {want_cg}"
+
+
+def test_parquet_aggregate_pushdown_serves_minmaxcount_from_footers(spark):
+    """Whole-table MIN/MAX/COUNT can be answered from parquet footer
+    statistics without reading a single data page — Spark's DSv2
+    aggregate pushdown. At 100 TB this turns table-profile audits
+    (column_stats/table_profile shapes) into metadata reads. Pinned:
+    with the confs on, the scan carries PushedAggregation and the
+    answers are identical to the full-scan path."""
+    from pyspark.sql import functions as F
+
+    path = f"{SF_SMALL}/orders.parquet"
+    agg = lambda df: df.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    baseline = agg(spark.read.parquet(path)).collect()[0]
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = agg(spark.read.parquet(path))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [MIN(o_totalprice), MAX(o_totalprice), COUNT(*)]" in plan
+        assert df.collect()[0] == baseline
+    finally:
+        spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+        spark.conf.unset("spark.sql.sources.useV1SourceList")
