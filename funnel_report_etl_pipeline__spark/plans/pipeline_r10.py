@@ -850,3 +850,64 @@ def versioned_snapshot_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame
     v3 = exact_dedup(v2_back, "text", "doc_id").select("doc_id")
     write_versioned(v3, table, id_col="doc_id")
     return version_manifest(spark, table).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup: the snapshot-outgrows-the-shuffle form
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_dedup_bloom",
+    oracle="""
+    WITH seen AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+    ),
+    new_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)
+    SELECT n.doc_id
+    FROM new_docs n LEFT JOIN seen s ON md5(n.text) = s.h
+    WHERE s.h IS NULL
+    """,
+    tags=("pipeline-r10", "dedup", "incremental", "runtime-filter"),
+    bench=True,
+)
+def incremental_dedup_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`incremental_dedup` in the form its own docstring promises for
+    when the prior snapshot outgrows a shuffle: the snapshot's text
+    hashes fold into a 128 KiB bloom mask (pipeline_r8.bloom_mask —
+    m-bounded regardless of snapshot size), broadcast once. New docs
+    whose probe bits are NOT all set are DEFINITELY unseen and pass
+    straight through with zero join work; only bloom-positive candidates
+    (true dupes + the FP tail) take the exact anti-join, so the
+    shuffle's probe side shrinks from the whole crawl to the candidate
+    set. Bloom false positives are invisible to the result (the exact
+    anti-join still decides them) — the oracle is the PLAIN anti-join,
+    identical to `incremental_dedup`'s, and the green hash row proves
+    the two-path split lossless. Equality with the sibling and the
+    actual prune ratio are additionally pinned in pytest."""
+    from funnel_report_etl_pipeline__spark.plans.pipeline_r8 import (
+        bloom_mask,
+        bloom_member_cond,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(F.md5("text").alias("__h"))
+        .distinct()
+    )
+    mask = bloom_mask(seen, "__h")
+    new = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select("doc_id", F.md5("text").alias("__h"))
+        .crossJoin(F.broadcast(mask))
+    )
+    member = bloom_member_cond("__h")
+    definite_new = new.filter(~member).select("doc_id")
+    survivors = (
+        new.filter(member)
+        .drop("__mask")
+        .join(seen, "__h", "left_anti")
+        .select("doc_id")
+    )
+    return definite_new.unionByName(survivors)

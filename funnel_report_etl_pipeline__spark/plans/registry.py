@@ -143,7 +143,6 @@ _WINDOW: tuple[str, ...] = (
     # round-9 registrations — windowed from day one: the GK-sketch
     # twins that retire the exact-percentile scale flags (each displaces
     # a round-8 keeper holding a fresh CORRECTNESS_r08 row)
-    "winsorized_revenue_mean_approx",
     # round-9 multimodal deepening: exact+perceptual media dedup and the
     # modality token-budget mixture readout
     "modality_mixture_stats",
@@ -171,6 +170,10 @@ _WINDOW: tuple[str, ...] = (
     # versioned-table commit log (time travel; displaces the r9
     # registration equidepth_price_histogram_approx, external row r09)
     "versioned_snapshot_manifest",
+    # bloom-prefiltered incremental dedup (the snapshot-outgrows-the-
+    # shuffle form; displaces the r9 registration
+    # winsorized_revenue_mean_approx, external row r09)
+    "incremental_dedup_bloom",
     # the composed daily corpus-refresh job (incremental dedup → curation
     # → stratified sample → idempotent shard export, one lineage;
     # displaces keeper bpe_merge_induction, external row r09)

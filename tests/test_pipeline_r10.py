@@ -99,3 +99,32 @@ def test_ann_recall_audit_registered_query_bounds(spark, specs):
     assert len(out) == 5 or len(out) == 10  # |{vec_id < 10}| at this SF
     assert all(r["k"] == 5 and 0 <= r["n_hits"] <= 5 for r in out)
     assert sum(r["n_hits"] for r in out) > 0
+
+
+def test_bloom_incremental_dedup_equals_exact_and_prunes(spark, specs):
+    """The two-path split (definitely-new bypass + candidate anti-join)
+    returns exactly the plain anti-join's survivors, and the bloom
+    actually prunes: the candidate set is a small fraction of the crawl
+    (at 128 KiB / m=2^20 over ~170 snapshot hashes the FP rate is ~0,
+    so candidates ≈ true dupes)."""
+    from pyspark.sql import functions as F
+
+    from funnel_report_etl_pipeline__spark.plans.pipeline_r8 import (
+        bloom_mask,
+        bloom_member_cond,
+    )
+
+    exact = {r["doc_id"] for r in specs["incremental_dedup"].fn(spark, SF_SMALL).collect()}
+    bloom = {r["doc_id"] for r in specs["incremental_dedup_bloom"].fn(spark, SF_SMALL).collect()}
+    assert bloom == exact and bloom
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(F.md5("text").alias("__h")).distinct()
+    new = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", F.md5("text").alias("__h"))
+    n_new = new.count()
+    candidates = (
+        new.crossJoin(F.broadcast(bloom_mask(seen, "__h")))
+        .filter(bloom_member_cond("__h"))
+        .count()
+    )
+    true_dupes = n_new - len(exact)
+    assert true_dupes <= candidates < n_new / 2, (true_dupes, candidates, n_new)

@@ -377,6 +377,10 @@ WINDOW_SHUFFLE_BUDGET = {
     # returned manifest = a 3-file read + sort (the history build runs
     # inside fn() before the returned plan, idempotence-skipped after)
     "versioned_snapshot_manifest": 0,
+    # mask build (bit-word agg + the m-bounded densify join) + the
+    # candidate-only anti-join; the 1-row mask reaches the crawl via
+    # BroadcastNestedLoopJoin, never a hash exchange
+    "incremental_dedup_bloom": 5,
 }
 
 
