@@ -1,25 +1,40 @@
-"""Round-10 queries: persistent ANN index lifecycle (build → save → load
-→ serve) and the end-to-end incremental corpus-refresh composition.
+"""Round-10 queries: index/artifact LIFECYCLE operators — build once,
+persist as parquet, serve many — plus their audits.
 
-`ann_ivf_prebuilt` / `ann_pq_prebuilt` close the round-9 verdict's #3:
-the ANN quantizers were recomputed inside every query, but a 100 TB
-corpus builds its index ONCE and serves many lookups. Each query runs
-``ensure_*`` (idempotent: the saved corpus signature short-circuits the
-build on every run after the first) and then serves top-k FROM THE
-SAVED PARQUET TABLES — and because the quantizers are the deterministic
-hash-seeded family, the served results are bit-identical to the
-fresh-build siblings (`similarity_ann_ivf`, `similarity_ann_pq`), so
-both queries reuse those siblings' full DuckDB value-hash oracles:
-a green row proves the save/load round-trip is lossless end-to-end.
+* Persistent ANN serving (`operators/ann_index.py`): `ann_ivf_prebuilt`
+  / `ann_pq_prebuilt` serve from saved cells+assignments / codebook+
+  codes (idempotent signature-gated builds, atomic-rename install);
+  `ann_ivfpq_prebuilt` composes both (ADC restricted to probed cells);
+  `ann_ivfpq_rerank` finishes the production recipe (exact cosine over
+  the ADC top-20 shortlist — raw vectors read for |Q|·m rows only).
+  The deterministic hash-seeded quantizers make loaded results
+  bit-identical to the fresh-build siblings, so the prebuilt queries
+  REUSE those siblings' full DuckDB oracles: a green row proves the
+  save/load round-trip lossless. `ann_recall_audit` and
+  `dim_truncation_fidelity` are the tuning/fidelity readouts as
+  value-hashed queries (integer hit counts).
+* The daily corpus job: `corpus_refresh_pipeline` chains incremental
+  text-hash dedup -> quality gate + exact dedup -> exact-n stratified
+  sample -> `ensure_training_shards` (idempotent, O(files) change
+  token); `incremental_dedup_bloom` is the snapshot-outgrows-the-
+  shuffle dedup form (m-bounded bloom mask, candidates-only anti-join);
+  `versioned_snapshot_manifest` materializes a 3-version snapshot
+  history under the manifest-committed versioned-table protocol
+  (sources/sinks.py) and value-hashes its commit log.
+* Coverage/layout audits: `oov_rate_by_source` (vocabulary fit),
+  `zorder_curve` (the Morton interleave behind `write_zordered`,
+  value-verified via `zorder_key_sql`).
 
-Index artifacts live under ``$SPARK_GRAFT_INDEX_DIR`` (default
-/tmp/spark_graft_ann)/<sf-basename>/<family>; the meta table carries the
-corpus signature so a regenerated/grown corpus triggers a rebuild
-instead of serving stale cells.
+Index/refresh/version artifacts live under $SPARK_GRAFT_INDEX_DIR /
+$SPARK_GRAFT_REFRESH_DIR / $SPARK_GRAFT_VERSIONED_DIR (defaults under
+/tmp)/<sf-basename>/...; every saved artifact carries a content
+signature so a regenerated corpus rebuilds instead of serving stale
+answers, and repeated runs are pure reads (pinned by mtime tests).
 
 Reference parity note: the reference engine (report_engine.py /
-run_reports.py) has no ANN or corpus-pipeline surface — these extend
-the beyond-reference LLM-data-pipeline families per the round brief.
+run_reports.py) has no ANN, versioning, or corpus-pipeline surface —
+these extend the beyond-reference LLM-data-pipeline families per the
+round brief.
 """
 
 from __future__ import annotations
