@@ -467,7 +467,9 @@ def compact_small_files(
 # ---------------------------------------------------------------------------
 
 
-def write_versioned(df: DataFrame, table_dir: str, id_col: str) -> int:
+def write_versioned(
+    df: DataFrame, table_dir: str, id_col: str, extra: dict[str, int] | None = None
+) -> int:
     """Append a new immutable SNAPSHOT version of ``df`` to a versioned
     table (the minimal Delta/Iceberg-style commit protocol over plain
     parquet, no table-format library):
@@ -480,10 +482,16 @@ def write_versioned(df: DataFrame, table_dir: str, id_col: str) -> int:
     Readers enumerate MANIFESTS, never data directories, so a crash
     between the two steps leaves an invisible orphan rather than a
     half-table, and a version is readable exactly when its commit row
-    exists. Returns the new version number. Single-writer protocol
-    (concurrent writers racing to the same N need a lock/CAS — the same
-    scope note as the index installer)."""
+    exists. A colliding UNCOMMITTED orphan at the allocated version (the
+    leftover of exactly such a crash) is removed and replaced — that is
+    what makes a replaying writer (streaming foreachBatch after a crash)
+    self-healing. ``extra`` columns (int-valued, e.g. the source stream's
+    batch_id) are stamped into the commit row, turning the manifest into
+    an exactly-once ledger. Returns the new version number.
+    Single-writer protocol (concurrent writers racing to the same N need
+    a lock/CAS — the same scope note as the index installer)."""
     import os
+    import shutil
 
     spark = df.sparkSession
     os.makedirs(os.path.join(table_dir, "_versions"), exist_ok=True)
@@ -491,7 +499,10 @@ def write_versioned(df: DataFrame, table_dir: str, id_col: str) -> int:
     n = (max(existing) + 1) if existing else 1
     tmp = os.path.join(table_dir, f".v{n}.tmp.{os.getpid()}")
     df.write.mode("overwrite").parquet(tmp)
-    os.rename(tmp, os.path.join(table_dir, f"v={n}"))
+    target = os.path.join(table_dir, f"v={n}")
+    if os.path.exists(target):  # n is NOT committed (else it wouldn't be allocated)
+        shutil.rmtree(target)  # crash orphan: invisible by protocol, safe to drop
+    os.rename(tmp, target)
     spark.catalog.refreshByPath(os.path.join(table_dir, f"v={n}"))
     written = spark.read.parquet(os.path.join(table_dir, f"v={n}"))
     key = F.conv(
@@ -500,9 +511,13 @@ def write_versioned(df: DataFrame, table_dir: str, id_col: str) -> int:
     row = written.agg(
         F.count("*").alias("n"), F.coalesce(F.sum(key), F.lit(0)).alias("sig")
     ).collect()[0]
+    extra = extra or {}
+    schema = "version long, n_rows long, content_checksum long" + "".join(
+        f", {k} long" for k in extra
+    )
     spark.createDataFrame(
-        [(n, int(row["n"]), int(row["sig"]))],
-        "version long, n_rows long, content_checksum long",
+        [(n, int(row["n"]), int(row["sig"]), *(int(v) for v in extra.values()))],
+        schema,
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(table_dir, "_versions", f"{n}.parquet")
     )

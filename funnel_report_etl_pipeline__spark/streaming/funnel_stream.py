@@ -420,3 +420,61 @@ def write_stream_parquet_idempotent(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def write_stream_versioned(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    id_col: str,
+    query_name: str = "versioned_sink",
+    trigger: dict | None = None,
+):
+    """Streaming ingestion into a VERSIONED table (sources/sinks.py):
+    each micro-batch commits one snapshot version whose manifest carries
+    the source batch id, so the table's commit log doubles as the
+    stream's exactly-once ledger. Replay safety comes from the ledger,
+    not from overwrite semantics: a batch id already present in any
+    committed manifest is SKIPPED (Structured Streaming re-runs the last
+    uncommitted micro-batch after a crash; the versioned-table protocol
+    makes the original commit either fully visible — manifest present —
+    or an invisible orphan, so the presence check is exact). Readers
+    time-travel the ingest history for free: version N is the table as
+    of micro-batch N's commit.
+
+    Snapshot semantics: each version holds the batch's rows UNIONED with
+    the prior version (the append-ledger shape a training-data ingest
+    wants); version n_rows therefore grows monotonically and the final
+    version equals the full drained input (pinned in tests)."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        read_versioned,
+        table_versions,
+        version_manifest,
+        write_versioned,
+    )
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        committed = version_manifest(spark, table_dir)
+        if "batch_id" in committed.columns and committed.filter(
+            F.col("batch_id") == batch_id
+        ).count() > 0:
+            return  # replayed batch: its snapshot already committed
+        if table_versions(spark, table_dir):
+            base = read_versioned(spark, table_dir)  # latest snapshot
+            snap = base.unionByName(batch_df)
+        else:
+            snap = batch_df
+        # the batch id rides in the commit row itself (one atomic step —
+        # no stamp-after-commit window), and write_versioned self-heals a
+        # colliding uncommitted orphan, so a crash anywhere in here
+        # replays cleanly
+        write_versioned(snap, table_dir, id_col=id_col, extra={"batch_id": batch_id})
+
+    return (
+        stream.writeStream.foreachBatch(_commit)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -75,12 +75,12 @@ def test_uncommitted_orphan_is_invisible(spark, tmp_path):
     assert read_versioned(spark, t).count() == 10  # latest is still v1
     with pytest.raises(FileNotFoundError):
         read_versioned(spark, t, 2)
-    # the next commit is version 2 and REPLACES the orphan atomically?
-    # No — the writer allocates max(committed)+1 = 2; its rename would
-    # collide with the orphan. Assert the failure is loud, not silent
-    # corruption (single-writer protocol: operators clean orphans first).
-    with pytest.raises(OSError):
-        write_versioned(docs.filter("doc_id < 7"), t, "doc_id")
+    # the next writer allocates max(committed)+1 = 2, detects the
+    # UNCOMMITTED orphan at that slot (invisible by protocol, safe to
+    # drop) and replaces it — the self-heal that lets a crashed
+    # streaming writer replay its batch cleanly
+    assert write_versioned(docs.filter("doc_id < 7"), t, "doc_id") == 2
+    assert read_versioned(spark, t, 2).count() == 7
 
 
 def test_manifest_checksum_is_content_addressed(spark, tmp_path):
@@ -97,3 +97,80 @@ def test_manifest_checksum_is_content_addressed(spark, tmp_path):
     c2 = version_manifest(spark, t2).collect()[0]["content_checksum"]
     c3 = version_manifest(spark, t3).collect()[0]["content_checksum"]
     assert c1 == c2 != c3
+
+
+def test_stream_versioned_ingest_commits_one_snapshot_per_batch(spark, tmp_path):
+    """Streaming ingestion into a versioned table: three file-batches →
+    three committed snapshot versions whose manifest carries the source
+    batch id; the final snapshot equals the full drained input; every
+    intermediate snapshot remains time-travel-readable."""
+    from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+        write_stream_versioned,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "event_id long, user_id long, event_type string, ts timestamp, value double"
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1, 10, 0, 0)
+    batches = [
+        [(1, 1, "view", t0, 1.0), (2, 1, "view", t0 + timedelta(minutes=1), 1.0)],
+        [(3, 2, "view", t0 + timedelta(hours=1), 1.0)],
+        [(4, 3, "view", t0 + timedelta(hours=2), 1.0), (5, 3, "view", t0 + timedelta(hours=3), 1.0)],
+    ]
+    for b in batches:  # sequential appends → one file per micro-batch
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    table = str(tmp_path / "tbl")
+    # one file per micro-batch, so each append becomes one snapshot commit
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = write_stream_versioned(
+        stream, table, str(tmp_path / "ckpt"), id_col="event_id"
+    )
+    q.awaitTermination()
+    m = version_manifest(spark, table).orderBy("version").collect()
+    assert [r["version"] for r in m] == [1, 2, 3]
+    assert [r["n_rows"] for r in m] == [2, 3, 5]  # monotone snapshot ledger
+    assert sorted(r["batch_id"] for r in m) == [0, 1, 2]
+    assert read_versioned(spark, table, 2).count() == 3  # time travel mid-ingest
+    got = {r["event_id"] for r in read_versioned(spark, table).collect()}
+    assert got == {1, 2, 3, 4, 5}
+
+
+def test_stream_versioned_ingest_is_exactly_once_across_restart(spark, tmp_path):
+    """Drain, then restart the SAME checkpoint over the same source plus
+    one new file: only the new batch commits a new version — replayed
+    ids appear in no additional snapshot (the manifest ledger is the
+    idempotence key)."""
+    from datetime import datetime
+
+    from funnel_report_etl_pipeline__spark.streaming import read_event_stream
+    from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+        write_stream_versioned,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "event_id long, user_id long, event_type string, ts timestamp, value double"
+    t0 = datetime(2026, 1, 1, 10, 0, 0)
+    spark.createDataFrame([(1, 1, "view", t0, 1.0)], schema).coalesce(1).write.mode("append").parquet(src)
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    write_stream_versioned(
+        read_event_stream(spark, src), table, ckpt, id_col="event_id"
+    ).awaitTermination()
+    assert [r["n_rows"] for r in version_manifest(spark, table).collect()] == [1]
+    # second drain with nothing new: NO new version
+    write_stream_versioned(
+        read_event_stream(spark, src), table, ckpt, id_col="event_id"
+    ).awaitTermination()
+    assert len(table_versions(spark, table)) == 1
+    # one new file arrives → exactly one more version
+    spark.createDataFrame([(2, 2, "view", t0, 1.0)], schema).coalesce(1).write.mode("append").parquet(src)
+    write_stream_versioned(
+        read_event_stream(spark, src), table, ckpt, id_col="event_id"
+    ).awaitTermination()
+    m = version_manifest(spark, table).orderBy("version").collect()
+    assert [r["n_rows"] for r in m] == [1, 2]
+    assert read_versioned(spark, table).count() == 2

@@ -136,6 +136,12 @@ def _canon_ok(sdf: pd.DataFrame, bdf: pd.DataFrame) -> dict:
         "err": None,
     }
     if not (res["rows_match"] and res["schema_match"]):
+        if not res["schema_match"]:
+            # self-describing artifact: a rare crash-soak flake once
+            # recorded schema_match=false with equal row counts and no
+            # clue which column diverged
+            res["stream_cols"] = sorted(sdf.columns)
+            res["batch_cols"] = sorted(bdf.columns)
         return res
     a, b = canon(sdf), canon(bdf)
     res["hash_match"] = all(
