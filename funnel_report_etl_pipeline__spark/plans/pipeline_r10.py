@@ -819,6 +819,38 @@ def _versioned_oracle() -> str:
     """
 
 
+def _ensure_version_history(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (idempotently) the deterministic 3-version documents
+    history shared by the time-travel queries; returns the table dir."""
+    import shutil
+
+    from funnel_report_etl_pipeline__spark.operators.dedup import exact_dedup
+    from funnel_report_etl_pipeline__spark.operators.text import quality_keep_expr
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        read_versioned,
+        table_versions,
+        version_manifest,
+        write_versioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = os.path.join(_versioned_root(sf_dir), "docs_table")
+    v1 = docs.filter(F.col("doc_id") % 3 == 0)
+    if table_versions(spark, table) == [1, 2, 3]:
+        committed = version_manifest(spark, table).filter("version = 1").collect()
+        if committed and committed[0]["n_rows"] == v1.count():
+            return table
+    shutil.rmtree(table, ignore_errors=True)
+    write_versioned(v1, table, id_col="doc_id")
+    kept = docs.filter(F.col("doc_id") % 3 != 0).filter(quality_keep_expr("text"))
+    v2 = v1.unionByName(kept)
+    write_versioned(v2, table, id_col="doc_id")
+    v2_back = read_versioned(spark, table, 2)
+    v3 = exact_dedup(v2_back, "text", "doc_id").select("doc_id")
+    write_versioned(v3, table, id_col="doc_id")
+    return table
+
+
 @register(
     "versioned_snapshot_manifest",
     oracle=_versioned_oracle(),
@@ -838,32 +870,9 @@ def versioned_snapshot_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame
     v1 row still matches the current snapshot is served as-is; a changed
     corpus rebuilds from scratch. Time-travel/rollback/orphan semantics
     are pinned in tests/test_versioned.py."""
-    import shutil
+    from funnel_report_etl_pipeline__spark.sources.sinks import version_manifest
 
-    from funnel_report_etl_pipeline__spark.operators.dedup import exact_dedup
-    from funnel_report_etl_pipeline__spark.operators.text import quality_keep_expr
-    from funnel_report_etl_pipeline__spark.sources.sinks import (
-        read_versioned,
-        table_versions,
-        version_manifest,
-        write_versioned,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    table = os.path.join(_versioned_root(sf_dir), "docs_table")
-    v1 = docs.filter(F.col("doc_id") % 3 == 0)
-    if table_versions(spark, table) == [1, 2, 3]:
-        committed = version_manifest(spark, table).filter("version = 1").collect()
-        if committed and committed[0]["n_rows"] == v1.count():
-            return version_manifest(spark, table).orderBy("version")
-    shutil.rmtree(table, ignore_errors=True)
-    write_versioned(v1, table, id_col="doc_id")
-    kept = docs.filter(F.col("doc_id") % 3 != 0).filter(quality_keep_expr("text"))
-    v2 = v1.unionByName(kept)
-    write_versioned(v2, table, id_col="doc_id")
-    v2_back = read_versioned(spark, table, 2)
-    v3 = exact_dedup(v2_back, "text", "doc_id").select("doc_id")
-    write_versioned(v3, table, id_col="doc_id")
+    table = _ensure_version_history(spark, sf_dir)
     return version_manifest(spark, table).orderBy("version")
 
 
@@ -926,3 +935,76 @@ def incremental_dedup_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return definite_new.unionByName(survivors)
+
+
+@register(
+    "versioned_diff_feed",
+    oracle=f"""
+    WITH v1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+    kept AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_intersect(list_distinct(string_split(text, ' ')),
+                   {['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it']})) AS n_stop,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents WHERE doc_id % 3 <> 0
+      ) t
+      WHERE n_tokens BETWEEN 10 AND 1000
+        AND CAST(n_stop AS DOUBLE) / n_distinct > 0
+    ),
+    v2 AS (SELECT doc_id FROM v1 UNION ALL SELECT doc_id FROM kept),
+    v2t AS (SELECT d.doc_id, d.text FROM documents d JOIN v2 USING (doc_id)),
+    v3 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM v2t
+      ) t WHERE rn = 1
+    )
+    SELECT CAST(1 AS BIGINT) AS from_version, CAST(2 AS BIGINT) AS to_version,
+           CAST((SELECT COUNT(*) FROM (SELECT doc_id FROM v2 EXCEPT SELECT doc_id FROM v1)) AS BIGINT) AS n_added,
+           CAST((SELECT COUNT(*) FROM (SELECT doc_id FROM v1 EXCEPT SELECT doc_id FROM v2)) AS BIGINT) AS n_removed
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM (SELECT doc_id FROM v3 EXCEPT SELECT doc_id FROM v2)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM (SELECT doc_id FROM v2 EXCEPT SELECT doc_id FROM v3)) AS BIGINT)
+    """,
+    tags=("pipeline-r10", "etl", "versioning", "cdc"),
+    bench=True,
+)
+def versioned_diff_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data feed over the versioned table: per consecutive
+    snapshot pair, how many ids were added and removed — the readout an
+    incremental CONSUMER uses to process only what changed between
+    versions instead of re-reading snapshots (the versioned-table
+    counterpart of `snapshot_diff`'s CDC on mutable rows). Computed
+    straight off the committed snapshots with id-key anti-joins (only
+    ids shuffle, never payloads) assembled into ONE distributed plan —
+    per pair, the two 1-row anti-join counts combine via the sanctioned
+    scalar-aggregate cross join (J1), no driver-side collect anywhere;
+    the deterministic 3-version history makes the feed fully
+    value-hash-verifiable."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import read_versioned
+
+    table = _ensure_version_history(spark, sf_dir)
+
+    def pair(a: int, b: int) -> DataFrame:
+        va = read_versioned(spark, table, a).select("doc_id")
+        vb = read_versioned(spark, table, b).select("doc_id")
+        added = vb.join(va, "doc_id", "left_anti").agg(
+            F.count("*").cast("long").alias("n_added")
+        )
+        removed = va.join(vb, "doc_id", "left_anti").agg(
+            F.count("*").cast("long").alias("n_removed")
+        )
+        return (
+            added.crossJoin(F.broadcast(removed))  # 1-row x 1-row (J1)
+            .select(
+                F.lit(a).cast("long").alias("from_version"),
+                F.lit(b).cast("long").alias("to_version"),
+                "n_added",
+                "n_removed",
+            )
+        )
+
+    return pair(1, 2).unionByName(pair(2, 3))

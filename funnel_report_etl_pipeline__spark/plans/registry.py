@@ -149,7 +149,6 @@ _WINDOW: tuple[str, ...] = (
     # round-9 second batch: time-decay attribution (completes the
     # attribution family), phrase-proximity retrieval, and the
     # quality-canonical dedup-cluster composition
-    "dedup_cluster_quality_canon",
     "stratified_fixed_n_sample",
     # round-10 registrations — windowed from day one: the persistent ANN
     # index lifecycle (build → save → load → serve), sharing the
@@ -174,6 +173,9 @@ _WINDOW: tuple[str, ...] = (
     # shuffle form; displaces the r9 registration
     # winsorized_revenue_mean_approx, external row r09)
     "incremental_dedup_bloom",
+    # change-data feed over the versioned snapshots (displaces the r9
+    # registration dedup_cluster_quality_canon, external row r09)
+    "versioned_diff_feed",
     # the composed daily corpus-refresh job (incremental dedup → curation
     # → stratified sample → idempotent shard export, one lineage;
     # displaces keeper bpe_merge_induction, external row r09)

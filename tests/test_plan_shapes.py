@@ -381,6 +381,9 @@ WINDOW_SHUFFLE_BUDGET = {
     # candidate-only anti-join; the 1-row mask reaches the crawl via
     # BroadcastNestedLoopJoin, never a hash exchange
     "incremental_dedup_bloom": 5,
+    # id-only anti-join counts per snapshot pair, combined via 1-row
+    # scalar cross joins (J1) — AQE broadcasts the id sets at pin scale
+    "versioned_diff_feed": 4,
 }
 
 
