@@ -821,7 +821,14 @@ def _versioned_oracle() -> str:
 
 def _ensure_version_history(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (idempotently) the deterministic 3-version documents
-    history shared by the time-travel queries; returns the table dir."""
+    history shared by the time-travel queries; returns the table dir.
+
+    Concurrency-safe the same way the ANN index installer is (the
+    round-10 sf0.1 parallel sweep raced TWO gate shards into this build
+    and one read a half-built history): the three versions are written
+    into a per-pid temp table and installed by atomic rename — a loser
+    whose winner is current discards its identical deterministic build;
+    a stale table (changed corpus) is swapped out."""
     import shutil
 
     from funnel_report_etl_pipeline__spark.operators.dedup import exact_dedup
@@ -836,18 +843,36 @@ def _ensure_version_history(spark: SparkSession, sf_dir: str) -> str:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     table = os.path.join(_versioned_root(sf_dir), "docs_table")
     v1 = docs.filter(F.col("doc_id") % 3 == 0)
-    if table_versions(spark, table) == [1, 2, 3]:
-        committed = version_manifest(spark, table).filter("version = 1").collect()
-        if committed and committed[0]["n_rows"] == v1.count():
-            return table
-    shutil.rmtree(table, ignore_errors=True)
-    write_versioned(v1, table, id_col="doc_id")
+
+    def is_current(path: str) -> bool:
+        if table_versions(spark, path) != [1, 2, 3]:
+            return False
+        committed = version_manifest(spark, path).filter("version = 1").collect()
+        return bool(committed) and committed[0]["n_rows"] == v1.count()
+
+    if is_current(table):
+        return table
+    tmp = f"{table}.build.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_versioned(v1, tmp, id_col="doc_id")
     kept = docs.filter(F.col("doc_id") % 3 != 0).filter(quality_keep_expr("text"))
     v2 = v1.unionByName(kept)
-    write_versioned(v2, table, id_col="doc_id")
-    v2_back = read_versioned(spark, table, 2)
+    write_versioned(v2, tmp, id_col="doc_id")
+    v2_back = read_versioned(spark, tmp, 2)
     v3 = exact_dedup(v2_back, "text", "doc_id").select("doc_id")
-    write_versioned(v3, table, id_col="doc_id")
+    write_versioned(v3, tmp, id_col="doc_id")
+    try:
+        os.rename(tmp, table)
+        return table
+    except OSError:
+        pass
+    if is_current(table):  # concurrent identical builder won
+        shutil.rmtree(tmp, ignore_errors=True)
+        return table
+    old = f"{table}.old.{os.getpid()}"
+    os.rename(table, old)
+    os.rename(tmp, table)
+    shutil.rmtree(old, ignore_errors=True)
     return table
 
 
