@@ -58,6 +58,11 @@ __all__ = [
     "build_pq_index",
     "ensure_pq_index",
     "pq_topk_prebuilt",
+    "ivfpq_topk_prebuilt",
+    "ivfpq_rerank_topk_prebuilt",
+    "build_ivfpq_residual_index",
+    "ensure_ivfpq_residual_index",
+    "ivfpq_residual_topk_prebuilt",
 ]
 
 
@@ -250,14 +255,20 @@ def _pq_anchors(
 ) -> DataFrame:
     """(code, av): the n_codes corpus vectors with the lowest md5(id) —
     the deterministic sample codebook ``pq_topk`` uses (one shared
-    codebook across segments; each segment reads its own slice)."""
+    codebook across segments; each segment reads its own slice).
+    orderBy+limit compiles to TakeOrderedAndProject (distributed top-k,
+    no corpus-grain single-partition window — the medoid_cells idiom);
+    the row_number window then runs over the already-limited rows."""
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    w_anchor = Window.orderBy(F.md5(F.col("aid").cast("string")), "aid")
-    return (
+    picked = (
         corpus.select(F.col(id_col).alias("aid"), dv.alias("av"))
-        .withColumn("__rk", F.row_number().over(w_anchor))
-        .filter(F.col("__rk") <= n_codes)
-        .select((F.col("__rk") - 1).alias("code"), "av")
+        .withColumn("__ak", F.md5(F.col("aid").cast("string")))
+        .orderBy("__ak", "aid")
+        .limit(n_codes)
+    )
+    w_anchor = Window.orderBy("__ak", "aid")
+    return picked.select(
+        (F.row_number().over(w_anchor) - 1).alias("code"), "av"
     )
 
 
@@ -536,5 +547,229 @@ def ivfpq_rerank_topk_prebuilt(
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (
         rer.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (the production FAISS recipe: encode v − centroid)
+# ---------------------------------------------------------------------------
+
+
+def _residual(vcol: str, mvcol: str) -> F.Column:
+    """Element-wise residual v − medoid as array<double> — one zip_with,
+    fully codegen'd (DuckDB twin: list_transform over indexed
+    subtraction; same double arithmetic either way)."""
+    return F.zip_with(F.col(vcol), F.col(mvcol), lambda x, y: x - y)
+
+
+def build_ivfpq_residual_index(
+    corpus: DataFrame,
+    out_dir: str,
+    ivf_dir: str,
+    n_segments: int = 8,
+    seg_dim: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build and persist the RESIDUAL PQ index over a saved IVF index:
+    every corpus vector is encoded as PQ codes of its residual
+    (v − medoid(cell)) instead of the raw vector — the production FAISS
+    IVF-PQ recipe (round-10 verdict gap #3). The intuition: within a
+    cell, vectors share the medoid's position, so the residuals occupy a
+    much smaller ball than the raw corpus and the SAME code budget
+    (n_segments bytes/vector) quantizes finer — ADC fidelity holds up as
+    dims/cells grow. The codebook stays the deterministic hash-anchored
+    family (the n_codes lowest-md5(id) vectors' RESIDUALS), so the whole
+    index remains value-hash oracle-able in plain SQL.
+
+    Persists ``codebook.parquet`` (code, ar), ``codes.parquet``
+    (cid, s, code) and meta; requires ``ivf_dir`` to hold the matching
+    IVF index (cells + assignments) — pass the same corpus to both
+    ensure_* calls."""
+    spark = corpus.sparkSession
+    med = spark.read.parquet(os.path.join(ivf_dir, "cells.parquet"))
+    assign = spark.read.parquet(os.path.join(ivf_dir, "assignments.parquet"))
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corp = corpus.select(F.col(id_col).alias("cid"), dv.alias("v"))
+    # residual per corpus vector: v − medoid of its assigned cell
+    res = (
+        corp.join(assign, "cid")
+        .join(F.broadcast(med.select("cell", "mv")), "cell")
+        .select("cid", "cell", _residual("v", "mv").alias("rv"))
+    )
+    # anchors: the n_codes lowest-md5(id) corpus vectors' RESIDUALS
+    # (TakeOrderedAndProject pick, then the tiny join for their residuals)
+    # SALTED anchor hash: the unsalted md5 order is what picks the IVF
+    # medoids, so with n_codes == n_cells the anchors would BE the
+    # medoids and every anchor residual would be the zero vector — a
+    # degenerate all-zeros codebook whose ADC is constant per query
+    # (found empirically on the planted-cluster corpus, round 11). The
+    # salt makes the anchor sample independent of the medoid sample
+    # while staying deterministic and SQL-expressible.
+    picked = (
+        corp.select("cid")
+        .withColumn(
+            "__ak", F.md5(F.concat(F.lit("res:"), F.col("cid").cast("string")))
+        )
+        .orderBy("__ak", "cid")
+        .limit(n_codes)
+    )
+    w_anchor = Window.orderBy("__ak", "cid")
+    anchors = (
+        picked.withColumn("code", (F.row_number().over(w_anchor) - 1).cast("int"))
+        .join(res, "cid")
+        .select("code", F.col("rv").alias("ar"))
+    )
+    anchors.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "codebook.parquet")
+    )
+    spark.catalog.refreshByPath(os.path.join(out_dir, "codebook.parquet"))
+    saved = spark.read.parquet(os.path.join(out_dir, "codebook.parquet"))
+    joined = res.crossJoin(F.broadcast(saved))
+    per_seg = []
+    for s in range(n_segments):
+        per_seg.append(
+            joined.groupBy("cid")
+            .agg(
+                F.min(
+                    F.struct(_seg_dist("rv", "ar", s, seg_dim).alias("d"), F.col("code"))
+                ).alias("m")
+            )
+            .select("cid", F.lit(s).alias("s"), F.col("m.code").alias("code"))
+        )
+    codes = per_seg[0]
+    for p in per_seg[1:]:
+        codes = codes.unionByName(p)
+    codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes.parquet"))
+    n, sig = corpus_signature(corpus, id_col)
+    meta = {
+        "family": "ivfpq_residual",
+        "codebook_salt": "res:",  # staleness-checked: unsalted builds are degenerate
+        "n_segments": n_segments,
+        "seg_dim": seg_dim,
+        "n_codes": n_codes,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_vectors": n,
+        "corpus_sig": sig,
+    }
+    _write_meta(spark, os.path.join(out_dir, "meta.parquet"), meta)
+    return meta
+
+
+def ensure_ivfpq_residual_index(
+    corpus: DataFrame,
+    out_dir: str,
+    ivf_dir: str,
+    n_segments: int = 8,
+    seg_dim: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Idempotent + concurrency-safe like the other ensure_* builders:
+    temp-dir build, atomic-rename install, corpus-signature staleness."""
+    spark = corpus.sparkSession
+    n, sig = None, None
+
+    def is_current(meta: dict) -> bool:
+        nonlocal n, sig
+        if (
+            meta.get("family") != "ivfpq_residual"
+            or meta.get("codebook_salt") != "res:"
+            or int(meta["n_segments"]) != n_segments
+            or int(meta["seg_dim"]) != seg_dim
+            or int(meta["n_codes"]) != n_codes
+        ):
+            return False
+        if n is None:
+            n, sig = corpus_signature(corpus, id_col)
+        return int(meta["n_vectors"]) == n and int(meta["corpus_sig"]) == sig
+
+    meta = _read_meta(spark, os.path.join(out_dir, "meta.parquet"))
+    if meta is not None and is_current(meta):
+        return meta
+    tmp = f"{out_dir}.build.{os.getpid()}"
+    build_ivfpq_residual_index(
+        corpus, tmp, ivf_dir, n_segments, seg_dim, n_codes, id_col, vec_col
+    )
+    return _install_index(spark, tmp, out_dir, is_current)
+
+
+def ivfpq_residual_topk_prebuilt(
+    queries: DataFrame,
+    ivf_dir: str,
+    res_dir: str,
+    k: int = 5,
+    n_probe: int = 2,
+    n_segments: int = 8,
+    seg_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve residual IVF-PQ top-k from the two saved artifacts. Same
+    shape as ``ivfpq_topk_prebuilt`` with one twist: the query's ADC
+    table is PER PROBED CELL — the query residual q − medoid(cell)
+    differs per cell, so ADC rows are (qid, cell, s, code, dist),
+    |Q| × n_probe × n_segments × n_codes rows (still tiny, broadcast),
+    and the candidate join keys gain the cell: a candidate encoded
+    against ITS cell's residual frame is scored against the query's
+    residual in THAT SAME frame — which is exactly why residual ADC is
+    faithful. Corpus raw vectors are never read; compute stays
+    ∝ |Q|·corpus·n_probe/n_cells at n_segments bytes/vector."""
+    spark = queries.sparkSession
+    med = spark.read.parquet(os.path.join(ivf_dir, "cells.parquet"))
+    assign = spark.read.parquet(os.path.join(ivf_dir, "assignments.parquet"))
+    anchors = spark.read.parquet(os.path.join(res_dir, "codebook.parquet"))
+    codes = spark.read.parquet(os.path.join(res_dir, "codes.parquet"))
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = queries.select(F.col(id_col).alias("qid"), dv.alias("qv"))
+    q_cell = _nearest_medoid_cells(
+        q.withColumnRenamed("qv", "__v"), med, "qid", n_probe
+    )
+    # per-(query, probed cell) residual, then the cell-aware ADC table
+    qres = (
+        q.join(F.broadcast(q_cell), "qid")
+        .join(F.broadcast(med.select("cell", "mv")), "cell")
+        .select("qid", "cell", _residual("qv", "mv").alias("qr"))
+    )
+    qj = qres.crossJoin(F.broadcast(anchors))
+    adc_parts = []
+    for s in range(n_segments):
+        adc_parts.append(
+            qj.select(
+                "qid",
+                "cell",
+                F.lit(s).alias("s"),
+                "code",
+                _seg_dist("qr", "ar", s, seg_dim).alias("dist"),
+            )
+        )
+    adc = adc_parts[0]
+    for p in adc_parts[1:]:
+        adc = adc.unionByName(p)
+    # candidates carry the cell they were probed through — the same cell
+    # their codes were encoded in (assignments are 1-cell-per-vector)
+    cand = assign.join(F.broadcast(q_cell), "cell").select("qid", "cell", "cid")
+    pairs = (
+        cand.filter(F.col("qid") != F.col("cid"))
+        .join(codes, "cid")
+        .join(F.broadcast(adc), ["qid", "cell", "s", "code"])
+    )
+    pivot = pairs.groupBy("qid", "cid").agg(
+        *[
+            F.sum(F.when(F.col("s") == s, F.col("dist"))).alias(f"d{s}")
+            for s in range(n_segments)
+        ]
+    )
+    score = None
+    for s in range(n_segments):
+        score = F.col(f"d{s}") if score is None else score + F.col(f"d{s}")
+    w = Window.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("cid").asc())
+    return (
+        pivot.select("qid", "cid", score.alias("adc_dist"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )

@@ -588,12 +588,18 @@ def pq_topk(
     corp = corpus.select(F.col(id_col).alias("cid"), dv.alias("v"))
     q = queries.select(F.col(id_col).alias("qid"), dv.alias("qv"))
 
-    w_anchor = Window.orderBy(F.md5(F.col("aid").cast("string")), "aid")
-    anchors = (
+    # TakeOrderedAndProject for the anchor pick (the medoid_cells idiom —
+    # no corpus-grain single-partition window); the row_number window
+    # runs over the already-limited n_codes rows
+    picked = (
         corpus.select(F.col(id_col).alias("aid"), dv.alias("av"))
-        .withColumn("__rk", F.row_number().over(w_anchor))
-        .filter(F.col("__rk") <= n_codes)
-        .select((F.col("__rk") - 1).alias("code"), "av")
+        .withColumn("__ak", F.md5(F.col("aid").cast("string")))
+        .orderBy("__ak", "aid")
+        .limit(n_codes)
+    )
+    w_anchor = Window.orderBy("__ak", "aid")
+    anchors = picked.select(
+        (F.row_number().over(w_anchor) - 1).alias("code"), "av"
     )
 
     def seg_dist(vcol: str, s: int):

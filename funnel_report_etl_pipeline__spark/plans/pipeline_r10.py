@@ -599,7 +599,11 @@ def _zorder_oracle() -> str:
     from funnel_report_etl_pipeline__spark.sources.layout import zorder_key_sql
 
     z = zorder_key_sql(
-        ["datediff('day', TIMESTAMP '1995-01-01', o_orderdate)", "o_custkey"], 16
+        [
+            "greatest(0, datediff('day', TIMESTAMP '1992-01-01', o_orderdate))",
+            "o_custkey",
+        ],
+        16,
     )
     return f"""
     WITH z AS (
@@ -633,13 +637,20 @@ def zorder_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_layout_zorder.py (real orders data vs a single-key sort:
     per-file ranges shrink on both dimensions; point filters straddle
     fewer files). Scan-side expression only — zero exchanges before the
-    bucket aggregate. Inputs here are already small non-negative ints,
-    so the key uses raw bits (no min/max normalization) and the oracle
-    needs no stats CTE."""
+    bucket aggregate. The day dimension is anchored at 1992-01-01 (below
+    TPC-H's earliest order date) AND clamped non-negative on both sides:
+    zorder_key's interleave sign-extends negative inputs, so a pre-epoch
+    date would flip every key bit and diverge from the BIGINT oracle
+    arithmetic (round-10 advice — the non-negative precondition is now
+    documented in zorder_key itself). No min/max stats CTE needed: the
+    guarded day and o_custkey are small non-negative ints."""
     from funnel_report_etl_pipeline__spark.sources.layout import zorder_key
 
     o = _t(spark, sf_dir, "orders")
-    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+    day = F.greatest(
+        F.lit(0),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("timestamp")),
+    ).cast("long")
     z = zorder_key([day, F.col("o_custkey")], bits=16).cast("long")
     return (
         o.select("o_orderkey", z.alias("zval"))
@@ -848,7 +859,19 @@ def _ensure_version_history(spark: SparkSession, sf_dir: str) -> str:
         if table_versions(spark, path) != [1, 2, 3]:
             return False
         committed = version_manifest(spark, path).filter("version = 1").collect()
-        return bool(committed) and committed[0]["n_rows"] == v1.count()
+        if not committed:
+            return False
+        # content signature, not just count: a regenerated corpus with the
+        # same number of doc_id%3==0 rows but different ids must rebuild
+        # (round-10 advice — same rule as the ANN ensure_* paths)
+        from funnel_report_etl_pipeline__spark.operators.ann_index import (
+            corpus_signature,
+        )
+
+        n, sig = corpus_signature(v1, "doc_id")
+        return (
+            committed[0]["n_rows"] == n and committed[0]["content_checksum"] == sig
+        )
 
     if is_current(table):
         return table

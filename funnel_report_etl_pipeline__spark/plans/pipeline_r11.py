@@ -1,0 +1,304 @@
+"""Round-11 queries: versioned-table storage lifecycle hardening and the
+residual IVF-PQ encoding.
+
+* `versioned_vacuum_audit` — the garbage-collection half of the
+  versioned-table protocol (sources/sinks.py v2: CAS manifest commits
+  over uniquely-named immutable data directories). Crashed writers and
+  CAS losers leave INVISIBLE orphans by design; `vacuum_versioned`
+  reclaims them under a retention horizon. The query builds a private
+  two-commit table (snapshot + delta), plants both orphan species
+  (a crash-orphaned data directory and an abandoned CAS manifest
+  attempt), vacuums, and value-hashes the before/after audit — orphan
+  payload rows and live snapshot rows are corpus-derived, so the oracle
+  proves the vacuum reclaimed exactly the garbage and ONLY the garbage.
+* `ann_ivfpq_residual` — `ann_ivfpq_prebuilt` with the production FAISS
+  twist (round-10 verdict gap #3): PQ codes encode the RESIDUAL
+  v − medoid(cell) instead of the raw vector, so the same
+  n_segments-bytes/vector budget quantizes the much smaller residual
+  ball (ADC fidelity holds up as dims/cells grow). The ADC table
+  becomes per-(query, probed cell) — the query residual differs per
+  cell — still |Q|·n_probe·n_codes·n_segments rows, broadcast. The
+  deterministic hash-anchored codebook keeps the whole family
+  SQL-expressible: the oracle recomputes residuals, anchors, codes and
+  ADC in DuckDB with the same fixed left-associated double arithmetic.
+  The recall payoff vs the raw-codebook form at identical bytes/vector
+  is pinned in tests/test_ann_index.py.
+
+Reference parity note: the reference engine (report_engine.py /
+run_reports.py) has no versioning or ANN surface — these extend the
+beyond-reference LLM-data-pipeline families per the round brief.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.plans.registry import register
+
+_DIM = 64  # testdata embeddings dimension (n_segments * seg_dim)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _index_root(sf_dir: str) -> str:
+    base = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/spark_graft_ann")
+    return os.path.join(base, os.path.basename(sf_dir.rstrip("/")))
+
+
+# ---------------------------------------------------------------------------
+# Versioned-table vacuum: reclaim crash orphans, prove live data untouched
+# ---------------------------------------------------------------------------
+
+_VACUUM_ORACLE = """
+WITH v1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE doc_id % 3 = 0
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE doc_id % 3 IN (0, 1)
+)
+SELECT 'before' AS phase,
+       CAST(2 AS BIGINT) AS n_committed_versions,
+       tot.n AS snapshot_rows,
+       CAST(2 AS BIGINT) AS n_orphan_dirs,
+       v1.n AS orphan_rows
+FROM v1, tot
+UNION ALL
+SELECT 'after', CAST(2 AS BIGINT), tot.n, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM v1, tot
+"""
+
+
+@register(
+    "versioned_vacuum_audit",
+    oracle=_VACUUM_ORACLE,
+    tags=("pipeline-r11", "etl", "versioning", "gc"),
+    bench=True,
+)
+def versioned_vacuum_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Garbage collection for the versioned table. The CAS commit
+    protocol makes every failure mode an INVISIBLE orphan (crashed data
+    write, abandoned manifest attempt) — invisibility is what keeps
+    readers correct, but nothing reclaimed the bytes until now (the
+    round-10 verdict's missing-#1). This query stages both orphan
+    species next to a live snapshot+delta history, then audits
+    `vacuum_versioned` end-to-end:
+
+    * BEFORE: 2 committed versions, 2 orphan dirs, orphan payload =
+      the v1 row count (the planted crash orphan is a copy of v1 —
+      corpus-derived, so the value hash proves we measured real rows);
+    * AFTER a retention-0 vacuum: same 2 versions, same assembled
+      snapshot row count (vacuum must never touch manifest-referenced
+      directories), zero orphans.
+
+    The table is built in a PER-RUN temp dir (concurrent gate shards
+    can't race each other's plants — the lesson of the round-10 ANN
+    installer race) and removed afterwards; the returned frame is
+    audit-grain (two rows), so the bounded driver-side counts here are
+    meta rows, not data movement. The retention horizon's live-writer
+    protection (young dirs survive) and dry-run are pinned in
+    tests/test_versioned.py."""
+    import shutil
+    import tempfile
+
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        append_versioned,
+        read_versioned,
+        table_versions,
+        vacuum_versioned,
+        write_versioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = tempfile.mkdtemp(prefix="spark_graft_vacuum_audit_")
+    try:
+        v1 = docs.filter(F.col("doc_id") % 3 == 0)
+        write_versioned(v1, table, id_col="doc_id")
+        append_versioned(
+            docs.filter(F.col("doc_id") % 3 == 1), table, id_col="doc_id"
+        )
+        # orphan species 1: a crash between data write and manifest CAS —
+        # a data directory no manifest references
+        v1.write.mode("overwrite").parquet(os.path.join(table, "d-crash0rphan"))
+        # orphan species 2: a CAS loser's abandoned manifest attempt
+        os.makedirs(os.path.join(table, "_versions", ".tmp.loser.9.parquet"))
+
+        def audit(phase: str) -> tuple:
+            victims = vacuum_versioned(spark, table, 0.0, dry_run=True)
+            orphan_data = [v for v in victims if not v.startswith("_versions")]
+            orphan_rows = 0
+            for rel in orphan_data:
+                orphan_rows += spark.read.parquet(os.path.join(table, rel)).count()
+            return (
+                phase,
+                len(table_versions(spark, table)),
+                read_versioned(spark, table).count(),
+                len(victims),
+                orphan_rows,
+            )
+
+        before = audit("before")
+        vacuum_versioned(spark, table, 0.0)
+        after = audit("after")
+        return spark.createDataFrame(
+            [before, after],
+            "phase string, n_committed_versions long, snapshot_rows long, "
+            "n_orphan_dirs long, orphan_rows long",
+        )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ: encode v − medoid(cell), the production ADC recipe
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_residual_oracle(
+    n_segments: int = 8,
+    seg_dim: int = 8,
+    n_codes: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    k: int = 5,
+) -> str:
+    """The `_ivfpq_oracle` CTE chain (pipeline_r10) with residual CTEs
+    spliced in: corpus/query vectors are replaced by their residuals
+    against the assigned/probed cell's medoid before anchor pick,
+    encode and ADC. Distance strings stay the fixed left-associated
+    form so the double addition order matches Spark term for term."""
+
+    def dist(vcol: str, acol: str) -> str:
+        terms = [
+            f"(({vcol}[s*{seg_dim}+{j}]-{acol}[s*{seg_dim}+{j}])"
+            f"*({vcol}[s*{seg_dim}+{j}]-{acol}[s*{seg_dim}+{j}]))"
+            for j in range(1, seg_dim + 1)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out}+{t})"
+        return out
+
+    piv = ", ".join(
+        f"SUM(CASE WHEN enc.s={s} THEN dist END) AS d{s}" for s in range(n_segments)
+    )
+    ssum = "d0"
+    for s in range(1, n_segments):
+        ssum = f"({ssum}+d{s})"
+    dim = n_segments * seg_dim
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    med AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS INT) AS cell,
+             v AS mv
+      FROM (SELECT vec_id, v FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells})
+    ),
+    csims AS (
+      SELECT e.vec_id AS id, m.cell,
+             list_dot_product(v, mv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(mv, mv)))
+               AS csim
+      FROM e, med m
+    ),
+    cranked AS (
+      SELECT id, cell,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cell ASC) AS r
+      FROM csims
+    ),
+    c_cell AS (SELECT id AS cid, cell FROM cranked WHERE r = 1),
+    q_cell AS (SELECT id AS qid, cell FROM cranked
+               WHERE r <= {n_probe} AND id % 100 = 0),
+    cres AS (
+      SELECT c.cid, c.cell,
+             list_transform(range(1, {dim + 1}), i -> e.v[i] - m.mv[i]) AS rv
+      FROM c_cell c JOIN e ON e.vec_id = c.cid JOIN med m USING (cell)
+    ),
+    a AS (
+      SELECT t.code, cres.rv AS ar FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5('res:' || CAST(vec_id AS VARCHAR)),
+                                  vec_id)
+                 - 1 AS code,
+               vec_id
+        FROM e
+      ) t JOIN cres ON cres.cid = t.vec_id WHERE t.code < {n_codes}
+    ),
+    seg AS (SELECT unnest(range(0, {n_segments})) AS s),
+    enc AS (
+      SELECT cid, s, code FROM (
+        SELECT cres.cid, seg.s, a.code,
+               ROW_NUMBER() OVER (PARTITION BY cres.cid, seg.s
+                                  ORDER BY {dist('cres.rv', 'a.ar')}, a.code) AS rn
+        FROM cres, a, seg
+      ) t WHERE rn = 1
+    ),
+    qres AS (
+      SELECT q.qid, q.cell,
+             list_transform(range(1, {dim + 1}), i -> e.v[i] - m.mv[i]) AS qr
+      FROM q_cell q JOIN e ON e.vec_id = q.qid JOIN med m USING (cell)
+    ),
+    adc AS (
+      SELECT qres.qid, qres.cell, seg.s, a.code,
+             {dist('qres.qr', 'a.ar')} AS dist
+      FROM qres, a, seg
+    ),
+    cand AS (
+      SELECT q.qid, q.cell, c.cid FROM q_cell q JOIN c_cell c USING (cell)
+      WHERE q.qid <> c.cid
+    ),
+    piv AS (
+      SELECT cand.qid, cand.cid, {piv}
+      FROM cand
+      JOIN enc ON enc.cid = cand.cid
+      JOIN adc ON adc.qid = cand.qid AND adc.cell = cand.cell
+              AND adc.s = enc.s AND adc.code = enc.code
+      GROUP BY cand.qid, cand.cid
+    )
+    SELECT qid, cid, adc_dist, rnk FROM (
+      SELECT qid, cid, {ssum} AS adc_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY {ssum}, cid) AS BIGINT) AS rnk
+      FROM piv
+    ) r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "ann_ivfpq_residual",
+    oracle=_ivfpq_residual_oracle(),
+    tags=("pipeline-r11", "similarity", "ann", "index"),
+    bench=True,
+)
+def ann_ivfpq_residual_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ served from the saved artifacts: the IVF index
+    supplies cells + assignments; `ensure_ivfpq_residual_index` encodes
+    each vector's residual against its cell medoid with a hash-anchored
+    RESIDUAL codebook (same n_segments×n_codes byte budget as the raw
+    `ann_ivfpq_prebuilt`); serving builds a per-(query, probed-cell)
+    residual ADC table (broadcast) and joins the saved codes on
+    (qid, cell, s, code). Raw corpus vectors are never read at serve
+    time. Recall ≥ the raw-codebook form at identical bytes/vector is
+    pinned in tests/test_ann_index.py."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        ensure_ivf_medoid_index,
+        ensure_ivfpq_residual_index,
+        ivfpq_residual_topk_prebuilt,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf_dir = os.path.join(_index_root(sf_dir), "ivf16")
+    res_dir = os.path.join(_index_root(sf_dir), "respq8x16")
+    ensure_ivf_medoid_index(emb, ivf_dir, n_cells=16)
+    ensure_ivfpq_residual_index(emb, res_dir, ivf_dir, n_segments=8, seg_dim=8, n_codes=16)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_residual_topk_prebuilt(
+        queries, ivf_dir, res_dir, k=5, n_probe=2, n_segments=8, seg_dim=8
+    )

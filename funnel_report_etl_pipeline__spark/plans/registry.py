@@ -72,6 +72,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline_r8b,  # round-8 close batch #2 (stats / ETL / decontamination)
         pipeline_r9,  # round-9 batch (sketch-percentile twins, multimodal)
         pipeline_r10,  # round-10 batch (persistent ANN index, corpus refresh)
+        pipeline_r11,  # round-11 batch (versioned-table vacuum, residual IVF-PQ)
     )
 
     return REGISTRY
@@ -146,10 +147,8 @@ _WINDOW: tuple[str, ...] = (
     # round-9 multimodal deepening: exact+perceptual media dedup and the
     # modality token-budget mixture readout
     "modality_mixture_stats",
-    # round-9 second batch: time-decay attribution (completes the
-    # attribution family), phrase-proximity retrieval, and the
-    # quality-canonical dedup-cluster composition
-    "stratified_fixed_n_sample",
+    # (r9 keeper stratified_fixed_n_sample rotated out in round 11 —
+    # external rows r09+r10 — its slot goes to ann_ivfpq_residual)
     # round-10 registrations — windowed from day one: the persistent ANN
     # index lifecycle (build → save → load → serve), sharing the
     # fresh-build siblings' oracles so a green row proves save/load
@@ -190,10 +189,14 @@ _WINDOW: tuple[str, ...] = (
     # its twin modality_mixture_stats keeps the Arrow-hatch family's
     # external presence)
     "zorder_curve",
-    # round-8/9 keeper (holds a fresh committed external green row;
-    # yields its slot to new registrations as those land — new queries
-    # enter the window the round they are registered)
-    "bpe_token_stats",
+    # round-11 registrations — windowed from day one: the versioned-table
+    # garbage-collection audit (vacuum reclaims crash orphans, proves
+    # live data untouched; displaces keeper bpe_token_stats, external
+    # rows r09+r10) and the residual IVF-PQ encoding (the production
+    # FAISS recipe at identical bytes/vector; displaces keeper
+    # stratified_fixed_n_sample, external rows r09+r10)
+    "versioned_vacuum_audit",
+    "ann_ivfpq_residual",
 )
 
 

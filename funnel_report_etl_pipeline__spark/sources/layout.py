@@ -47,7 +47,16 @@ def _scale_to_bits(col: Column, cmin: Column, cmax: Column, bits: int) -> Column
 def zorder_key(scaled: list[Column], bits: int) -> Column:
     """Morton interleave: bit i of column j lands at position
     i * k + (k - 1 - j) of the key. Pure shift/and/or expression tree
-    (k * bits terms), fully inside whole-stage codegen — no UDF."""
+    (k * bits terms), fully inside whole-stage codegen — no UDF.
+
+    PRECONDITION: every input column must be a NON-NEGATIVE integer.
+    shiftright sign-extends, so a negative input reads as all-ones in
+    every bit position (and engines disagree on signed shifts — a
+    latent oracle divergence, round-10 advice). Values ≥ 2^bits alias
+    (high bits are simply not read) — callers that can't bound their
+    inputs should route through ``with_zorder_key``'s min/max scaling,
+    which guarantees the [0, 2^bits) range; raw callers clamp
+    (``F.greatest(lit(0), …)``) or pre-shift their epoch."""
     k = len(scaled)
     if k * bits > 63:
         # the interleaved key must fit a signed long: bit k*bits-1 at

@@ -1,0 +1,321 @@
+"""Versioned-table protocol v2 (sources/sinks.py, round 11): CAS commit
+linearizability under racing writers, delta (append) commits and their
+O(changes) change feed, vacuum with retention-horizon safety, schema
+evolution across versions, and the FAIL-CLOSED streaming replay guard
+(the round-10 verdict's fail-open, reproduced and pinned here)."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.sources.sinks import (
+    append_versioned,
+    read_versioned,
+    rollback_versioned,
+    table_versions,
+    vacuum_versioned,
+    version_changes,
+    version_manifest,
+    write_versioned,
+)
+from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+    commit_stream_batch,
+)
+
+from .conftest import SF_SMALL
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# CAS commit: racing writers produce a LINEAR history, nothing lost
+# ---------------------------------------------------------------------------
+
+
+def test_concurrent_writers_commit_linear_history(spark, tmp_path):
+    """Four writers, each holding its data ready at a barrier, then all
+    CAS-committing at once (the barrier sits between the data write and
+    the manifest CAS — the widest possible race window). Every writer
+    must win SOME version, the history must be the contiguous 1..4, and
+    each committed version's content must be exactly one writer's frame
+    (the round-10 ANN installer race, now pinned at the table layer)."""
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    n_writers = 4
+    barrier = threading.Barrier(n_writers, timeout=120)
+    results: dict[int, int | Exception] = {}
+
+    def writer(i: int) -> None:
+        try:
+            results[i] = write_versioned(
+                docs.filter(f"doc_id % {n_writers} = {i}"),
+                t,
+                id_col="doc_id",
+                _pre_commit_hook=barrier.wait,
+            )
+        except Exception as e:  # noqa: BLE001 — surfaced by the assert below
+            results[i] = e
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert all(isinstance(v, int) for v in results.values()), results
+    # linear: versions are exactly 1..n, each writer owns exactly one
+    assert sorted(results.values()) == list(range(1, n_writers + 1))
+    assert table_versions(spark, t) == list(range(1, n_writers + 1))
+    # nothing lost or cross-wired: version results[i] holds writer i's rows
+    for i in range(n_writers):
+        got = {r["doc_id"] for r in read_versioned(spark, t, results[i]).collect()}
+        want = {
+            r["doc_id"]
+            for r in docs.filter(f"doc_id % {n_writers} = {i}").collect()
+        }
+        assert got == want
+
+
+def test_cas_loser_retries_without_touching_winner(spark, tmp_path):
+    """Deterministic two-writer race via the test seam: writer A commits
+    INSIDE writer B's pre-commit window, so B's first CAS target is taken
+    and B must land at the next version — with A's data untouched."""
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 5"), t, id_col="doc_id")
+
+    def interloper():
+        write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")
+
+    v = write_versioned(
+        docs.filter("doc_id < 20"), t, id_col="doc_id", _pre_commit_hook=interloper
+    )
+    assert v == 3  # the interloper took 2
+    assert table_versions(spark, t) == [1, 2, 3]
+    assert read_versioned(spark, t, 2).count() == 10
+    assert read_versioned(spark, t, 3).count() == 20
+
+
+# ---------------------------------------------------------------------------
+# Delta commits: O(batch) writes, assembled snapshots, O(changes) CDF
+# ---------------------------------------------------------------------------
+
+
+def test_append_versioned_assembles_snapshots(spark, tmp_path):
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")
+    append_versioned(
+        docs.filter("doc_id >= 10 AND doc_id < 15"), t, id_col="doc_id"
+    )
+    append_versioned(
+        docs.filter("doc_id >= 15 AND doc_id < 18"), t, id_col="doc_id"
+    )
+    m = {r["version"]: r for r in version_manifest(spark, t).collect()}
+    # manifest carries SNAPSHOT-grain stats, incrementally maintained
+    assert [m[v]["n_rows"] for v in (1, 2, 3)] == [10, 15, 18]
+    assert [m[v]["kind"] for v in (1, 2, 3)] == ["snapshot", "delta", "delta"]
+    assert [m[v]["n_delta"] for v in (1, 2, 3)] == [10, 5, 3]
+    # the incremental checksum equals a from-scratch snapshot commit's
+    t2 = str(tmp_path / "ref")
+    write_versioned(docs.filter("doc_id < 18"), t2, id_col="doc_id")
+    ref = version_manifest(spark, t2).collect()[0]
+    assert m[3]["content_checksum"] == ref["content_checksum"]
+    # time travel assembles each snapshot from the delta chain
+    assert read_versioned(spark, t, 1).count() == 10
+    assert read_versioned(spark, t, 2).count() == 15
+    assert {r["doc_id"] for r in read_versioned(spark, t).collect()} == {
+        r["doc_id"] for r in docs.filter("doc_id < 18").collect()
+    }
+    # a later full-snapshot commit resets the assembly chain
+    write_versioned(docs.filter("doc_id < 3"), t, id_col="doc_id")
+    assert read_versioned(spark, t).count() == 3
+
+
+def test_version_changes_delta_fast_path_matches_antijoin(spark, tmp_path):
+    """Over an all-delta span the CDF is served straight from the delta
+    directories (no snapshot read, no join — the executed plan has no
+    Join node); the result must equal the general anti-join diff."""
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")
+    append_versioned(docs.filter("doc_id >= 10 AND doc_id < 14"), t, id_col="doc_id")
+    append_versioned(docs.filter("doc_id >= 14 AND doc_id < 17"), t, id_col="doc_id")
+    fast = version_changes(spark, t, 1, 3, "doc_id")
+    assert "Join" not in fast._jdf.queryExecution().executedPlan().toString()
+    got = {(r["doc_id"], r["_change_type"]) for r in fast.collect()}
+    assert got == {(i, "insert") for i in range(10, 17)}
+    # general path (span crosses the base snapshot): anti-join diff
+    general = version_changes(spark, t, 1, 2, "doc_id")
+    assert {(r["doc_id"], r["_change_type"]) for r in general.collect()} == {
+        (i, "insert") for i in range(10, 14)
+    }
+
+
+def test_version_changes_reports_deletes_across_snapshots(spark, tmp_path):
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")
+    write_versioned(docs.filter("doc_id >= 5 AND doc_id < 12"), t, id_col="doc_id")
+    got = {
+        (r["doc_id"], r["_change_type"])
+        for r in version_changes(spark, t, 1, 2, "doc_id").collect()
+    }
+    assert got == {(i, "insert") for i in range(10, 12)} | {
+        (i, "delete") for i in range(0, 5)
+    }
+
+
+# ---------------------------------------------------------------------------
+# Vacuum: reclaims orphans, never touches referenced or YOUNG directories
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_reclaims_orphans_and_preserves_live_data(spark, tmp_path):
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")
+    append_versioned(docs.filter("doc_id >= 10 AND doc_id < 15"), t, id_col="doc_id")
+    # crash orphan (data, no manifest) + abandoned CAS manifest attempt
+    docs.filter("doc_id < 3").write.parquet(os.path.join(t, "d-orphan"))
+    os.makedirs(os.path.join(t, "_versions", ".tmp.dead.7.parquet"))
+    # retention horizon protects young dirs (a live writer mid-commit)
+    assert vacuum_versioned(spark, t, retention_seconds=3600) == []
+    # dry run names the victims but removes nothing
+    dry = vacuum_versioned(spark, t, 0.0, dry_run=True)
+    assert sorted(dry) == ["_versions/.tmp.dead.7.parquet", "d-orphan"]
+    assert os.path.isdir(os.path.join(t, "d-orphan"))
+    removed = vacuum_versioned(spark, t, 0.0)
+    assert sorted(removed) == sorted(dry)
+    assert not os.path.exists(os.path.join(t, "d-orphan"))
+    # live history fully intact after the vacuum
+    assert table_versions(spark, t) == [1, 2]
+    assert read_versioned(spark, t).count() == 15
+    assert vacuum_versioned(spark, t, 0.0, dry_run=True) == []
+
+
+def test_vacuum_reclaims_rollback_and_rolled_forward_history(spark, tmp_path):
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    for hi in (10, 20, 30):
+        write_versioned(docs.filter(f"doc_id < {hi}"), t, id_col="doc_id")
+    rollback_versioned(spark, t, 1)
+    # rollback already removed what it knew; vacuum finds nothing extra
+    assert vacuum_versioned(spark, t, 0.0, dry_run=True) == []
+    assert read_versioned(spark, t).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution across versions
+# ---------------------------------------------------------------------------
+
+
+def test_schema_evolution_delta_adds_column(spark, tmp_path):
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")
+    evolved = docs.filter("doc_id >= 10 AND doc_id < 15").withColumn(
+        "lang", F.lit("en")
+    )
+    append_versioned(evolved, t, id_col="doc_id")
+    # v1 keeps its original schema; v2 assembles the SUPERSET with NULLs
+    # for pre-evolution rows (mergeSchema on the multi-dir read)
+    assert read_versioned(spark, t, 1).columns == ["doc_id", "text"]
+    v2 = read_versioned(spark, t, 2)
+    assert set(v2.columns) == {"doc_id", "text", "lang"}
+    assert v2.count() == 15
+    assert v2.filter("lang IS NULL").count() == 10
+    assert v2.filter("lang = 'en'").count() == 5
+    # the commit log and CDF stay healthy across the heterogeneous span
+    assert [r["n_rows"] for r in version_manifest(spark, t).orderBy("version").collect()] == [10, 15]
+    got = {
+        (r["doc_id"], r["_change_type"])
+        for r in version_changes(spark, t, 1, 2, "doc_id").collect()
+    }
+    assert got == {(i, "insert") for i in range(10, 15)}
+
+
+def test_schema_evolution_snapshot_recommit_changes_schema(spark, tmp_path):
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")
+    write_versioned(
+        docs.filter("doc_id < 12").withColumn("quality", F.lit(0.5)),
+        t,
+        id_col="doc_id",
+    )
+    assert read_versioned(spark, t, 1).columns == ["doc_id", "text"]
+    assert set(read_versioned(spark, t, 2).columns) == {"doc_id", "text", "quality"}
+    # CDF across the schema change still works (id-keyed)
+    assert version_changes(spark, t, 1, 2, "doc_id").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once replay guard: mixed writers, fail-closed
+# ---------------------------------------------------------------------------
+
+
+def test_mixed_writer_ledger_survives_and_replay_is_skipped(spark, tmp_path):
+    """The round-10 verdict's fail-open, pinned shut: a table pre-seeded
+    by a BATCH commit (batch_id = NULL in its manifest) then extended by
+    stream commits must (a) still surface the batch_id column in the
+    merged manifest, and (b) SKIP a crash-replayed micro-batch instead
+    of committing a duplicate version."""
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")  # batch seed
+    b0 = docs.filter("doc_id >= 10 AND doc_id < 13")
+    assert commit_stream_batch(b0, t, "doc_id", batch_id=0) is True
+    m = version_manifest(spark, t).orderBy("version").collect()
+    assert [r["batch_id"] for r in m] == [None, 0]  # mergeSchema kept the ledger
+    # forced replay of batch 0 (what Structured Streaming does after a
+    # crash between the sink commit and the checkpoint commit marker)
+    assert commit_stream_batch(b0, t, "doc_id", batch_id=0) is False
+    assert table_versions(spark, t) == [1, 2]  # NO duplicate snapshot
+    assert read_versioned(spark, t).count() == 13
+    # the next real batch still lands
+    assert commit_stream_batch(
+        docs.filter("doc_id = 13"), t, "doc_id", batch_id=1
+    ) is True
+    assert read_versioned(spark, t).count() == 14
+
+
+def test_replay_guard_fails_closed_without_ledger_column(spark, tmp_path):
+    """A commit log whose manifests lack the batch_id column entirely
+    (legacy v1-protocol table) cannot prove a batch is not a replay —
+    the sink must RAISE, never guess-and-commit."""
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(t, "_versions"))
+    docs.filter("doc_id < 5").write.parquet(os.path.join(t, "v=1"))
+    spark.createDataFrame(
+        [(1, 5, 12345)], "version long, n_rows long, content_checksum long"
+    ).coalesce(1).write.parquet(os.path.join(t, "_versions", "1.parquet"))
+    assert table_versions(spark, t) == [1]
+    with pytest.raises(RuntimeError, match="batch_id ledger column"):
+        commit_stream_batch(docs.filter("doc_id = 7"), t, "doc_id", batch_id=0)
+
+
+def test_legacy_v1_layout_remains_readable(spark, tmp_path):
+    """v1-protocol tables (data at v=N/, minimal manifest columns) stay
+    time-travel-readable: mergeSchema surfaces NULL data_dir/kind and
+    the reader falls back to the v=N path."""
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(t, "_versions"))
+    docs.filter("doc_id < 5").write.parquet(os.path.join(t, "v=1"))
+    spark.createDataFrame(
+        [(1, 5, 12345)], "version long, n_rows long, content_checksum long"
+    ).coalesce(1).write.parquet(os.path.join(t, "_versions", "1.parquet"))
+    assert read_versioned(spark, t, 1).count() == 5
+    # a NEW writer extends the legacy table with the v2 protocol
+    v = write_versioned(docs.filter("doc_id < 8"), t, id_col="doc_id")
+    assert v == 2
+    assert read_versioned(spark, t).count() == 8
+    m = version_manifest(spark, t).orderBy("version").collect()
+    assert m[0]["data_dir"] is None and m[1]["data_dir"].startswith("d-")
