@@ -628,20 +628,25 @@ def build_ivfpq_residual_index(
     spark.catalog.refreshByPath(os.path.join(out_dir, "codebook.parquet"))
     saved = spark.read.parquet(os.path.join(out_dir, "codebook.parquet"))
     joined = res.crossJoin(F.broadcast(saved))
-    per_seg = []
-    for s in range(n_segments):
-        per_seg.append(
-            joined.groupBy("cid")
-            .agg(
-                F.min(
-                    F.struct(_seg_dist("rv", "ar", s, seg_dim).alias("d"), F.col("code"))
-                ).alias("m")
+    # ONE pass over the residuals: per (cid, code) row, emit every
+    # segment's distance via explode — the union-over-segments form the
+    # raw PQ build uses would re-inline (and re-execute) the residual
+    # join chain once per segment
+    seg_structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                _seg_dist("rv", "ar", s, seg_dim).alias("d"),
             )
-            .select("cid", F.lit(s).alias("s"), F.col("m.code").alias("code"))
-        )
-    codes = per_seg[0]
-    for p in per_seg[1:]:
-        codes = codes.unionByName(p)
+            for s in range(n_segments)
+        ]
+    )
+    codes = (
+        joined.select("cid", "code", F.explode(seg_structs).alias("sd"))
+        .groupBy("cid", F.col("sd.s").alias("s"))
+        .agg(F.min(F.struct(F.col("sd.d").alias("d"), F.col("code"))).alias("m"))
+        .select("cid", "s", F.col("m.code").alias("code"))
+    )
     codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes.parquet"))
     n, sig = corpus_signature(corpus, id_col)
     meta = {
@@ -736,20 +741,22 @@ def ivfpq_residual_topk_prebuilt(
         .select("qid", "cell", _residual("qv", "mv").alias("qr"))
     )
     qj = qres.crossJoin(F.broadcast(anchors))
-    adc_parts = []
-    for s in range(n_segments):
-        adc_parts.append(
-            qj.select(
-                "qid",
-                "cell",
+    # single-subtree ADC: explode the per-segment distances instead of a
+    # union over segments — the union form re-inlines the qres chain
+    # (medoid assignment + its qid-grain exchange) once PER SEGMENT,
+    # 8× the query-side work and 11 exchanges where one suffices
+    seg_structs = F.array(
+        *[
+            F.struct(
                 F.lit(s).alias("s"),
-                "code",
                 _seg_dist("qr", "ar", s, seg_dim).alias("dist"),
             )
-        )
-    adc = adc_parts[0]
-    for p in adc_parts[1:]:
-        adc = adc.unionByName(p)
+            for s in range(n_segments)
+        ]
+    )
+    adc = qj.select(
+        "qid", "cell", "code", F.explode(seg_structs).alias("sd")
+    ).select("qid", "cell", F.col("sd.s").alias("s"), "code", F.col("sd.dist").alias("dist"))
     # candidates carry the cell they were probed through — the same cell
     # their codes were encoded in (assignments are 1-cell-per-vector)
     cand = assign.join(F.broadcast(q_cell), "cell").select("qid", "cell", "cid")

@@ -43,6 +43,7 @@ __all__ = [
     "medoid_cells",
     "cosine_topk_ivf_medoid",
     "quantize_int8",
+    "maxsim_topk",
 ]
 
 
@@ -661,6 +662,74 @@ def pq_topk(
     w = Window.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("cid").asc())
     return (
         pivot.select("qid", "cid", score.alias("adc_dist"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def maxsim_topk(
+    corpus_tokens: DataFrame,
+    query_tokens: DataFrame,
+    n_query_tokens: int,
+    k: int = 3,
+) -> DataFrame:
+    """ColBERT-style LATE-INTERACTION retrieval: documents and queries are
+    bags of token-level vectors, and the relevance of document d to query
+    q is MaxSim — for each query token, the best cosine against ANY of
+    d's tokens, summed over q's tokens. This keeps token-level matching
+    (which single-vector retrieval collapses away) while staying
+    embarrassingly parallel: the corpus token table is scanned once,
+    queries are broadcast.
+
+    ``corpus_tokens``: (doc, tp, v); ``query_tokens``: (qdoc, qtp, qv)
+    with array<double> vectors and qtp in [0, n_query_tokens). Returns
+    (qdoc, doc, score, rnk), top ``k`` docs per query by (score desc,
+    doc asc).
+
+    Engine-exactness: the per-(query-token, doc) max is order-independent
+    (no FP reassociation), and the final score sums the FIXED
+    n_query_tokens per-token maxima as pivoted columns in one
+    left-associated chain — the same double-addition discipline as the
+    PQ ADC pivot, so a SQL oracle reproduces it bit for bit.
+
+    One shuffle: the (qdoc, doc) grouped aggregation with map-side
+    combine; the scored cross product never materializes past it. Top-k
+    is a per-query row_number with WindowGroupLimit pre-filtering. At
+    100 TB the yardstick form below stays |Q_tokens| x corpus-tokens
+    bounded (queries broadcast); the production composition restricts
+    candidate docs first via the prebuilt single-vector IVF index
+    (operators/ann_index.py) and exact-MaxSims only the candidates —
+    the same restrict-then-rerank shape as ivfpq_rerank."""
+    pairs = (
+        corpus_tokens.crossJoin(F.broadcast(query_tokens))
+        .filter(F.col("qdoc") != F.col("doc"))
+        .select(
+            "qdoc",
+            "doc",
+            "qtp",
+            (
+                _dot(F.col("qv"), F.col("v"))
+                / (_norm(F.col("qv")) * _norm(F.col("v")))
+            ).alias("s"),
+        )
+    )
+    piv = pairs.groupBy("qdoc", "doc").agg(
+        *[
+            F.max(F.when(F.col("qtp") == t, F.col("s"))).alias(f"m{t}")
+            for t in range(n_query_tokens)
+        ]
+    )
+    # a query with fewer than n_query_tokens tokens leaves NULL pivot
+    # slots; coalesce to 0 so the score sums its EXISTING tokens instead
+    # of NULL-poisoning the chain (null-ordering semantics then differ
+    # per engine)
+    score = None
+    for t in range(n_query_tokens):
+        term = F.coalesce(F.col(f"m{t}"), F.lit(0.0))
+        score = term if score is None else score + term
+    w = Window.partitionBy("qdoc").orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (
+        piv.select("qdoc", "doc", score.alias("score"))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )

@@ -921,7 +921,15 @@ def versioned_snapshot_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame
     from funnel_report_etl_pipeline__spark.sources.sinks import version_manifest
 
     table = _ensure_version_history(spark, sf_dir)
-    return version_manifest(spark, table).orderBy("version")
+    # project the protocol-stable readout: v2 manifests carry extra
+    # bookkeeping columns (kind/data_dir/batch_id/n_delta) whose values
+    # are run-specific (uuid dir names) — the oracle-covered contract is
+    # the (version, n_rows, content_checksum) commit log
+    return (
+        version_manifest(spark, table)
+        .select("version", "n_rows", "content_checksum")
+        .orderBy("version")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -302,3 +302,166 @@ def ann_ivfpq_residual_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_residual_topk_prebuilt(
         queries, ivf_dir, res_dir, k=5, n_probe=2, n_segments=8, seg_dim=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned-table compaction: OPTIMIZE the delta chain, checksum-guarded
+# ---------------------------------------------------------------------------
+
+_COMPACT_ORACLE = """
+WITH live AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT)) AS BIGINT) AS sig
+  FROM documents WHERE doc_id % 4 IN (0, 1, 2)
+)
+SELECT 'before' AS phase, CAST(3 AS BIGINT) AS head_version,
+       CAST(3 AS BIGINT) AS n_dirs_read, n AS n_rows, sig AS content_checksum
+FROM live
+UNION ALL
+SELECT 'after', CAST(4 AS BIGINT), CAST(1 AS BIGINT), n, sig FROM live
+"""
+
+
+@register(
+    "versioned_compact_audit",
+    oracle=_COMPACT_ORACLE,
+    tags=("pipeline-r11", "etl", "versioning", "compaction"),
+    bench=True,
+)
+def versioned_compact_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE for the versioned table (sources/sinks.py
+    ``compact_versioned``): a stream-ingested table accumulates one delta
+    directory per micro-batch, so reading the head assembles an
+    ever-longer chain — compaction rewrites the current snapshot into ONE
+    directory and commits it as a new version, checksum-guarded (a row
+    lost in the rewrite aborts the commit) and conflict-aborting (a
+    concurrent commit between snapshot read and manifest CAS raises
+    instead of silently dropping the interleaved delta).
+
+    The audit builds a 3-version chain (v1 snapshot + two deltas) in a
+    per-run temp dir, compacts, and value-hashes both phases: head
+    version, data directories the head read assembles, row count and
+    order-independent content checksum — corpus-derived, so the hash
+    proves compaction changed the LAYOUT (3 dirs -> 1) and nothing else.
+    Old versions stay time-travel-readable (pinned in
+    tests/test_versioned_v2.py along with both safety rails)."""
+    import shutil
+    import tempfile
+
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        _data_dirs_for,
+        _manifest_rows,
+        append_versioned,
+        compact_versioned,
+        read_versioned,
+        table_versions,
+        write_versioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = tempfile.mkdtemp(prefix="spark_graft_compact_audit_")
+    try:
+        write_versioned(docs.filter(F.col("doc_id") % 4 == 0), table, id_col="doc_id")
+        append_versioned(docs.filter(F.col("doc_id") % 4 == 1), table, id_col="doc_id")
+        append_versioned(docs.filter(F.col("doc_id") % 4 == 2), table, id_col="doc_id")
+
+        def audit(phase: str) -> tuple:
+            head = table_versions(spark, table)[-1]
+            dirs = _data_dirs_for(table, _manifest_rows(spark, table), head)
+            snap = read_versioned(spark, table)
+            row = snap.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.conv(
+                        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                        16,
+                        10,
+                    ).cast("long")
+                ).alias("sig"),
+            ).collect()[0]
+            return (phase, head, len(dirs), int(row["n"]), int(row["sig"]))
+
+        before = audit("before")
+        compact_versioned(spark, table, id_col="doc_id")
+        after = audit("after")
+        return spark.createDataFrame(
+            [before, after],
+            "phase string, head_version long, n_dirs_read long, n_rows long, "
+            "content_checksum long",
+        )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (ColBERT-style MaxSim) retrieval
+# ---------------------------------------------------------------------------
+
+
+def _maxsim_oracle(n_docs: int = 50, n_q: int = 5, n_tok: int = 10, k: int = 3) -> str:
+    """MaxSim in DuckDB: per-query-token max cosine is order-independent;
+    the score sums the n_tok pivoted maxima in the same left-associated
+    order as the Spark pivot chain."""
+    piv = ", ".join(
+        f"MAX(CASE WHEN qtp = {t} THEN s END) AS m{t}" for t in range(n_tok)
+    )
+    ssum = "COALESCE(m0, 0.0)"
+    for t in range(1, n_tok):
+        ssum = f"({ssum}+COALESCE(m{t}, 0.0))"
+    return f"""
+    WITH e AS (
+      SELECT vec_id % {n_docs} AS doc, vec_id // {n_docs} AS tp,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT doc AS qdoc, tp AS qtp, v AS qv FROM e
+          WHERE doc < {n_q} AND tp < {n_tok}),
+    cos AS (
+      SELECT q.qdoc, e.doc, q.qtp,
+             list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+               AS s
+      FROM q, e WHERE q.qdoc <> e.doc
+    ),
+    piv AS (SELECT qdoc, doc, {piv} FROM cos GROUP BY qdoc, doc)
+    SELECT qdoc, doc, score, rnk FROM (
+      SELECT qdoc, doc, {ssum} AS score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qdoc
+                                     ORDER BY {ssum} DESC, doc ASC) AS BIGINT) AS rnk
+      FROM piv
+    ) r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "late_interaction_maxsim",
+    oracle=_maxsim_oracle(),
+    tags=("pipeline-r11", "similarity", "retrieval", "late-interaction"),
+    bench=True,
+)
+def late_interaction_maxsim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval over multi-vector
+    documents (operators/similarity.py::maxsim_topk): score(q, d) =
+    sum over q's token vectors of the max cosine against any of d's
+    token vectors — token-grain matching that single-vector retrieval
+    collapses away, the third member of the retrieval family next to
+    BM25 (lexical) and dense top-k (semantic); rrf_hybrid_fusion shows
+    how the three compose. The testdata's flat embedding table is
+    folded into 50 documents x 10 token positions (vec_id % 50 /
+    vec_id // 50 — deterministic, so the oracle reproduces the fold);
+    queries are the first 5 documents. ONE corpus-token scan, queries
+    broadcast, one grouped aggregation with map-side combine; the
+    fixed-width pivot keeps the double-addition order engine-exact."""
+    from funnel_report_etl_pipeline__spark.operators.similarity import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        (F.col("vec_id") % 50).alias("doc"),
+        F.floor(F.col("vec_id") / 50).alias("tp"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    qtoks = toks.filter((F.col("doc") < 5) & (F.col("tp") < 10)).select(
+        F.col("doc").alias("qdoc"), F.col("tp").alias("qtp"), F.col("v").alias("qv")
+    )
+    return maxsim_topk(toks, qtoks, n_query_tokens=10, k=3)

@@ -139,14 +139,18 @@ _WINDOW: tuple[str, ...] = (
     "asof_join_forward",
     "asof_join_nearest",
     "equidepth_price_histogram",
-    "window_dist_funcs",
+    # (r9-rotation keeper window_dist_funcs rotated out in round 11 —
+    # external rows r09+r10; the window family keeps external presence
+    # via window_rank/range_window_frame history — its slot goes to
+    # late_interaction_maxsim)
     "grouping_sets_mixed",
     # round-9 registrations — windowed from day one: the GK-sketch
     # twins that retire the exact-percentile scale flags (each displaces
     # a round-8 keeper holding a fresh CORRECTNESS_r08 row)
-    # round-9 multimodal deepening: exact+perceptual media dedup and the
-    # modality token-budget mixture readout
-    "modality_mixture_stats",
+    # (r9 keeper modality_mixture_stats rotated out in round 11 —
+    # external rows r09+r10; the Arrow-hatch family keeps committed
+    # external history via media_dedup r09 — its slot goes to
+    # versioned_compact_audit)
     # (r9 keeper stratified_fixed_n_sample rotated out in round 11 —
     # external rows r09+r10 — its slot goes to ann_ivfpq_residual)
     # round-10 registrations — windowed from day one: the persistent ANN
@@ -197,6 +201,14 @@ _WINDOW: tuple[str, ...] = (
     # stratified_fixed_n_sample, external rows r09+r10)
     "versioned_vacuum_audit",
     "ann_ivfpq_residual",
+    # round-11 second batch — windowed from day one: versioned-table
+    # compaction (OPTIMIZE: delta chain -> one snapshot dir, checksum-
+    # guarded + conflict-aborting; displaces keeper
+    # modality_mixture_stats, external rows r09+r10) and ColBERT-style
+    # late-interaction MaxSim retrieval (displaces r9-rotation keeper
+    # window_dist_funcs, external rows r09+r10)
+    "versioned_compact_audit",
+    "late_interaction_maxsim",
 )
 
 

@@ -529,6 +529,11 @@ def _count_and_checksum(df: DataFrame, id_col: str) -> tuple[int, int]:
     return int(row["n"]), int(row["sig"])
 
 
+class ConcurrentCommit(RuntimeError):
+    """Raised when an optimistic commit (compaction) finds the table head
+    moved past its read version — the Delta OPTIMIZE conflict-abort."""
+
+
 def _cas_commit_manifest(
     spark: SparkSession,
     table_dir: str,
@@ -540,6 +545,7 @@ def _cas_commit_manifest(
     batch_id: int | None,
     extra: dict[str, int] | None,
     _pre_commit_hook=None,
+    expect_latest: int | None = None,
 ) -> int:
     """Allocate-and-commit loop. ``snapshot_stats(prev_row_or_None) ->
     (n_rows, checksum)`` is re-evaluated per attempt because a CAS loser's
@@ -560,6 +566,16 @@ def _cas_commit_manifest(
         _pre_commit_hook()
     while True:
         committed = table_versions(spark, table_dir)
+        if expect_latest is not None and (
+            committed[-1] if committed else 0
+        ) != expect_latest:
+            raise ConcurrentCommit(
+                f"table {table_dir} head moved to "
+                f"{committed[-1] if committed else 0} while committing "
+                f"against expected head {expect_latest}; aborting (the "
+                f"prepared data directory stays an invisible orphan for "
+                f"vacuum)"
+            )
         n = (committed[-1] + 1) if committed else 1
         prev = None
         if committed and kind == "delta":
@@ -893,3 +909,60 @@ def vacuum_versioned(
         for rel in victims:
             shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
     return victims
+
+
+def compact_versioned(
+    spark: SparkSession, table_dir: str, id_col: str, _pre_commit_hook=None
+) -> int:
+    """OPTIMIZE for the delta chain: rewrite the CURRENT snapshot's full
+    contents into one data directory and commit it as a new snapshot
+    version, so reads of the new head touch ONE directory instead of the
+    base+delta assembly chain (a stream-ingested table accumulates one
+    delta dir per micro-batch; read cost grows with history until
+    compaction resets it). History is preserved — every older version
+    stays time-travel-readable, and vacuum never touches manifest-
+    referenced directories.
+
+    Two safety rails, both testable:
+
+    * CHECKSUM GUARD — the rewritten snapshot's (n_rows,
+      content_checksum) must equal the head manifest's stats, or the
+      commit is aborted and the rewrite stays an invisible orphan: a
+      row lost in the rewrite can never silently become the new head.
+    * CONFLICT ABORT — the manifest CAS carries ``expect_latest``; if a
+      concurrent writer commits between our snapshot read and the CAS,
+      the compaction raises :class:`ConcurrentCommit` instead of
+      committing a head that silently drops the interleaved delta
+      (Delta Lake OPTIMIZE's conflict semantics).
+
+    Returns the committed version number."""
+    rows = _manifest_rows(spark, table_dir)
+    if not rows:
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
+    head = max(rows, key=lambda r: r["version"])
+    df = read_versioned(spark, table_dir, int(head["version"]))
+    _, rel = _write_data_dir(df, table_dir)
+    import os
+
+    written = spark.read.parquet(os.path.join(table_dir, rel))
+    n_rows, checksum = _count_and_checksum(written, id_col)
+    if (n_rows, checksum) != (int(head["n_rows"]), int(head["content_checksum"])):
+        raise RuntimeError(
+            f"compaction rewrite of {table_dir} v{head['version']} does not "
+            f"match the head manifest (rows {n_rows} vs {head['n_rows']}, "
+            f"checksum {checksum} vs {head['content_checksum']}); aborting — "
+            f"the rewrite stays an invisible orphan"
+        )
+    return _cas_commit_manifest(
+        spark,
+        table_dir,
+        rel[2:],
+        lambda prev: (n_rows, checksum),
+        "snapshot",
+        rel,
+        0,  # a compaction adds no rows — its CDF against the head is empty
+        None,
+        None,
+        _pre_commit_hook,
+        expect_latest=int(head["version"]),
+    )

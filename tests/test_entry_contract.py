@@ -52,7 +52,17 @@ def test_driver_window_composition_pinned():
     window = list(mod.queries())[:DRIVER_WINDOW]
     assert window == list(_WINDOW), "driver window drifted from curated _WINDOW"
     assert len(_WINDOW) == DRIVER_WINDOW == 50
-    assert window[-1] == "bpe_token_stats"  # keeper tail pins full-window length
+    # round-11 tail: the four day-one-windowed registrations displaced
+    # keepers bpe_token_stats, stratified_fixed_n_sample,
+    # modality_mixture_stats and window_dist_funcs (each holds committed
+    # external rows r09+r10, so they may sit outside per the standing
+    # budget contract below)
+    assert window[-4:] == [
+        "versioned_vacuum_audit",
+        "ann_ivfpq_residual",
+        "versioned_compact_audit",
+        "late_interaction_maxsim",
+    ]
     specs = load_all()
     parity = [n for n, s in specs.items() if s.fn.__module__.endswith(".parity")]
     # parity must come first (driver smoke-checks the reference surface first)
@@ -79,7 +89,10 @@ def test_driver_window_composition_pinned():
         "equidepth_price_histogram", "window_dist_funcs",
         "grouping_sets_mixed",
     }
-    assert rotated_in_r9 <= set(window)
+    # window_dist_funcs earned external rows in r09/r10 and rotated out
+    # in round 11 (its slot went to late_interaction_maxsim); the rest
+    # of the r9 rotation still holds its window seats
+    assert (rotated_in_r9 - {"window_dist_funcs"}) <= set(window)
     import json
     from pathlib import Path
 

@@ -384,6 +384,20 @@ WINDOW_SHUFFLE_BUDGET = {
     # id-only anti-join counts per snapshot pair, combined via 1-row
     # scalar cross joins (J1) — AQE broadcasts the id sets at pin scale
     "versioned_diff_feed": 4,
+    # returned audit is manifest-grain scalar counts (the vacuum itself
+    # runs inside fn() before the returned plan — O(files) listing work)
+    "versioned_vacuum_audit": 0,
+    # query-side medoid assignment (qid-grain WindowGroupLimit) + the
+    # (qid,cid) ADC pivot agg; the per-segment distances ride ONE
+    # explode projection — the union-over-segments form would re-inline
+    # the assignment chain per segment (11 exchanges, 8× query work)
+    "ann_ivfpq_residual": 4,
+    # returned audit is two createDataFrame meta rows (the compaction
+    # itself runs inside fn() before the returned plan)
+    "versioned_compact_audit": 0,
+    # one (qdoc,doc) grouped agg with map-side combine + the per-qdoc
+    # top-k window re-partition; queries broadcast, corpus scanned once
+    "late_interaction_maxsim": 2,
 }
 
 

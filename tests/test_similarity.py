@@ -320,3 +320,56 @@ def test_pq_deterministic_across_runs(spark, planted):
     a = {(r.qid, r.cid, r.rnk, r.adc_dist) for r in pq_topk(planted, queries).collect()}
     b = {(r.qid, r.cid, r.rnk, r.adc_dist) for r in pq_topk(planted, queries).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction MaxSim (operators/similarity.py::maxsim_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_maxsim_ranks_planted_token_copy_first(spark):
+    """A document sharing EVERY query token verbatim scores exactly
+    n_query_tokens (each per-token max cosine is a self-cosine of 1.0),
+    and outranks a document that only matches one token — the
+    token-grain behavior that distinguishes late interaction from
+    single-vector retrieval."""
+    from funnel_report_etl_pipeline__spark.operators.similarity import maxsim_topk
+
+    def tok(doc, tp, v):
+        return (doc, tp, [float(x) for x in v])
+
+    # query doc 0: two orthogonal tokens; doc 1 = verbatim copy;
+    # doc 2 matches token 0 only; doc 3 orthogonal to everything
+    rows = [
+        tok(0, 0, [1, 0, 0, 0]), tok(0, 1, [0, 1, 0, 0]),
+        tok(1, 0, [1, 0, 0, 0]), tok(1, 1, [0, 1, 0, 0]),
+        tok(2, 0, [1, 0, 0, 0]), tok(2, 1, [0, 0, 1, 0]),
+        tok(3, 0, [0, 0, 0, 1]), tok(3, 1, [0, 0, 0, 1]),
+    ]
+    toks = spark.createDataFrame(rows, "doc long, tp long, v array<double>")
+    q = (
+        toks.filter("doc = 0")
+        .selectExpr("doc as qdoc", "tp as qtp", "v as qv")
+    )
+    out = maxsim_topk(toks, q, n_query_tokens=2, k=3).collect()
+    ranked = sorted(out, key=lambda r: r["rnk"])
+    assert [r["doc"] for r in ranked] == [1, 2, 3]
+    assert ranked[0]["score"] == 2.0  # verbatim copy: 1.0 per query token
+    assert ranked[1]["score"] == 1.0  # one matching token
+    assert ranked[2]["score"] == 0.0  # fully orthogonal
+
+
+def test_maxsim_short_query_sums_existing_tokens_only(spark):
+    """A query with fewer tokens than n_query_tokens must not NULL-poison
+    its score: missing pivot slots coalesce to 0."""
+    from funnel_report_etl_pipeline__spark.operators.similarity import maxsim_topk
+
+    rows = [
+        (0, 0, [1.0, 0.0]),            # query doc: ONE token
+        (1, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0]),
+        (2, 0, [0.0, 1.0]),
+    ]
+    toks = spark.createDataFrame(rows, "doc long, tp long, v array<double>")
+    q = toks.filter("doc = 0").selectExpr("doc as qdoc", "tp as qtp", "v as qv")
+    out = {r["doc"]: r["score"] for r in maxsim_topk(toks, q, n_query_tokens=4, k=2).collect()}
+    assert out[1] == 1.0 and out[2] == 0.0

@@ -319,3 +319,199 @@ def test_legacy_v1_layout_remains_readable(spark, tmp_path):
     assert read_versioned(spark, t).count() == 8
     m = version_manifest(spark, t).orderBy("version").collect()
     assert m[0]["data_dir"] is None and m[1]["data_dir"].startswith("d-")
+
+
+# ---------------------------------------------------------------------------
+# Change-data feed as a STREAMING source (readStream over the commit log)
+# ---------------------------------------------------------------------------
+
+
+def _drain_cdf(spark, table_dir, ckpt, name):
+    """Run stream_versioned_changes with availableNow and collect every
+    emit as (from_version, to_version, id, _change_type) pandas rows."""
+    from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+        stream_versioned_changes,
+    )
+
+    emitted = []
+
+    def emit(changes_df, from_v, to_v):
+        pdf = changes_df.toPandas()
+        pdf["from_version"] = from_v
+        pdf["to_version"] = to_v
+        emitted.append(pdf)
+
+    q = stream_versioned_changes(
+        spark, table_dir, ckpt, "doc_id", emit, query_name=name
+    )
+    q.awaitTermination()
+    import pandas as pd
+
+    if not emitted:
+        return pd.DataFrame(
+            columns=["doc_id", "_change_type", "from_version", "to_version"]
+        )
+    return pd.concat(emitted, ignore_index=True)
+
+
+def test_stream_cdf_matches_batch_diff_over_three_versions(spark, tmp_path):
+    """The incremental consumer: v1 snapshot, v2 delta append, v3
+    snapshot recommit WITH deletes, drained through the commit-log
+    streaming source. The union of emitted change sets must equal the
+    batch `version_changes` readout pair-by-pair (v1 emitting every row
+    as an insert against version 0)."""
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 20"), t, id_col="doc_id")
+    append_versioned(
+        docs.filter("doc_id >= 20 AND doc_id < 30"), t, id_col="doc_id"
+    )
+    # v3: curated recommit — drops doc_id < 5, adds 30..34
+    write_versioned(docs.filter("doc_id >= 5 AND doc_id < 35"), t, id_col="doc_id")
+
+    got = _drain_cdf(spark, t, str(tmp_path / "ckpt"), "cdf_t1")
+
+    import pandas as pd
+
+    want_parts = [
+        read_versioned(spark, t, 1)
+        .select(F.col("doc_id"), F.lit("insert").alias("_change_type"))
+        .toPandas()
+        .assign(from_version=0, to_version=1),
+        version_changes(spark, t, 1, 2, "doc_id")
+        .toPandas()
+        .assign(from_version=1, to_version=2),
+        version_changes(spark, t, 2, 3, "doc_id")
+        .toPandas()
+        .assign(from_version=2, to_version=3),
+    ]
+    want = pd.concat(want_parts, ignore_index=True)
+    key = ["from_version", "to_version", "doc_id", "_change_type"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    want_s = want[key].sort_values(key).reset_index(drop=True)
+    assert got_s.equals(want_s)
+    # the delta pair's change set is exactly the appended ids (O(changes))
+    d2 = got[(got["to_version"] == 2)]
+    assert sorted(d2["doc_id"]) == list(range(20, 30))
+    assert set(d2["_change_type"]) == {"insert"}
+    # the snapshot pair reports BOTH directions
+    d3 = got[(got["to_version"] == 3)]
+    assert sorted(d3[d3["_change_type"] == "delete"]["doc_id"]) == list(range(5))
+    assert sorted(d3[d3["_change_type"] == "insert"]["doc_id"]) == list(range(30, 35))
+
+
+def test_stream_cdf_checkpoint_resumes_at_next_commit(spark, tmp_path):
+    """A restarted CDF consumer must process ONLY versions committed
+    since its checkpoint — never re-emit old change sets (the whole
+    point of reading the commit log as a stream)."""
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")
+    append_versioned(
+        docs.filter("doc_id >= 10 AND doc_id < 15"), t, id_col="doc_id"
+    )
+    first = _drain_cdf(spark, t, ckpt, "cdf_t2a")
+    assert sorted(first["to_version"].unique()) == [1, 2]
+    # new commit while the consumer is down
+    append_versioned(
+        docs.filter("doc_id >= 15 AND doc_id < 18"), t, id_col="doc_id"
+    )
+    second = _drain_cdf(spark, t, ckpt, "cdf_t2b")
+    assert sorted(second["to_version"].unique()) == [3]
+    assert sorted(second["doc_id"]) == [15, 16, 17]
+    assert set(second["_change_type"]) == {"insert"}
+
+
+# ---------------------------------------------------------------------------
+# Compaction (OPTIMIZE): delta chain -> one snapshot dir, two safety rails
+# ---------------------------------------------------------------------------
+
+
+def test_compact_rewrites_head_into_one_dir_preserving_history(spark, tmp_path):
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        _data_dirs_for,
+        _manifest_rows,
+        compact_versioned,
+    )
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id % 4 = 0"), t, id_col="doc_id")
+    append_versioned(docs.filter("doc_id % 4 = 1"), t, id_col="doc_id")
+    append_versioned(docs.filter("doc_id % 4 = 2"), t, id_col="doc_id")
+    pre = read_versioned(spark, t)
+    pre_ids = sorted(r["doc_id"] for r in pre.select("doc_id").collect())
+    assert len(_data_dirs_for(t, _manifest_rows(spark, t), 3)) == 3
+
+    v = compact_versioned(spark, t, id_col="doc_id")
+    assert v == 4
+    # head reads ONE directory, same contents
+    assert len(_data_dirs_for(t, _manifest_rows(spark, t), 4)) == 1
+    post_ids = sorted(r["doc_id"] for r in read_versioned(spark, t).select("doc_id").collect())
+    assert post_ids == pre_ids
+    # compaction is layout-only: its CDF against the old head is empty
+    assert version_changes(spark, t, 3, 4, "doc_id").count() == 0
+    # history preserved: every pre-compaction version still time-travels
+    assert read_versioned(spark, t, 1).count() == docs.filter("doc_id % 4 = 0").count()
+    assert read_versioned(spark, t, 3).count() == len(pre_ids)
+    # manifest: the compacted head is a snapshot commit adding no rows
+    head = version_manifest(spark, t).filter("version = 4").collect()[0]
+    assert head["kind"] == "snapshot" and head["n_delta"] == 0
+
+
+def test_compact_checksum_guard_aborts_on_mismatch(spark, tmp_path):
+    """A head manifest whose stats don't match the assembled snapshot
+    (storage corruption, a lost delta file) must ABORT the compaction —
+    never commit a head that silently canonicalizes the damage."""
+    import shutil
+
+    from funnel_report_etl_pipeline__spark.sources.sinks import compact_versioned
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")
+    append_versioned(docs.filter("doc_id >= 10 AND doc_id < 15"), t, id_col="doc_id")
+    # simulate corruption: rewrite the head manifest with a wrong n_rows
+    mdir = os.path.join(t, "_versions", "2.parquet")
+    row = spark.read.option("mergeSchema", "true").parquet(mdir).collect()[0]
+    doctored = spark.createDataFrame(
+        [tuple(row)], spark.read.parquet(mdir).schema
+    ).withColumn("n_rows", F.lit(14).cast("long"))
+    tmp_m = str(tmp_path / "doctored")
+    doctored.coalesce(1).write.parquet(tmp_m)
+    shutil.rmtree(mdir)
+    os.rename(tmp_m, mdir)
+    with pytest.raises(RuntimeError, match="does not match the head manifest"):
+        compact_versioned(spark, t, id_col="doc_id")
+    # the aborted rewrite is an invisible orphan: head unchanged
+    assert table_versions(spark, t) == [1, 2]
+
+
+def test_compact_conflict_aborts_when_writer_interleaves(spark, tmp_path):
+    """Optimistic concurrency: a delta committed between the compaction's
+    snapshot read and its manifest CAS must abort the compaction (its
+    rewrite predates — and would silently drop — the interleaved rows)."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        ConcurrentCommit,
+        compact_versioned,
+    )
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")
+
+    def interleave():
+        append_versioned(
+            docs.filter("doc_id >= 10 AND doc_id < 12"), t, id_col="doc_id"
+        )
+
+    with pytest.raises(ConcurrentCommit):
+        compact_versioned(spark, t, id_col="doc_id", _pre_commit_hook=interleave)
+    # the interleaved delta is the head; the aborted rewrite is invisible
+    assert table_versions(spark, t) == [1, 2]
+    assert read_versioned(spark, t).count() == 12
+    # vacuum (retention 0) reclaims the aborted rewrite
+    victims = vacuum_versioned(spark, t, 0.0)
+    assert len(victims) == 1 and victims[0].startswith("d-")
+    assert read_versioned(spark, t).count() == 12

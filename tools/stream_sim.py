@@ -834,10 +834,66 @@ def main() -> int:
         b = ev.join(static_dim, "user_id", "left").toPandas()
         return _canon_ok(s, b)
 
+    # 12. versioned change-data feed as a STREAMING source — the round-11
+    #     composition: readStream over a versioned table's commit log,
+    #     emitting each newly committed version's change set (the delta
+    #     directory for delta commits, the id anti-join for snapshot
+    #     recommits). Batch twin: `version_changes` pair-by-pair over the
+    #     same 3-version history (v1 snapshot → v2 delta append → v3
+    #     curated snapshot WITH deletes). Hash parity proves the stream
+    #     consumer sees exactly the batch diff feed, incrementally.
+    def _cdf():
+        from funnel_report_etl_pipeline__spark.sources.sinks import (
+            append_versioned,
+            read_versioned,
+            version_changes,
+            write_versioned,
+        )
+        from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+            stream_versioned_changes,
+        )
+
+        t = f"{tmp}/cdf_table"
+        ids = ev.select(F.col("user_id").alias("uid")).distinct()
+        write_versioned(ids.filter("uid % 3 = 0"), t, id_col="uid")
+        append_versioned(ids.filter("uid % 3 = 1"), t, id_col="uid")
+        write_versioned(ids.filter("uid % 2 = 0"), t, id_col="uid")
+
+        emitted: list[pd.DataFrame] = []
+
+        def emit(changes_df, from_v, to_v):
+            pdf = changes_df.toPandas()
+            pdf["from_version"] = from_v
+            pdf["to_version"] = to_v
+            emitted.append(pdf)
+
+        q = stream_versioned_changes(
+            spark, t, f"{tmp}/cdf_ckpt", "uid", emit, query_name="ss_cdf"
+        )
+        q.awaitTermination()
+        s = pd.concat(emitted, ignore_index=True)
+        b = pd.concat(
+            [
+                read_versioned(spark, t, 1)
+                .select(F.col("uid"), F.lit("insert").alias("_change_type"))
+                .toPandas()
+                .assign(from_version=0, to_version=1),
+                version_changes(spark, t, 1, 2, "uid")
+                .toPandas()
+                .assign(from_version=1, to_version=2),
+                version_changes(spark, t, 2, 3, "uid")
+                .toPandas()
+                .assign(from_version=2, to_version=3),
+            ],
+            ignore_index=True,
+        )
+        return _canon_ok(s, b)
+
     run("idempotent_parquet_sink", _sink)
     run("late_data_drop", _late)
     run("view_purchase_attribution_outer", _attrib_outer)
     run("enrich_stream", _enrich)
+    run("versioned_cdf_stream", _cdf)
     run("restart_replay", _restart)
 
     n_pass = sum(1 for r in results.values() if r.get("hash_match"))
