@@ -672,6 +672,7 @@ def maxsim_topk(
     query_tokens: DataFrame,
     n_query_tokens: int,
     k: int = 3,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """ColBERT-style LATE-INTERACTION retrieval: documents and queries are
     bags of token-level vectors, and the relevance of document d to query
@@ -699,10 +700,21 @@ def maxsim_topk(
     bounded (queries broadcast); the production composition restricts
     candidate docs first via the prebuilt single-vector IVF index
     (operators/ann_index.py) and exact-MaxSims only the candidates —
-    the same restrict-then-rerank shape as ivfpq_rerank."""
+    the same restrict-then-rerank shape as ivfpq_rerank.
+
+    ``candidates`` is that restriction: a (qdoc, doc) frame limiting
+    which pairs are scored (the per-query candidate set from a
+    token-grain ANN probe — late_interaction_maxsim_pruned composes
+    it). Candidate pairs are |Q|-bounded and broadcast, so the corpus
+    token scan stays the only data-sized input."""
+    if candidates is not None:
+        base = corpus_tokens.join(F.broadcast(candidates), "doc").join(
+            F.broadcast(query_tokens), "qdoc"
+        )
+    else:
+        base = corpus_tokens.crossJoin(F.broadcast(query_tokens))
     pairs = (
-        corpus_tokens.crossJoin(F.broadcast(query_tokens))
-        .filter(F.col("qdoc") != F.col("doc"))
+        base.filter(F.col("qdoc") != F.col("doc"))
         .select(
             "qdoc",
             "doc",

@@ -465,3 +465,157 @@ def late_interaction_maxsim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc").alias("qdoc"), F.col("tp").alias("qtp"), F.col("v").alias("qv")
     )
     return maxsim_topk(toks, qtoks, n_query_tokens=10, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Candidate-restricted MaxSim: the ColBERT serving shape (probe -> rerank)
+# ---------------------------------------------------------------------------
+
+
+def _maxsim_pruned_oracle(
+    n_docs: int = 100,
+    n_q: int = 5,
+    t_score: int = 5,
+    t_probe: int = 2,
+    n_probe: int = 2,
+    n_cells: int = 16,
+    k: int = 3,
+) -> str:
+    """The `_maxsim_oracle` pivot chain restricted to candidates from a
+    token-grain probe of the deterministic medoid IVF cells (the
+    `_ivfpq_residual_oracle` medoid CTEs): corpus tokens assign to their
+    nearest cell, each query's first ``t_probe`` tokens probe their
+    ``n_probe`` nearest cells, and only documents with a token in a
+    probed cell are MaxSim-scored."""
+    piv = ", ".join(
+        f"MAX(CASE WHEN qtp = {t} THEN s END) AS m{t}" for t in range(t_score)
+    )
+    ssum = "COALESCE(m0, 0.0)"
+    for t in range(1, t_score):
+        ssum = f"({ssum}+COALESCE(m{t}, 0.0))"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, vec_id % {n_docs} AS doc, vec_id // {n_docs} AS tp,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    med AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS INT) AS cell,
+             v AS mv
+      FROM (SELECT vec_id, v FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells})
+    ),
+    csims AS (
+      SELECT e.vec_id AS id, m.cell,
+             list_dot_product(v, mv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(mv, mv)))
+               AS csim
+      FROM e, med m
+    ),
+    cranked AS (
+      SELECT id, cell,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cell ASC) AS r
+      FROM csims
+    ),
+    doc_cells AS (
+      SELECT DISTINCT e.doc, c.cell
+      FROM cranked c JOIN e ON e.vec_id = c.id WHERE c.r = 1
+    ),
+    q_cells AS (
+      SELECT DISTINCT e.doc AS qdoc, c.cell
+      FROM cranked c JOIN e ON e.vec_id = c.id
+      WHERE c.r <= {n_probe} AND e.doc < {n_q} AND e.tp < {t_probe}
+    ),
+    cand AS (
+      SELECT DISTINCT q.qdoc, d.doc
+      FROM q_cells q JOIN doc_cells d USING (cell)
+      WHERE q.qdoc <> d.doc
+    ),
+    q AS (SELECT doc AS qdoc, tp AS qtp, v AS qv FROM e
+          WHERE doc < {n_q} AND tp < {t_score}),
+    cos AS (
+      SELECT cand.qdoc, cand.doc, q.qtp,
+             list_dot_product(qv, e.v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v)))
+               AS s
+      FROM cand JOIN q USING (qdoc) JOIN e USING (doc)
+    ),
+    piv AS (SELECT qdoc, doc, {piv} FROM cos GROUP BY qdoc, doc)
+    SELECT qdoc, doc, score, rnk FROM (
+      SELECT qdoc, doc, {ssum} AS score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qdoc
+                                     ORDER BY {ssum} DESC, doc ASC) AS BIGINT) AS rnk
+      FROM piv
+    ) r WHERE rnk <= {k}
+    """
+
+
+@register(
+    "late_interaction_maxsim_pruned",
+    oracle=_maxsim_pruned_oracle(),
+    tags=("pipeline-r11", "similarity", "retrieval", "late-interaction", "ann"),
+    bench=True,
+)
+def late_interaction_maxsim_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ColBERT SERVING shape: token-grain ANN probe -> exact MaxSim
+    over the candidates only. Each query's first 2 tokens probe their 2
+    nearest IVF cells (the saved deterministic-medoid index ann_ivf*
+    serve from); candidate documents are those with ANY token assigned
+    to a probed cell; exact MaxSim then scores only (query, candidate)
+    pairs — the same restrict-then-rerank composition as ivfpq_rerank,
+    which is what makes late interaction affordable at 100 TB (the full
+    form scans |Q_tokens| x corpus-tokens; this scans the corpus token
+    table once for assignment reuse and MaxSims an
+    O(candidates) subset). A finer fold than the exhaustive sibling
+    (100 docs x 5 token positions) keeps the probe selective at
+    sf0.01 — candidates average well under the corpus, pinned in
+    tests/test_similarity.py along with recall-vs-full overlap."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        ensure_ivf_medoid_index,
+    )
+    from funnel_report_etl_pipeline__spark.operators.similarity import (
+        _nearest_medoid_cells,
+        maxsim_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf_dir = os.path.join(_index_root(sf_dir), "ivf16")
+    ensure_ivf_medoid_index(emb, ivf_dir, n_cells=16)
+    med = spark.read.parquet(os.path.join(ivf_dir, "cells.parquet"))
+    assign = spark.read.parquet(os.path.join(ivf_dir, "assignments.parquet"))
+
+    toks = emb.select(
+        F.col("vec_id"),
+        (F.col("vec_id") % 100).alias("doc"),
+        F.floor(F.col("vec_id") / 100).alias("tp"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    # corpus side: token -> assigned cell (REUSED from the saved index —
+    # the probe adds no corpus-side compute), distinct per doc
+    doc_cells = (
+        assign.join(toks.select(F.col("vec_id").alias("cid"), "doc"), "cid")
+        .select("doc", "cell")
+        .distinct()
+    )
+    # query side: first t_probe tokens probe their n_probe nearest cells
+    probe_toks = toks.filter((F.col("doc") < 5) & (F.col("tp") < 2)).select(
+        "vec_id", "doc", F.col("v").alias("__v")
+    )
+    q_cells = (
+        _nearest_medoid_cells(probe_toks, med.select("cell", "mv"), "vec_id", 2)
+        .join(probe_toks.select("vec_id", "doc"), "vec_id")
+        .select(F.col("doc").alias("qdoc"), "cell")
+        .distinct()
+    )
+    cand = (
+        q_cells.join(doc_cells, "cell")
+        .filter(F.col("qdoc") != F.col("doc"))
+        .select("qdoc", "doc")
+        .distinct()
+    )
+    qtoks = toks.filter((F.col("doc") < 5) & (F.col("tp") < 5)).select(
+        F.col("doc").alias("qdoc"), F.col("tp").alias("qtp"), F.col("v").alias("qv")
+    )
+    corpus_toks = toks.select("doc", "tp", "v")
+    return maxsim_topk(corpus_toks, qtoks, n_query_tokens=5, k=3, candidates=cand)

@@ -138,7 +138,9 @@ _WINDOW: tuple[str, ...] = (
     "table_profile_orders",
     "asof_join_forward",
     "asof_join_nearest",
-    "equidepth_price_histogram",
+    # (r9-rotation keeper equidepth_price_histogram rotated out in
+    # round 11 — external rows r09+r10; its _approx twin keeps the
+    # family's history — its slot goes to late_interaction_maxsim_pruned)
     # (r9-rotation keeper window_dist_funcs rotated out in round 11 —
     # external rows r09+r10; the window family keeps external presence
     # via window_rank/range_window_frame history — its slot goes to
@@ -209,6 +211,10 @@ _WINDOW: tuple[str, ...] = (
     # window_dist_funcs, external rows r09+r10)
     "versioned_compact_audit",
     "late_interaction_maxsim",
+    # the ColBERT serving shape: token-grain IVF probe -> exact MaxSim
+    # over candidates only (displaces r9-rotation keeper
+    # equidepth_price_histogram, external rows r09+r10)
+    "late_interaction_maxsim_pruned",
 )
 
 

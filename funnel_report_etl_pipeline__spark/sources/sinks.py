@@ -966,3 +966,27 @@ def compact_versioned(
         _pre_commit_hook,
         expect_latest=int(head["version"]),
     )
+
+
+def maybe_compact_versioned(
+    spark: SparkSession, table_dir: str, id_col: str, max_chain: int = 8
+) -> int | None:
+    """Compaction POLICY: compact only when the head's assembly chain
+    exceeds ``max_chain`` data directories — the knob that keeps a
+    stream-ingested table's read cost bounded without paying a full
+    rewrite per micro-batch (rewrite amortizes to O(snapshot/max_chain)
+    bytes per ingested byte). Loses gracefully: a concurrent commit
+    mid-compaction aborts (ConcurrentCommit) and returns None — the
+    NEXT call re-checks the now-longer chain, so compaction is retried
+    on the following trigger rather than fought over. Returns the
+    committed version or None (chain short enough / lost the race)."""
+    rows = _manifest_rows(spark, table_dir) if table_versions(spark, table_dir) else []
+    if not rows:
+        return None
+    head = max(r["version"] for r in rows)
+    if len(_data_dirs_for(table_dir, rows, head)) <= max_chain:
+        return None
+    try:
+        return compact_versioned(spark, table_dir, id_col)
+    except ConcurrentCommit:
+        return None

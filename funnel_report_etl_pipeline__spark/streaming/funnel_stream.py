@@ -429,6 +429,7 @@ def write_stream_versioned(
     id_col: str,
     query_name: str = "versioned_sink",
     trigger: dict | None = None,
+    auto_compact_chain: int | None = None,
 ):
     """Streaming ingestion into a VERSIONED table (sources/sinks.py):
     each micro-batch commits one version whose manifest carries the
@@ -452,9 +453,25 @@ def write_stream_versioned(
     full-snapshot rewrite the round-10 advice flagged); the manifest
     still records snapshot-grain n_rows/checksum incrementally, so the
     ledger stays monotone and `read_versioned` assembles the full
-    snapshot from the delta chain (pinned in tests)."""
+    snapshot from the delta chain (pinned in tests).
+
+    ``auto_compact_chain`` bounds the read-side chain: after each commit,
+    if the head assembles more than that many data directories, the sink
+    compacts (sources/sinks.py ``maybe_compact_versioned`` — OPTIMIZE as
+    a policy, rewrite amortized to O(snapshot/max_chain) bytes per
+    ingested byte). The compacted version is a normal snapshot commit
+    with a NULL batch_id, so the exactly-once ledger (delta commits'
+    batch ids) is untouched and replays are still recognized."""
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        commit_stream_batch(batch_df, table_dir, id_col, batch_id)
+        committed = commit_stream_batch(batch_df, table_dir, id_col, batch_id)
+        if committed and auto_compact_chain is not None:
+            from funnel_report_etl_pipeline__spark.sources.sinks import (
+                maybe_compact_versioned,
+            )
+
+            maybe_compact_versioned(
+                batch_df.sparkSession, table_dir, id_col, auto_compact_chain
+            )
 
     return (
         stream.writeStream.foreachBatch(_commit)

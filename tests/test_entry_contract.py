@@ -57,11 +57,12 @@ def test_driver_window_composition_pinned():
     # modality_mixture_stats and window_dist_funcs (each holds committed
     # external rows r09+r10, so they may sit outside per the standing
     # budget contract below)
-    assert window[-4:] == [
+    assert window[-5:] == [
         "versioned_vacuum_audit",
         "ann_ivfpq_residual",
         "versioned_compact_audit",
         "late_interaction_maxsim",
+        "late_interaction_maxsim_pruned",
     ]
     specs = load_all()
     parity = [n for n, s in specs.items() if s.fn.__module__.endswith(".parity")]
@@ -89,10 +90,13 @@ def test_driver_window_composition_pinned():
         "equidepth_price_histogram", "window_dist_funcs",
         "grouping_sets_mixed",
     }
-    # window_dist_funcs earned external rows in r09/r10 and rotated out
-    # in round 11 (its slot went to late_interaction_maxsim); the rest
-    # of the r9 rotation still holds its window seats
-    assert (rotated_in_r9 - {"window_dist_funcs"}) <= set(window)
+    # window_dist_funcs and equidepth_price_histogram earned external
+    # rows in r09/r10 and rotated out in round 11 (their slots went to
+    # late_interaction_maxsim / _pruned); the rest of the r9 rotation
+    # still holds its window seats
+    assert (
+        rotated_in_r9 - {"window_dist_funcs", "equidepth_price_histogram"}
+    ) <= set(window)
     import json
     from pathlib import Path
 

@@ -398,6 +398,10 @@ WINDOW_SHUFFLE_BUDGET = {
     # one (qdoc,doc) grouped agg with map-side combine + the per-qdoc
     # top-k window re-partition; queries broadcast, corpus scanned once
     "late_interaction_maxsim": 2,
+    # probe-side distincts ((doc,cell)/(qdoc,cell)/candidate pairs — id
+    # grain, never payloads) + the probe-token window + the MaxSim pivot
+    # agg + top-k window; candidates and query tokens broadcast
+    "late_interaction_maxsim_pruned": 8,
 }
 
 

@@ -373,3 +373,74 @@ def test_maxsim_short_query_sums_existing_tokens_only(spark):
     q = toks.filter("doc = 0").selectExpr("doc as qdoc", "tp as qtp", "v as qv")
     out = {r["doc"]: r["score"] for r in maxsim_topk(toks, q, n_query_tokens=4, k=2).collect()}
     assert out[1] == 1.0 and out[2] == 0.0
+
+
+def test_maxsim_pruned_is_selective_and_recalls_full(spark):
+    """The candidate probe must actually prune (a probe that admits every
+    doc is a zero-signal composition) while keeping high overlap with
+    the exhaustive MaxSim top-3 — the restrict-then-rerank contract."""
+    from funnel_report_etl_pipeline__spark.plans.registry import load_all
+
+    specs = load_all()
+    sf = "/root/testdata/sf0.01"
+    pruned = {
+        (r["qdoc"], r["doc"])
+        for r in specs["late_interaction_maxsim_pruned"].fn(spark, sf).collect()
+    }
+    assert len(pruned) == 15  # 5 queries x top-3
+    # selectivity: recompute the candidate count the query's probe admits
+    import os
+
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        ensure_ivf_medoid_index,
+    )
+    from funnel_report_etl_pipeline__spark.operators.similarity import (
+        _nearest_medoid_cells,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    base = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/spark_graft_ann")
+    ivf_dir = os.path.join(base, "sf0.01", "ivf16")
+    ensure_ivf_medoid_index(emb, ivf_dir, n_cells=16)
+    med = spark.read.parquet(os.path.join(ivf_dir, "cells.parquet"))
+    assign = spark.read.parquet(os.path.join(ivf_dir, "assignments.parquet"))
+    toks = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 100).alias("doc"),
+        F.floor(F.col("vec_id") / 100).alias("tp"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    doc_cells = (
+        assign.join(toks.select(F.col("vec_id").alias("cid"), "doc"), "cid")
+        .select("doc", "cell").distinct()
+    )
+    probe_toks = toks.filter("doc < 5 AND tp < 2").select(
+        "vec_id", "doc", F.col("v").alias("__v")
+    )
+    q_cells = (
+        _nearest_medoid_cells(probe_toks, med.select("cell", "mv"), "vec_id", 2)
+        .join(probe_toks.select("vec_id", "doc"), "vec_id")
+        .select(F.col("doc").alias("qdoc"), "cell").distinct()
+    )
+    cand = (
+        q_cells.join(doc_cells, "cell")
+        .filter("qdoc != doc").select("qdoc", "doc").distinct()
+    )
+    n_docs = toks.select("doc").distinct().count()
+    per_q = cand.groupBy("qdoc").count().collect()
+    assert all(r["count"] < n_docs - 1 for r in per_q), "probe admitted everything"
+    # recall vs the exhaustive form over the same fold
+    from funnel_report_etl_pipeline__spark.operators.similarity import maxsim_topk
+
+    qtoks = toks.filter("doc < 5 AND tp < 5").selectExpr(
+        "doc as qdoc", "tp as qtp", "v as qv"
+    )
+    full = {
+        (r["qdoc"], r["doc"])
+        for r in maxsim_topk(
+            toks.select("doc", "tp", "v"), qtoks, n_query_tokens=5, k=3
+        ).collect()
+    }
+    overlap = len(pruned & full) / len(full)
+    assert overlap >= 0.8, f"pruned recall@3 {overlap} vs full"

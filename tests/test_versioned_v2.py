@@ -515,3 +515,41 @@ def test_compact_conflict_aborts_when_writer_interleaves(spark, tmp_path):
     victims = vacuum_versioned(spark, t, 0.0)
     assert len(victims) == 1 and victims[0].startswith("d-")
     assert read_versioned(spark, t).count() == 12
+
+
+def test_auto_compaction_bounds_the_stream_read_chain(spark, tmp_path):
+    """Streaming ingest with auto_compact_chain: the head's assembly
+    chain stays bounded across many micro-batches, contents and the
+    exactly-once ledger are untouched, and every version (delta and
+    compacted snapshot) stays time-travel-readable."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        _data_dirs_for,
+        _manifest_rows,
+        maybe_compact_versioned,
+    )
+    from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+        commit_stream_batch,
+    )
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    max_chain = 3
+    for b in range(8):
+        committed = commit_stream_batch(
+            docs.filter(f"doc_id % 8 = {b}"), t, "doc_id", batch_id=b
+        )
+        assert committed is True
+        maybe_compact_versioned(spark, t, "doc_id", max_chain)
+        rows = _manifest_rows(spark, t)
+        head = max(r["version"] for r in rows)
+        assert len(_data_dirs_for(t, rows, head)) <= max_chain + 1
+    # contents: all 8 batches present exactly once
+    n_docs = docs.count()
+    assert read_versioned(spark, t).count() == n_docs
+    # ledger intact: a replay of any batch is still recognized
+    assert commit_stream_batch(docs.filter("doc_id % 8 = 3"), t, "doc_id", 3) is False
+    # compacted snapshots interleave with deltas; history stays readable
+    m = version_manifest(spark, t).orderBy("version").collect()
+    kinds = [r["kind"] for r in m]
+    assert "snapshot" in kinds[1:] and "delta" in kinds
+    assert read_versioned(spark, t, m[3]["version"]).count() > 0
