@@ -116,6 +116,72 @@ def probe_maxsim(spark, mult: int) -> dict:
     }
 
 
+def probe_maxsim_pruned(spark, mult: int) -> dict:
+    """Pruned (IVF-probed candidates) vs exhaustive MaxSim at the same
+    scale: the claim is the pruned form's scored-pair count — and past
+    the fixed probe cost, its wall — stays a fraction of exhaustive."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        ensure_ivf_medoid_index,
+    )
+    from funnel_report_etl_pipeline__spark.operators.similarity import (
+        _nearest_medoid_cells,
+    )
+
+    n_docs = 500 * mult
+    flat = synth_vectors(spark, n_docs * 10)
+    toks = flat.select(
+        "vec_id",
+        (F.col("vec_id") % n_docs).alias("doc"),
+        F.floor(F.col("vec_id") / n_docs).alias("tp"),
+        F.col("embedding").alias("v"),
+    )
+    qtoks = toks.filter("doc < 5 AND tp < 10").selectExpr(
+        "doc as qdoc", "tp as qtp", "v as qv"
+    )
+    root = tempfile.mkdtemp(prefix="r11_maxsim_probe_")
+    try:
+        ivf_dir = f"{root}/ivf"
+        # more cells at scale, as production would tune (selectivity is
+        # the whole point of the probe)
+        n_cells = 64
+        ensure_ivf_medoid_index(flat, ivf_dir, n_cells=n_cells, vec_col="embedding")
+        med = spark.read.parquet(f"{ivf_dir}/cells.parquet")
+        assign = spark.read.parquet(f"{ivf_dir}/assignments.parquet")
+        doc_cells = (
+            assign.join(toks.select(F.col("vec_id").alias("cid"), "doc"), "cid")
+            .select("doc", "cell").distinct()
+        )
+        probe_toks = toks.filter("doc < 5 AND tp < 2").select(
+            "vec_id", "doc", F.col("v").alias("__v")
+        )
+        q_cells = (
+            _nearest_medoid_cells(probe_toks, med.select("cell", "mv"), "vec_id", 2)
+            .join(probe_toks.select("vec_id", "doc"), "vec_id")
+            .select(F.col("doc").alias("qdoc"), "cell").distinct()
+        )
+        cand = (
+            q_cells.join(doc_cells, "cell")
+            .filter("qdoc != doc").select("qdoc", "doc").distinct()
+        )
+        n_cand = cand.count()
+        t0 = time.monotonic()
+        rows = maxsim_topk(
+            toks.select("doc", "tp", "v"), qtoks, n_query_tokens=10, k=3,
+            candidates=cand,
+        ).collect()
+        return {
+            "probe": "maxsim_pruned",
+            "scale": mult,
+            "n_docs": n_docs,
+            "n_candidate_pairs": n_cand,
+            "exhaustive_pairs": 5 * (n_docs - 1),
+            "wall_s": round(time.monotonic() - t0, 3),
+            "rows": len(rows),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_residual_serve(spark, mult: int) -> dict:
     n = 5_000 * mult
     corpus = synth_vectors(spark, n)
@@ -149,7 +215,12 @@ def main() -> int:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     for mult in scales:
-        for fn in (probe_compaction, probe_maxsim, probe_residual_serve):
+        for fn in (
+            probe_compaction,
+            probe_maxsim,
+            probe_maxsim_pruned,
+            probe_residual_serve,
+        ):
             print(json.dumps(fn(spark, mult)), flush=True)
     return 0
 
