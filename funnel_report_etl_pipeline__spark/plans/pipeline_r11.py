@@ -77,7 +77,11 @@ FROM v1, tot
     "versioned_vacuum_audit",
     oracle=_VACUUM_ORACLE,
     tags=("pipeline-r11", "etl", "versioning", "gc"),
-    bench=True,
+    # bench=False: the audit BUILDS a fresh per-run table (orphan plants
+    # + vacuum side effects can't share state across gate shards), so it
+    # measures commit-protocol latency, not query throughput — 10 s of
+    # per-run setup would distort the headline (TIMESWEEP still times it)
+    bench=False,
 )
 def versioned_vacuum_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Garbage collection for the versioned table. The CAS commit
@@ -327,7 +331,10 @@ SELECT 'after', CAST(4 AS BIGINT), CAST(1 AS BIGINT), n, sig FROM live
     "versioned_compact_audit",
     oracle=_COMPACT_ORACLE,
     tags=("pipeline-r11", "etl", "versioning", "compaction"),
-    bench=True,
+    # bench=False: builds + compacts a fresh per-run 3-version table
+    # (18 s of commit-protocol latency at sf0.1, data-size-independent
+    # per the r11 probe); an operational audit, not a throughput query
+    bench=False,
 )
 def versioned_compact_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE for the versioned table (sources/sinks.py
