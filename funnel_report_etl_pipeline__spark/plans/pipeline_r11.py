@@ -626,3 +626,157 @@ def late_interaction_maxsim_pruned_q(spark: SparkSession, sf_dir: str) -> DataFr
     )
     corpus_toks = toks.select("doc", "tp", "v")
     return maxsim_topk(corpus_toks, qtoks, n_query_tokens=5, k=3, candidates=cand)
+
+
+# ---------------------------------------------------------------------------
+# Tri-modal retrieval fusion: lexical + dense + late-interaction via RRF
+# ---------------------------------------------------------------------------
+
+_TRIMODAL_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+f AS (
+  SELECT doc_id, len(list_filter(toks, x -> x = 'table')) AS tf FROM t
+),
+lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM f WHERE tf > 0
+),
+q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT vec_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY
+           list_sum(list_transform(range(1, 65),
+             i -> CAST(embedding[i] AS DOUBLE) * qv[i])) DESC,
+           vec_id) AS BIGINT) AS sem_rank
+  FROM embeddings, q WHERE vec_id <> 0
+),
+qt AS (
+  SELECT CAST(CASE vec_id WHEN 0 THEN 0 WHEN 100 THEN 1 ELSE 2 END AS BIGINT)
+           AS qtp,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id IN (0, 100, 200)
+),
+li_cos AS (
+  SELECT e.vec_id AS doc_id, qt.qtp,
+         list_dot_product(qt.qv, list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+           / (sqrt(list_dot_product(qt.qv, qt.qv))
+              * sqrt(list_dot_product(
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)))))
+           AS s
+  FROM embeddings e, qt WHERE e.vec_id <> 0
+),
+li_piv AS (
+  SELECT doc_id,
+         MAX(CASE WHEN qtp = 0 THEN s END) AS m0,
+         MAX(CASE WHEN qtp = 1 THEN s END) AS m1,
+         MAX(CASE WHEN qtp = 2 THEN s END) AS m2
+  FROM li_cos GROUP BY doc_id
+),
+li AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY
+           ((COALESCE(m0, 0.0)+COALESCE(m1, 0.0))+COALESCE(m2, 0.0)) DESC,
+           doc_id) AS BIGINT) AS li_rank
+  FROM li_piv
+)
+SELECT doc_id, lex_rank, sem_rank, li_rank, rrf_score, rnk FROM (
+  SELECT COALESCE(lex.doc_id, sem.doc_id, li.doc_id) AS doc_id,
+         lex.lex_rank, sem.sem_rank, li.li_rank,
+         (((1.0 / (60.0 + CAST(COALESCE(lex_rank, 1000) AS DOUBLE)))
+           + (1.0 / (60.0 + CAST(COALESCE(sem_rank, 1000) AS DOUBLE))))
+          + (1.0 / (60.0 + CAST(COALESCE(li_rank, 1000) AS DOUBLE))))
+           AS rrf_score,
+         CAST(ROW_NUMBER() OVER (ORDER BY
+           (((1.0 / (60.0 + CAST(COALESCE(lex_rank, 1000) AS DOUBLE)))
+             + (1.0 / (60.0 + CAST(COALESCE(sem_rank, 1000) AS DOUBLE))))
+            + (1.0 / (60.0 + CAST(COALESCE(li_rank, 1000) AS DOUBLE)))) DESC,
+           COALESCE(lex.doc_id, sem.doc_id, li.doc_id)) AS BIGINT) AS rnk
+  FROM lex
+  FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+  FULL OUTER JOIN li ON COALESCE(lex.doc_id, sem.doc_id) = li.doc_id
+) r WHERE rnk <= 20
+"""
+
+
+@register(
+    "rrf_trimodal_fusion",
+    oracle=_TRIMODAL_ORACLE,
+    tags=("pipeline-r11", "retrieval", "similarity", "late-interaction"),
+    bench=True,
+)
+def rrf_trimodal_fusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retrieval stack fused: lexical (term frequency), dense
+    single-vector (dot with query vector 0) and LATE-INTERACTION (MaxSim
+    of a 3-aspect multi-vector query — vec 0/100/200 as the query's
+    token vectors — against single-vector docs, the multi-aspect query
+    special case of `maxsim_topk`) combined by reciprocal-rank fusion:
+    rrf = Σ 1/(60 + rank) over the three arms, absent rankings imputed
+    rank 1000. RRF needs only RANKS, which is exactly why a third
+    modality slots in without score calibration — the argument for it
+    as the standard hybrid combiner. Ranks ride integer sort keys over
+    engine-exact cosines/tf; the fused score is a fixed-order
+    three-term sum; fusion itself is two id-grain full-outer joins +
+    one TakeOrdered. Reuses `rrf_scored_lists` (pipeline_r5) for the
+    first two arms, so all three fusion queries rank identically where
+    they overlap."""
+    from funnel_report_etl_pipeline__spark.operators.similarity import maxsim_topk
+    from funnel_report_etl_pipeline__spark.plans.pipeline_r5 import rrf_scored_lists
+    from pyspark.sql import Window
+
+    lex_scored, sem_scored = rrf_scored_lists(spark, sf_dir)
+    lex = lex_scored.withColumn(
+        "lex_rank",
+        F.row_number().over(Window.orderBy(F.col("tf").desc(), "doc_id")).cast("long"),
+    ).select("doc_id", "lex_rank")
+    sem = sem_scored.withColumn(
+        "sem_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("__dot").desc(), "doc_id"))
+        .cast("long"),
+    ).select("doc_id", "sem_rank")
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus_toks = emb.select(
+        F.col("vec_id").alias("doc"),
+        F.lit(0).cast("long").alias("tp"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    qtoks = emb.filter(F.col("vec_id").isin(0, 100, 200)).select(
+        F.lit(0).cast("long").alias("qdoc"),
+        F.when(F.col("vec_id") == 0, 0)
+        .when(F.col("vec_id") == 100, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("qtp"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    li = (
+        maxsim_topk(corpus_toks, qtoks, n_query_tokens=3, k=1_000_000)
+        .select(F.col("doc").alias("doc_id"), F.col("rnk").alias("li_rank"))
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer").join(li, "doc_id", "full_outer")
+    score = (
+        (
+            F.lit(1.0)
+            / (F.lit(60.0) + F.coalesce(F.col("lex_rank"), F.lit(1000)).cast("double"))
+        )
+        + (
+            F.lit(1.0)
+            / (F.lit(60.0) + F.coalesce(F.col("sem_rank"), F.lit(1000)).cast("double"))
+        )
+    ) + (
+        F.lit(1.0)
+        / (F.lit(60.0) + F.coalesce(F.col("li_rank"), F.lit(1000)).cast("double"))
+    )
+    wr = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        fused.select(
+            "doc_id", "lex_rank", "sem_rank", "li_rank", score.alias("rrf_score")
+        )
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 20)
+    )

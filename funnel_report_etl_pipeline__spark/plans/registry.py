@@ -137,7 +137,9 @@ _WINDOW: tuple[str, ...] = (
     # relational / profiling:
     "table_profile_orders",
     "asof_join_forward",
-    "asof_join_nearest",
+    # (r9-rotation keeper asof_join_nearest rotated out in round 11 —
+    # external rows r09+r10; asof_join_forward keeps the family's seat —
+    # its slot goes to rrf_trimodal_fusion)
     # (r9-rotation keeper equidepth_price_histogram rotated out in
     # round 11 — external rows r09+r10; its _approx twin keeps the
     # family's history — its slot goes to late_interaction_maxsim_pruned)
@@ -215,6 +217,10 @@ _WINDOW: tuple[str, ...] = (
     # over candidates only (displaces r9-rotation keeper
     # equidepth_price_histogram, external rows r09+r10)
     "late_interaction_maxsim_pruned",
+    # the full retrieval stack fused: lexical + dense + late-interaction
+    # via RRF (displaces r9-rotation keeper asof_join_nearest, external
+    # rows r09+r10)
+    "rrf_trimodal_fusion",
 )
 
 

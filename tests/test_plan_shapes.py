@@ -402,6 +402,11 @@ WINDOW_SHUFFLE_BUDGET = {
     # grain, never payloads) + the probe-token window + the MaxSim pivot
     # agg + top-k window; candidates and query tokens broadcast
     "late_interaction_maxsim_pruned": 8,
+    # three arm aggregations (lex tf agg, MaxSim pivot) + the id-grain
+    # full-outer fusion joins; each arm's full ranking is a deliberate
+    # global window (the exact form — rrf_fusion_topk is the
+    # TakeOrdered-capped scale path, same as the hybrid pair)
+    "rrf_trimodal_fusion": 5,
 }
 
 

@@ -444,3 +444,26 @@ def test_maxsim_pruned_is_selective_and_recalls_full(spark):
     }
     overlap = len(pruned & full) / len(full)
     assert overlap >= 0.8, f"pruned recall@3 {overlap} vs full"
+
+
+def test_trimodal_fusion_arm_ranks_consistent_with_hybrid(spark):
+    """The tri-modal fusion reuses the hybrid pair's scored lists, so the
+    lexical and semantic RANKS must be identical wherever a doc appears
+    in both queries' outputs — adding a third modality must not perturb
+    the existing arms (the rank-only property RRF is chosen for)."""
+    from funnel_report_etl_pipeline__spark.plans.registry import load_all
+
+    specs = load_all()
+    sf = "/root/testdata/sf0.01"
+    tri = {
+        r["doc_id"]: (r["lex_rank"], r["sem_rank"])
+        for r in specs["rrf_trimodal_fusion"].fn(spark, sf).collect()
+    }
+    hyb = {
+        r["doc_id"]: (r["lex_rank"], r["sem_rank"])
+        for r in specs["rrf_hybrid_fusion"].fn(spark, sf).collect()
+    }
+    shared = set(tri) & set(hyb)
+    assert shared, "fusion outputs share no documents — zero-signal check"
+    for d in shared:
+        assert tri[d] == hyb[d], f"arm ranks diverged for doc {d}"
