@@ -990,3 +990,26 @@ def maybe_compact_versioned(
         return compact_versioned(spark, table_dir, id_col)
     except ConcurrentCommit:
         return None
+
+
+def read_versioned_as_of_batch(
+    spark: SparkSession, table_dir: str, batch_id: int
+) -> DataFrame:
+    """Time travel addressed by the STREAM's coordinate system: the table
+    as of the commit that ingested micro-batch ``batch_id`` (stream
+    consumers reason in batch ids; version numbers are the table's
+    internal clock). Resolves through the exactly-once ledger column the
+    streaming sink stamps; raises if no commit carries the batch id —
+    an uncommitted (replayed-away or never-ingested) batch is not a
+    readable point in time."""
+    m = version_manifest(spark, table_dir)
+    if "batch_id" not in m.columns:
+        raise FileNotFoundError(
+            f"versioned table {table_dir} has no batch_id ledger column"
+        )
+    rows = m.filter(F.col("batch_id") == int(batch_id)).select("version").collect()
+    if not rows:
+        raise FileNotFoundError(
+            f"no committed version carries batch_id={batch_id} in {table_dir}"
+        )
+    return read_versioned(spark, table_dir, int(rows[0]["version"]))

@@ -553,3 +553,21 @@ def test_auto_compaction_bounds_the_stream_read_chain(spark, tmp_path):
     kinds = [r["kind"] for r in m]
     assert "snapshot" in kinds[1:] and "delta" in kinds
     assert read_versioned(spark, t, m[3]["version"]).count() > 0
+
+
+def test_read_as_of_batch_resolves_through_the_ledger(spark, tmp_path):
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        read_versioned_as_of_batch,
+    )
+
+    for b in range(3):
+        commit_stream_batch(docs.filter(f"doc_id % 3 = {b}"), t, "doc_id", batch_id=b)
+    n0 = docs.filter("doc_id % 3 = 0").count()
+    n01 = docs.filter("doc_id % 3 IN (0, 1)").count()
+    assert read_versioned_as_of_batch(spark, t, 0).count() == n0
+    assert read_versioned_as_of_batch(spark, t, 1).count() == n01
+    assert read_versioned_as_of_batch(spark, t, 2).count() == docs.count()
+    with pytest.raises(FileNotFoundError, match="batch_id=9"):
+        read_versioned_as_of_batch(spark, t, 9)

@@ -794,7 +794,7 @@ def main() -> int:
             and mx == n - 1  # no gaps: every produced row exactly once
             and n > pre_rows  # the restart also made forward progress
         )
-        return {
+        res = {
             "rows_match": n == d,
             "schema_match": mn == 0 and mx == n - 1,
             "hash_match": ok,
@@ -805,6 +805,18 @@ def main() -> int:
             "commits_after_restart": len(cs),
             "pre_crash_committed_rows": pre_rows,
         }
+        if not ok:
+            # self-describing flake record (the r10 lesson): which leg of
+            # the conjunction failed, and where the id range sits
+            res["diag"] = {
+                "replayed": replayed,
+                "contiguous_commits": contiguous_commits,
+                "id_min": mn,
+                "id_max": mx,
+                "n_ids": n,
+                "n_distinct": d,
+            }
+        return res
 
     # 11. stream-STATIC enrichment join — each user's acquisition channel
     #     (their chronologically first event type, tie-broken by event_id)
@@ -889,11 +901,58 @@ def main() -> int:
         )
         return _canon_ok(s, b)
 
+    # 13. versioned INGEST sink with auto-compaction — the real
+    #     writeStream path: each micro-batch delta-commits one version
+    #     (exactly-once ledger), and the sink compacts whenever the head
+    #     chain exceeds 2 dirs. Batch twin: the same rows read directly.
+    #     Hash parity proves compaction is layout-only under live ingest;
+    #     the chain-length assertion proves it actually ran.
+    def _versioned_ingest():
+        from funnel_report_etl_pipeline__spark.sources.sinks import (
+            _data_dirs_for,
+            _manifest_rows,
+            read_versioned,
+            version_manifest,
+        )
+        from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+            write_stream_versioned,
+        )
+
+        t = f"{tmp}/ingest_table"
+        q = write_stream_versioned(
+            stream_src().select("event_id", "user_id", "event_type"),
+            t,
+            f"{tmp}/ingest_ckpt",
+            id_col="event_id",
+            query_name="ss_versioned_ingest",
+            auto_compact_chain=2,
+        )
+        q.awaitTermination()
+        rows = _manifest_rows(spark, t)
+        head = max(r["version"] for r in rows)
+        chain = len(_data_dirs_for(t, rows, head))
+        kinds = [r["kind"] for r in sorted(rows, key=lambda r: r["version"])]
+        s = read_versioned(spark, t).toPandas()
+        b = ev.select("event_id", "user_id", "event_type").toPandas()
+        res = _canon_ok(s, b)
+        res["head_chain_dirs"] = chain
+        res["n_versions"] = len(rows)
+        res["n_compactions"] = sum(
+            1 for r in rows if r["kind"] == "snapshot" and r["batch_id"] is None
+        )
+        # the policy must have fired AND bounded the head chain
+        res["hash_match"] = bool(
+            res["hash_match"] and chain <= 3 and res["n_compactions"] >= 1
+            and kinds[0] == "delta"
+        )
+        return res
+
     run("idempotent_parquet_sink", _sink)
     run("late_data_drop", _late)
     run("view_purchase_attribution_outer", _attrib_outer)
     run("enrich_stream", _enrich)
     run("versioned_cdf_stream", _cdf)
+    run("versioned_ingest_compacting", _versioned_ingest)
     run("restart_replay", _restart)
 
     n_pass = sum(1 for r in results.values() if r.get("hash_match"))
