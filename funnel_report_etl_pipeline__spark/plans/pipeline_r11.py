@@ -780,3 +780,91 @@ def rrf_trimodal_fusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deletes: merge-on-read row-level DELETE, value-hashed end to end
+# ---------------------------------------------------------------------------
+
+_TOMBSTONE_ORACLE = """
+WITH k AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM documents
+),
+v1 AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(h) AS BIGINT) s
+       FROM k WHERE doc_id % 3 IN (0, 1)),
+v2 AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(h) AS BIGINT) s FROM k),
+v3 AS (SELECT CAST(COUNT(*) AS BIGINT) n, CAST(SUM(h) AS BIGINT) s
+       FROM k WHERE doc_id % 6 <> 0)
+SELECT CAST(1 AS BIGINT) AS version, 'snapshot' AS kind,
+       v1.n AS n_rows, v1.s AS content_checksum, v1.n AS live_rows FROM v1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'delta', v2.n, v2.s, v2.n FROM v2
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'tombstone', v3.n, v3.s, v3.n FROM v3
+"""
+
+
+@register(
+    "versioned_tombstone_audit",
+    oracle=_TOMBSTONE_ORACLE,
+    tags=("pipeline-r11", "etl", "versioning", "delete"),
+    # bench=False like the sibling audits: builds a fresh per-run table
+    # (side-effectful), measuring commit latency rather than throughput
+    bench=False,
+)
+def versioned_tombstone_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE for the versioned table (sources/sinks.py
+    ``delete_versioned``): ids to remove are committed as a TOMBSTONE
+    directory (one self-describing id column) and readers anti-join them
+    out — merge-on-read, O(deleted) bytes per delete where the
+    append-only protocol needed a full snapshot recommit. The audit
+    builds snapshot → delta → tombstone (deleting doc_id % 6 = 0, a
+    subset straddling both earlier commits) in a per-run temp dir and
+    value-hashes the WHOLE history's bookkeeping: per version, the
+    manifest's (kind, n_rows, content_checksum) AND the read path's
+    live row count — corpus-derived, so the hash proves the manifest
+    stats decrement by exactly the removed rows and time travel still
+    reconstructs every pre-delete state. Intersection-only semantics,
+    the no-op rail, conflict-abort, and compaction squashing tombstones
+    are pinned in tests/test_versioned_v2.py."""
+    import shutil
+    import tempfile
+
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        append_versioned,
+        delete_versioned,
+        read_versioned,
+        version_manifest,
+        write_versioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = tempfile.mkdtemp(prefix="spark_graft_tombstone_audit_")
+    try:
+        write_versioned(docs.filter(F.col("doc_id") % 3 < 2), table, id_col="doc_id")
+        append_versioned(
+            docs.filter(F.col("doc_id") % 3 == 2), table, id_col="doc_id"
+        )
+        delete_versioned(
+            spark,
+            table,
+            docs.filter(F.col("doc_id") % 6 == 0).select("doc_id"),
+            id_col="doc_id",
+        )
+        m = version_manifest(spark, table).orderBy("version").collect()
+        out = []
+        for r in m:
+            live = read_versioned(spark, table, int(r["version"])).count()
+            out.append(
+                (int(r["version"]), r["kind"], int(r["n_rows"]),
+                 int(r["content_checksum"]), live)
+            )
+        return spark.createDataFrame(
+            out,
+            "version long, kind string, n_rows long, content_checksum long, "
+            "live_rows long",
+        )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)

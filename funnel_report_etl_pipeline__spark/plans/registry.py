@@ -135,7 +135,9 @@ _WINDOW: tuple[str, ...] = (
     "community_modularity",
     "two_hop_reach",
     # relational / profiling:
-    "table_profile_orders",
+    # (r9-rotation keeper table_profile_orders rotated out in round 11 —
+    # external rows r09+r10; column_stats_orders keeps the profiling
+    # family's history — its slot goes to versioned_tombstone_audit)
     "asof_join_forward",
     # (r9-rotation keeper asof_join_nearest rotated out in round 11 —
     # external rows r09+r10; asof_join_forward keeps the family's seat —
@@ -221,6 +223,9 @@ _WINDOW: tuple[str, ...] = (
     # via RRF (displaces r9-rotation keeper asof_join_nearest, external
     # rows r09+r10)
     "rrf_trimodal_fusion",
+    # merge-on-read row-level DELETE (tombstone commits; displaces
+    # r9-rotation keeper table_profile_orders, external rows r09+r10)
+    "versioned_tombstone_audit",
 )
 
 

@@ -578,7 +578,7 @@ def _cas_commit_manifest(
             )
         n = (committed[-1] + 1) if committed else 1
         prev = None
-        if committed and kind == "delta":
+        if committed and kind in ("delta", "tombstone"):
             prev = (
                 spark.read.option("mergeSchema", "true")
                 .parquet(os.path.join(vdir, f"{committed[-1]}.parquet"))
@@ -752,10 +752,15 @@ def _manifest_rows(spark: SparkSession, table_dir: str) -> list:
     return version_manifest(spark, table_dir).orderBy("version").collect()
 
 
-def _data_dirs_for(table_dir: str, rows: list, v: int) -> list[str]:
-    """Absolute data directories whose union IS snapshot ``v``: the
-    latest snapshot-kind version ≤ v, then every delta after it. A
-    NULL data_dir is a v1-protocol commit at `v=N/`."""
+def _assembly_for(
+    table_dir: str, rows: list, v: int
+) -> tuple[list[str], list[str]]:
+    """(add_dirs, tombstone_dirs) whose combination IS snapshot ``v``:
+    from the latest snapshot-kind version ≤ v, every delta's directory
+    ADDS rows and every tombstone's directory REMOVES the ids it lists
+    (merge-on-read — the id anti-join happens at read time, so a delete
+    writes O(deleted) bytes, never a snapshot rewrite). A NULL data_dir
+    is a v1-protocol commit at `v=N/`."""
     import os
 
     def dirof(r):
@@ -770,7 +775,17 @@ def _data_dirs_for(table_dir: str, rows: list, v: int) -> list[str]:
     for i, k in enumerate(kinds):
         if k == "snapshot":
             base = i
-    return [dirof(r) for r in upto[base:]]
+    adds = [dirof(r) for r, k in zip(upto[base:], kinds[base:]) if k != "tombstone"]
+    tombs = [dirof(r) for r, k in zip(upto[base:], kinds[base:]) if k == "tombstone"]
+    return adds, tombs
+
+
+def _data_dirs_for(table_dir: str, rows: list, v: int) -> list[str]:
+    """Every data directory reading snapshot ``v`` touches (adds THEN
+    tombstones — the read-cost / chain-length view; use `_assembly_for`
+    when the roles matter)."""
+    adds, tombs = _assembly_for(table_dir, rows, v)
+    return adds + tombs
 
 
 def read_versioned(
@@ -789,10 +804,18 @@ def read_versioned(
     v = committed[-1] if version is None else version
     if v not in committed:
         raise FileNotFoundError(f"version {v} is not committed in {table_dir}")
-    dirs = _data_dirs_for(table_dir, _manifest_rows(spark, table_dir), v)
-    if len(dirs) == 1:
-        return spark.read.parquet(dirs[0])
-    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+    adds, tombs = _assembly_for(table_dir, _manifest_rows(spark, table_dir), v)
+    if len(adds) == 1:
+        df = spark.read.parquet(adds[0])
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(*adds)
+    if tombs:
+        # merge-on-read: tombstone dirs hold ONE column named after the
+        # table's id column (self-describing — the manifest schema never
+        # changes), removed here by an id-only anti-join
+        tomb = spark.read.option("mergeSchema", "true").parquet(*tombs)
+        df = df.join(tomb.distinct(), tomb.columns[0], "left_anti")
+    return df
 
 
 def version_changes(
@@ -828,6 +851,17 @@ def version_changes(
             spark.read.option("mergeSchema", "true")
             .parquet(*dirs)
             .select(F.col(id_col), F.lit("insert").alias("_change_type"))
+        )
+    if between and all(k == "tombstone" for k in kinds):
+        # tombstone-only span: the change set is literally the tombstone
+        # directories (delete_versioned intersects with the live snapshot
+        # under conflict-abort, so every listed id was present — all are
+        # net deletes), an O(changes) read like the delta fast path
+        dirs = [os.path.join(table_dir, r["data_dir"]) for r in between]
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*dirs)
+            .select(F.col(id_col), F.lit("delete").alias("_change_type"))
         )
     va = read_versioned(spark, table_dir, from_version).select(id_col)
     vb = read_versioned(spark, table_dir, to_version).select(id_col)
@@ -1013,3 +1047,71 @@ def read_versioned_as_of_batch(
             f"no committed version carries batch_id={batch_id} in {table_dir}"
         )
     return read_versioned(spark, table_dir, int(rows[0]["version"]))
+
+
+def delete_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    ids: DataFrame,
+    id_col: str,
+    _pre_commit_hook=None,
+) -> int | None:
+    """Row-level DELETE as a TOMBSTONE commit (Delta/Iceberg
+    merge-on-read): the ids to remove are written as their own tiny
+    directory — one column, named after ``id_col``, so the read path is
+    self-describing — and readers anti-join them out of the assembled
+    snapshot. A delete writes O(deleted) bytes; the append-only
+    protocol's alternative was a full snapshot recommit, O(snapshot).
+    Compaction later squashes tombstones into a materialized snapshot.
+
+    Semantics and rails:
+
+    * INTERSECTION-ONLY: requested ids not present in the current
+      snapshot are ignored (the manifest's n_rows/content_checksum
+      decrement by exactly the rows removed — the bookkeeping stays
+      exact, which is what the compaction checksum guard relies on).
+    * NO-OP deletes commit nothing: if no requested id is present, the
+      staged directory is abandoned (invisible; vacuum reclaims it) and
+      None is returned — the history records real changes only.
+    * CONFLICT-ABORT, like compaction: the intersection is computed
+      against the head we read, so a concurrent commit between read and
+      CAS raises :class:`ConcurrentCommit` (a delta could re-add a
+      deleted id; blind subtraction would corrupt the stats).
+
+    Returns the committed version number, or None for a no-op."""
+    import os
+
+    rows = _manifest_rows(spark, table_dir)
+    if not rows:
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
+    head = max(rows, key=lambda r: r["version"])
+    current = read_versioned(spark, table_dir, int(head["version"]))
+    victims = (
+        current.select(F.col(id_col))
+        .join(ids.select(F.col(id_col)).distinct(), id_col, "semi")
+    )
+    _, rel = _write_data_dir(victims, table_dir)
+    written = spark.read.parquet(os.path.join(table_dir, rel))
+    d_rows, d_sum = _count_and_checksum(written, id_col)
+    if d_rows == 0:
+        import shutil
+
+        shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
+        return None
+
+    def stats(prev):
+        return int(prev["n_rows"]) - d_rows, int(prev["content_checksum"]) - d_sum
+
+    return _cas_commit_manifest(
+        spark,
+        table_dir,
+        rel[2:],
+        stats,
+        "tombstone",
+        rel,
+        d_rows,
+        None,
+        None,
+        _pre_commit_hook,
+        expect_latest=int(head["version"]),
+    )

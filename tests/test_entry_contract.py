@@ -52,19 +52,20 @@ def test_driver_window_composition_pinned():
     window = list(mod.queries())[:DRIVER_WINDOW]
     assert window == list(_WINDOW), "driver window drifted from curated _WINDOW"
     assert len(_WINDOW) == DRIVER_WINDOW == 50
-    # round-11 tail: the six day-one-windowed registrations displaced
+    # round-11 tail: the day-one-windowed registrations displaced
     # keepers bpe_token_stats, stratified_fixed_n_sample,
     # modality_mixture_stats, window_dist_funcs,
     # equidepth_price_histogram and asof_join_nearest (each holds
     # committed external rows r09+r10, so they may sit outside per the
     # standing budget contract below)
-    assert window[-6:] == [
+    assert window[-7:] == [
         "versioned_vacuum_audit",
         "ann_ivfpq_residual",
         "versioned_compact_audit",
         "late_interaction_maxsim",
         "late_interaction_maxsim_pruned",
         "rrf_trimodal_fusion",
+        "versioned_tombstone_audit",
     ]
     specs = load_all()
     parity = [n for n, s in specs.items() if s.fn.__module__.endswith(".parity")]
@@ -92,14 +93,14 @@ def test_driver_window_composition_pinned():
         "equidepth_price_histogram", "window_dist_funcs",
         "grouping_sets_mixed",
     }
-    # window_dist_funcs, equidepth_price_histogram and asof_join_nearest
-    # earned external rows in r09/r10 and rotated out in round 11 (their
-    # slots went to late_interaction_maxsim / _pruned /
-    # rrf_trimodal_fusion); the rest of the r9 rotation still holds its
-    # window seats
+    # four r9-rotation keepers earned external rows in r09/r10 and
+    # rotated out in round 11 (slots went to late_interaction_maxsim /
+    # _pruned / rrf_trimodal_fusion / versioned_tombstone_audit); the
+    # rest of the r9 rotation still holds its window seats
     assert (
         rotated_in_r9
-        - {"window_dist_funcs", "equidepth_price_histogram", "asof_join_nearest"}
+        - {"window_dist_funcs", "equidepth_price_histogram",
+           "asof_join_nearest", "table_profile_orders"}
     ) <= set(window)
     import json
     from pathlib import Path

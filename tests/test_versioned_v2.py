@@ -571,3 +571,94 @@ def test_read_as_of_batch_resolves_through_the_ledger(spark, tmp_path):
     assert read_versioned_as_of_batch(spark, t, 2).count() == docs.count()
     with pytest.raises(FileNotFoundError, match="batch_id=9"):
         read_versioned_as_of_batch(spark, t, 9)
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deletes (merge-on-read): O(deleted) row-level DELETE
+# ---------------------------------------------------------------------------
+
+
+def test_delete_versioned_merge_on_read_semantics(spark, tmp_path):
+    from funnel_report_etl_pipeline__spark.sources.sinks import delete_versioned
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 20"), t, id_col="doc_id")
+    append_versioned(docs.filter("doc_id >= 20 AND doc_id < 30"), t, id_col="doc_id")
+    # delete ids 0..4 and 25..27, plus ABSENT ids (900+) that must be ignored
+    ids = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 4, 25, 26, 27, 900, 901]], "doc_id long"
+    )
+    v = delete_versioned(spark, t, ids, id_col="doc_id")
+    assert v == 3
+    live = sorted(r["doc_id"] for r in read_versioned(spark, t).collect())
+    assert live == [i for i in range(5, 25)] + [28, 29]
+    # manifest bookkeeping decremented by exactly the REMOVED rows (8)
+    m = {r["version"]: r for r in version_manifest(spark, t).collect()}
+    assert m[3]["kind"] == "tombstone" and m[3]["n_delta"] == 8
+    assert m[3]["n_rows"] == m[2]["n_rows"] - 8
+    # time travel: pre-delete versions still see everything
+    assert read_versioned(spark, t, 2).count() == 30
+    assert read_versioned(spark, t, 1).count() == 20
+    # CDF across the tombstone span: net deletes only (fast path)
+    ch = version_changes(spark, t, 2, 3, "doc_id").collect()
+    assert sorted(r["doc_id"] for r in ch) == [0, 1, 2, 3, 4, 25, 26, 27]
+    assert {r["_change_type"] for r in ch} == {"delete"}
+    # mixed span (delta + tombstone) falls back to NET anti-join semantics
+    ch2 = version_changes(spark, t, 1, 3, "doc_id")
+    got = {(r["doc_id"], r["_change_type"]) for r in ch2.collect()}
+    want = {(i, "insert") for i in range(20, 25)} | {(i, "insert") for i in (28, 29)}
+    want |= {(i, "delete") for i in range(5)}
+    assert got == want
+
+
+def test_delete_versioned_noop_and_conflict_rails(spark, tmp_path):
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        ConcurrentCommit,
+        delete_versioned,
+        vacuum_versioned,
+    )
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")
+    # no-op: none of the requested ids exist -> nothing committed
+    absent = spark.createDataFrame([(500,), (501,)], "doc_id long")
+    assert delete_versioned(spark, t, absent, id_col="doc_id") is None
+    assert table_versions(spark, t) == [1]
+    # conflict-abort: a delta interleaved between read and CAS raises
+    def interleave():
+        append_versioned(docs.filter("doc_id = 10"), t, id_col="doc_id")
+
+    some = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    with pytest.raises(ConcurrentCommit):
+        delete_versioned(spark, t, some, id_col="doc_id", _pre_commit_hook=interleave)
+    assert read_versioned(spark, t).count() == 11  # nothing deleted
+    # the aborted tombstone is an invisible orphan; vacuum reclaims it
+    assert len(vacuum_versioned(spark, t, 0.0)) == 1
+
+
+def test_compaction_squashes_tombstones(spark, tmp_path):
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        _data_dirs_for,
+        _manifest_rows,
+        compact_versioned,
+        delete_versioned,
+    )
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 20"), t, id_col="doc_id")
+    delete_versioned(
+        spark, t, spark.createDataFrame([(i,) for i in range(5)], "doc_id long"),
+        id_col="doc_id",
+    )
+    rows = _manifest_rows(spark, t)
+    assert len(_data_dirs_for(t, rows, 2)) == 2  # base + tombstone
+    v = compact_versioned(spark, t, id_col="doc_id")
+    assert v == 3
+    rows = _manifest_rows(spark, t)
+    assert len(_data_dirs_for(t, rows, 3)) == 1  # tombstones squashed
+    assert sorted(r["doc_id"] for r in read_versioned(spark, t).collect()) == list(
+        range(5, 20)
+    )
