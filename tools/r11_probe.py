@@ -182,6 +182,50 @@ def probe_maxsim_pruned(spark, mult: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_tombstone_delete(spark, mult: int) -> dict:
+    """O(deleted) delete vs O(snapshot) recommit: delete a FIXED 1000
+    ids from a snapshot mult× bigger. The tombstone commit's wall should
+    stay near-flat (intersection is an id-only semi-join; the write is
+    1000 ids) while the recommit alternative rewrites everything."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        delete_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    base = 100_000 * mult
+    docs = spark.range(base).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    t = tempfile.mkdtemp(prefix="r11_tomb_probe_")
+    try:
+        write_versioned(docs, t, id_col="doc_id")
+        ids = spark.range(1000).select((F.col("id") * 97).alias("doc_id"))
+        t0 = time.monotonic()
+        delete_versioned(spark, t, ids, id_col="doc_id")
+        del_wall = time.monotonic() - t0
+        t0 = time.monotonic()
+        n = read_versioned(spark, t).count()
+        read_wall = time.monotonic() - t0
+        # the recommit alternative, for the cost contrast
+        t0 = time.monotonic()
+        write_versioned(read_versioned(spark, t), t, id_col="doc_id")
+        recommit_wall = time.monotonic() - t0
+        return {
+            "probe": "tombstone_delete",
+            "scale": mult,
+            "n_rows": base,
+            "n_deleted": 1000,
+            "delete_s": round(del_wall, 3),
+            "read_after_s": round(read_wall, 3),
+            "recommit_s": round(recommit_wall, 3),
+            "live": n,
+        }
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+
+
 def probe_residual_serve(spark, mult: int) -> dict:
     n = 5_000 * mult
     corpus = synth_vectors(spark, n)
