@@ -662,3 +662,62 @@ def test_compaction_squashes_tombstones(spark, tmp_path):
     assert sorted(r["doc_id"] for r in read_versioned(spark, t).collect()) == list(
         range(5, 20)
     )
+
+
+def test_stream_cdf_emits_tombstone_deletes(spark, tmp_path):
+    """The commit-log streaming source over a history that DELETES:
+    snapshot -> delta -> tombstone. The tombstone version's emission must
+    be the net delete set (served from the tombstone directory — the
+    O(changes) fast path), and a consumer that drained the whole history
+    holds exactly the live snapshot when it integrates the changes."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import delete_versioned
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 15"), t, id_col="doc_id")
+    append_versioned(docs.filter("doc_id >= 15 AND doc_id < 20"), t, id_col="doc_id")
+    delete_versioned(
+        spark,
+        t,
+        spark.createDataFrame([(i,) for i in range(0, 20, 4)], "doc_id long"),
+        id_col="doc_id",
+    )
+    got = _drain_cdf(spark, t, str(tmp_path / "ckpt"), "cdf_tomb")
+    v3 = got[got["to_version"] == 3]
+    assert sorted(v3["doc_id"]) == [0, 4, 8, 12, 16]
+    assert set(v3["_change_type"]) == {"delete"}
+    # integrate the full feed: inserts minus deletes == the live snapshot
+    ins = set(got[got["_change_type"] == "insert"]["doc_id"])
+    dels = set(got[got["_change_type"] == "delete"]["doc_id"])
+    live = {r["doc_id"] for r in read_versioned(spark, t).collect()}
+    assert ins - dels == live
+
+
+def test_tombstones_compose_with_schema_evolution(spark, tmp_path):
+    """Delete over an evolved-schema chain: v2's delta ADDS a column,
+    v3 deletes rows from BOTH schema generations — the merged read
+    keeps the superset schema (NULL backfill) minus the tombstoned ids."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import delete_versioned
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")
+    append_versioned(
+        docs.filter("doc_id >= 10 AND doc_id < 15").withColumn(
+            "quality", F.lit(0.9)
+        ),
+        t,
+        id_col="doc_id",
+    )
+    delete_versioned(
+        spark,
+        t,
+        spark.createDataFrame([(3,), (12,)], "doc_id long"),
+        id_col="doc_id",
+    )
+    out = read_versioned(spark, t)
+    assert set(out.columns) == {"doc_id", "text", "quality"}
+    rows = {r["doc_id"]: r["quality"] for r in out.collect()}
+    assert 3 not in rows and 12 not in rows
+    assert rows[11] == 0.9 and rows[2] is None  # evolved vs backfilled
+    assert len(rows) == 13
