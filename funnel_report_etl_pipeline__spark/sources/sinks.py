@@ -1003,22 +1003,50 @@ def compact_versioned(
 
 
 def maybe_compact_versioned(
-    spark: SparkSession, table_dir: str, id_col: str, max_chain: int = 8
+    spark: SparkSession,
+    table_dir: str,
+    id_col: str,
+    max_chain: int = 8,
+    max_dead_fraction: float = 0.5,
 ) -> int | None:
-    """Compaction POLICY: compact only when the head's assembly chain
-    exceeds ``max_chain`` data directories — the knob that keeps a
-    stream-ingested table's read cost bounded without paying a full
-    rewrite per micro-batch (rewrite amortizes to O(snapshot/max_chain)
-    bytes per ingested byte). Loses gracefully: a concurrent commit
-    mid-compaction aborts (ConcurrentCommit) and returns None — the
-    NEXT call re-checks the now-longer chain, so compaction is retried
-    on the following trigger rather than fought over. Returns the
-    committed version or None (chain short enough / lost the race)."""
+    """Compaction POLICY with two triggers, both computable from the
+    commit log alone (O(versions) manifest rows, no data read):
+
+    * CHAIN LENGTH — the head assembles more than ``max_chain`` data
+      directories (read-cost bound for stream ingest; the rewrite
+      amortizes to O(snapshot/max_chain) bytes per ingested byte);
+    * DEAD FRACTION — tombstoned rows in the current chain exceed
+      ``max_dead_fraction`` of the rows the read path must SCAN
+      (live + tombstoned): a table with few-but-huge deletes pays the
+      anti-join over mostly-dead data on every read even though its
+      chain is short. Each tombstone manifest records the rows it
+      removed in ``n_delta``, so the fraction costs nothing to check.
+
+    Loses gracefully: a concurrent commit mid-compaction aborts
+    (ConcurrentCommit) and returns None — the NEXT call re-checks, so
+    compaction is retried on the following trigger rather than fought
+    over. Returns the committed version or None (no trigger / lost)."""
     rows = _manifest_rows(spark, table_dir) if table_versions(spark, table_dir) else []
     if not rows:
         return None
-    head = max(r["version"] for r in rows)
-    if len(_data_dirs_for(table_dir, rows, head)) <= max_chain:
+    head_row = max(rows, key=lambda r: r["version"])
+    head = head_row["version"]
+    chain_long = len(_data_dirs_for(table_dir, rows, head)) > max_chain
+    # tombstoned rows since the chain's base snapshot
+    upto = sorted((r for r in rows if r["version"] <= head), key=lambda r: r["version"])
+    base = 0
+    for i, r in enumerate(upto):
+        kind = (r["kind"] if "kind" in r.__fields__ else None) or "snapshot"
+        if kind == "snapshot":
+            base = i
+    dead = sum(
+        int(r["n_delta"] or 0)
+        for r in upto[base:]
+        if (r["kind"] if "kind" in r.__fields__ else None) == "tombstone"
+    )
+    live = int(head_row["n_rows"])
+    too_dead = dead > 0 and dead / (live + dead) > max_dead_fraction
+    if not (chain_long or too_dead):
         return None
     try:
         return compact_versioned(spark, table_dir, id_col)

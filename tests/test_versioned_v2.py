@@ -721,3 +721,38 @@ def test_tombstones_compose_with_schema_evolution(spark, tmp_path):
     assert 3 not in rows and 12 not in rows
     assert rows[11] == 0.9 and rows[2] is None  # evolved vs backfilled
     assert len(rows) == 13
+
+
+def test_dead_fraction_triggers_compaction_despite_short_chain(spark, tmp_path):
+    """A mostly-dead chain compacts even when it is SHORT: deleting 60%
+    of a snapshot leaves 2 dirs (< max_chain) but every read anti-joins
+    over mostly-dead data — the dead-fraction trigger fires, computed
+    from the commit log alone. A small delete below the threshold must
+    NOT trigger."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        delete_versioned,
+        maybe_compact_versioned,
+    )
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 100"), t, id_col="doc_id")
+    # small delete: 5/100 dead -> below the 0.5 default, no compaction
+    delete_versioned(
+        spark, t, spark.createDataFrame([(i,) for i in range(5)], "doc_id long"),
+        id_col="doc_id",
+    )
+    assert maybe_compact_versioned(spark, t, "doc_id", max_chain=8) is None
+    assert table_versions(spark, t) == [1, 2]
+    # big delete: 60/95 more dead -> 65/100 of scanned rows are dead
+    delete_versioned(
+        spark, t, spark.createDataFrame([(i,) for i in range(5, 65)], "doc_id long"),
+        id_col="doc_id",
+    )
+    v = maybe_compact_versioned(spark, t, "doc_id", max_chain=8)
+    assert v == 4
+    assert sorted(r["doc_id"] for r in read_versioned(spark, t).collect()) == list(
+        range(65, 100)
+    )
+    # after compaction the chain is 1 dir and dead fraction resets
+    assert maybe_compact_versioned(spark, t, "doc_id", max_chain=8) is None
