@@ -407,8 +407,9 @@ WINDOW_SHUFFLE_BUDGET = {
     # global window (the exact form — rrf_fusion_topk is the
     # TakeOrdered-capped scale path, same as the hybrid pair)
     "rrf_trimodal_fusion": 5,
-    # returned audit is three createDataFrame meta rows (the
-    # snapshot/delta/tombstone history builds inside fn())
+    # returned audit is five createDataFrame meta rows (the
+    # snapshot/delta/tombstone/re-add/compact lifecycle builds inside
+    # fn())
     "versioned_tombstone_audit": 0,
 }
 
