@@ -73,6 +73,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline_r9,  # round-9 batch (sketch-percentile twins, multimodal)
         pipeline_r10,  # round-10 batch (persistent ANN index, corpus refresh)
         pipeline_r11,  # round-11 batch (versioned-table vacuum, residual IVF-PQ)
+        pipeline_r12,  # round-12 batch (atomic MERGE, update-aware CDF)
     )
 
     return REGISTRY
@@ -125,7 +126,10 @@ _WINDOW: tuple[str, ...] = (
     "markov_event_transitions",
     "priority_change_intervals",
     "session_bounce_stats",
-    "cumulative_unique_users",
+    # (r9-rotation keeper cumulative_unique_users rotated out in round 12
+    # — external rows r09+r10+r11; the sessionization family keeps its
+    # history via session_bounce_stats/event_path_topk — its slot goes
+    # to versioned_merge_audit)
     "event_path_topk",
     # dedup / decontamination / text:
     "assoc_rules_brand",
@@ -226,6 +230,11 @@ _WINDOW: tuple[str, ...] = (
     # merge-on-read row-level DELETE (tombstone commits; displaces
     # r9-rotation keeper table_profile_orders, external rows r09+r10)
     "versioned_tombstone_audit",
+    # round-12 registrations — windowed from day one: atomic MERGE
+    # (upsert as ONE commit carrying add + tombstone dirs) audited with
+    # the update-aware CDF (displaces r9-rotation keeper
+    # cumulative_unique_users, external rows r09+r10+r11)
+    "versioned_merge_audit",
 )
 
 

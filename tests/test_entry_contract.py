@@ -52,13 +52,13 @@ def test_driver_window_composition_pinned():
     window = list(mod.queries())[:DRIVER_WINDOW]
     assert window == list(_WINDOW), "driver window drifted from curated _WINDOW"
     assert len(_WINDOW) == DRIVER_WINDOW == 50
-    # round-11 tail: the day-one-windowed registrations displaced
+    # round-11/12 tail: the day-one-windowed registrations displaced
     # keepers bpe_token_stats, stratified_fixed_n_sample,
     # modality_mixture_stats, window_dist_funcs,
-    # equidepth_price_histogram and asof_join_nearest (each holds
-    # committed external rows r09+r10, so they may sit outside per the
-    # standing budget contract below)
-    assert window[-7:] == [
+    # equidepth_price_histogram, asof_join_nearest and (round 12)
+    # cumulative_unique_users (each holds committed external rows, so
+    # they may sit outside per the standing budget contract below)
+    assert window[-8:] == [
         "versioned_vacuum_audit",
         "ann_ivfpq_residual",
         "versioned_compact_audit",
@@ -66,6 +66,7 @@ def test_driver_window_composition_pinned():
         "late_interaction_maxsim_pruned",
         "rrf_trimodal_fusion",
         "versioned_tombstone_audit",
+        "versioned_merge_audit",
     ]
     specs = load_all()
     parity = [n for n, s in specs.items() if s.fn.__module__.endswith(".parity")]
@@ -95,12 +96,15 @@ def test_driver_window_composition_pinned():
     }
     # four r9-rotation keepers earned external rows in r09/r10 and
     # rotated out in round 11 (slots went to late_interaction_maxsim /
-    # _pruned / rrf_trimodal_fusion / versioned_tombstone_audit); the
-    # rest of the r9 rotation still holds its window seats
+    # _pruned / rrf_trimodal_fusion / versioned_tombstone_audit);
+    # cumulative_unique_users (rows r09-r11) rotated out in round 12
+    # (slot to versioned_merge_audit); the rest of the r9 rotation
+    # still holds its window seats
     assert (
         rotated_in_r9
         - {"window_dist_funcs", "equidepth_price_histogram",
-           "asof_join_nearest", "table_profile_orders"}
+           "asof_join_nearest", "table_profile_orders",
+           "cumulative_unique_users"}
     ) <= set(window)
     import json
     from pathlib import Path

@@ -411,6 +411,10 @@ WINDOW_SHUFFLE_BUDGET = {
     # snapshot/delta/tombstone/re-add/compact lifecycle builds inside
     # fn())
     "versioned_tombstone_audit": 0,
+    # returned audit is four createDataFrame meta rows (the
+    # snapshot/delta/merge/recommit history and its per-pair CDF
+    # readouts all run inside fn())
+    "versioned_merge_audit": 0,
 }
 
 

@@ -831,6 +831,186 @@ def test_readd_after_tombstone_with_schema_evolution(spark, tmp_path):
     assert rows[5] == 0.7 and rows[0] is None
 
 
+# ---------------------------------------------------------------------------
+# Atomic MERGE (upsert): one commit carrying an add-dir AND a tombstone-dir
+# ---------------------------------------------------------------------------
+
+
+def test_merge_versioned_upsert_semantics(spark, tmp_path):
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        compact_versioned,
+        merge_versioned,
+    )
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")
+    src = docs.filter("doc_id IN (3, 7, 20, 21)").withColumn(
+        "text", F.lit("merged")
+    )
+    v = merge_versioned(spark, t, src, id_col="doc_id")
+    assert v == 2
+    rows = {r["doc_id"]: r["text"] for r in read_versioned(spark, t).collect()}
+    assert sorted(rows) == list(range(10)) + [20, 21]
+    assert all(rows[i] == "merged" for i in (3, 7, 20, 21))
+    assert rows[0] != "merged"
+    # ONE manifest row carries both halves; stats are exact
+    m = {r["version"]: r for r in version_manifest(spark, t).collect()}
+    assert m[2]["kind"] == "merge"
+    assert m[2]["n_delta"] == 4 and m[2]["n_tomb"] == 2
+    assert m[2]["n_rows"] == 12 == read_versioned(spark, t).count()
+    # a same-content full snapshot has the identical checksum (the
+    # replaced ids cancel: same id -> same checksum term)
+    t2 = str(tmp_path / "ref")
+    write_versioned(
+        docs.filter("doc_id < 10 OR doc_id IN (20, 21)"), t2, id_col="doc_id"
+    )
+    ref = version_manifest(spark, t2).collect()[0]
+    assert m[2]["content_checksum"] == ref["content_checksum"]
+    # pre-merge state stays time-travel-readable; compaction still works
+    assert read_versioned(spark, t, 1).count() == 10
+    assert compact_versioned(spark, t, id_col="doc_id") == 3
+    assert read_versioned(spark, t).count() == 12
+
+
+def test_merge_versioned_atomicity_no_in_between_state(spark, tmp_path):
+    """The reason MERGE exists: composing delete+append exposes a
+    deleted-not-yet-reinserted state between the two versions. A merge
+    history must have NO readable version where a matched id is absent
+    — every committed version contains either the old or new payload."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import merge_versioned
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 6"), t, id_col="doc_id")
+    merge_versioned(
+        spark, t,
+        docs.filter("doc_id IN (1, 4)").withColumn("text", F.lit("v2")),
+        id_col="doc_id",
+    )
+    for v in table_versions(spark, t):
+        present = {r["doc_id"] for r in read_versioned(spark, t, v).collect()}
+        assert {1, 4} <= present, f"version {v} lost a matched id mid-upsert"
+
+
+def test_merge_versioned_rails(spark, tmp_path):
+    """Duplicate-id sources rejected before staging; empty source is a
+    no-op; a concurrent commit between snapshot read and CAS aborts; the
+    aborted merge's BOTH staged dirs are invisible orphans for vacuum."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        ConcurrentCommit,
+        merge_versioned,
+    )
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")
+    dup = docs.filter("doc_id = 1").unionAll(docs.filter("doc_id = 1"))
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        merge_versioned(spark, t, dup, id_col="doc_id")
+    assert merge_versioned(spark, t, docs.filter("doc_id < 0"), id_col="doc_id") is None
+    assert table_versions(spark, t) == [1]
+
+    def interleave():
+        append_versioned(docs.filter("doc_id = 50"), t, id_col="doc_id")
+
+    with pytest.raises(ConcurrentCommit):
+        merge_versioned(
+            spark, t, docs.filter("doc_id IN (2, 60)"), id_col="doc_id",
+            _pre_commit_hook=interleave,
+        )
+    assert read_versioned(spark, t).count() == 11  # merge invisible
+    # both staged dirs (add + tombstone) reclaimed as orphans
+    assert len(vacuum_versioned(spark, t, 0.0)) == 2
+    assert read_versioned(spark, t).count() == 11
+
+
+def test_merge_cdf_fast_path_and_update_emission(spark, tmp_path):
+    """A single-merge span's CDF is served from the commit's own two
+    directories (no snapshot scan): new ids emit insert; matched ids
+    emit 'update' under detect_updates (Delta MERGE's physical-rewrite
+    semantics — every matched row was rewritten) and nothing otherwise
+    (membership unchanged)."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import merge_versioned
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 8"), t, id_col="doc_id")
+    merge_versioned(
+        spark, t,
+        docs.filter("doc_id IN (2, 5, 30)").withColumn("text", F.lit("m")),
+        id_col="doc_id",
+    )
+    plain = version_changes(spark, t, 1, 2, "doc_id")
+    # O(changes): the tombstone side broadcasts into the anti-join — no
+    # shuffle, and no snapshot directory in the scanned paths
+    pstr = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in pstr
+    assert {(r["doc_id"], r["_change_type"]) for r in plain.collect()} == {
+        (30, "insert")
+    }
+    upd = {
+        (r["doc_id"], r["_change_type"])
+        for r in version_changes(
+            spark, t, 1, 2, "doc_id", detect_updates=True
+        ).collect()
+    }
+    assert upd == {(30, "insert"), (2, "update"), (5, "update")}
+
+
+def test_cdf_fallback_detects_payload_updates_and_multiplicity(spark, tmp_path):
+    """The general-span fallback: (a) under detect_updates, a
+    snapshot-recommit payload-only change emits one 'update' row (was
+    invisible to membership diffs — round-11 advice); (b) the
+    multiplicity diff agrees with the O(changes) delta fast path even on
+    duplicate-id tables (the unpinned append contract)."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        _multiplicity_changes,
+    )
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 4"), t, id_col="doc_id")
+    # recommit: id 1 payload changes, id 2 dropped, id 10 added
+    write_versioned(
+        docs.filter("doc_id IN (0, 3, 10)").unionByName(
+            docs.filter("doc_id = 1").withColumn("text", F.lit("rewritten"))
+        ),
+        t, id_col="doc_id",
+    )
+    plain = {
+        (r["doc_id"], r["_change_type"])
+        for r in version_changes(spark, t, 1, 2, "doc_id").collect()
+    }
+    assert plain == {(2, "delete"), (10, "insert")}
+    upd = {
+        (r["doc_id"], r["_change_type"])
+        for r in version_changes(
+            spark, t, 1, 2, "doc_id", detect_updates=True
+        ).collect()
+    }
+    assert upd == {(2, "delete"), (10, "insert"), (1, "update")}
+    # duplicate-id table: fallback == fast path, row for row
+    td = str(tmp_path / "dup")
+    write_versioned(docs.filter("doc_id = 0"), td, id_col="doc_id")
+    append_versioned(
+        docs.filter("doc_id IN (0, 7)"), td, id_col="doc_id"
+    )  # id 0 now has TWO rows
+    fast = sorted(
+        (r["doc_id"], r["_change_type"])
+        for r in version_changes(spark, td, 1, 2, "doc_id").collect()
+    )
+    assert fast == [(0, "insert"), (7, "insert")]
+    fb = sorted(
+        (r["doc_id"], r["_change_type"])
+        for r in _multiplicity_changes(
+            read_versioned(spark, td, 1), read_versioned(spark, td, 2),
+            "doc_id", False,
+        ).collect()
+    )
+    assert fb == fast
+
+
 def test_dead_fraction_triggers_compaction_despite_short_chain(spark, tmp_path):
     """A mostly-dead chain compacts even when it is SHORT: deleting 60%
     of a snapshot leaves 2 dirs (< max_chain) but every read anti-joins
