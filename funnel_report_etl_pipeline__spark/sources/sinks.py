@@ -1264,6 +1264,7 @@ def delete_versioned(
     table_dir: str,
     ids: DataFrame,
     id_col: str,
+    batch_id: int | None = None,
     _pre_commit_hook=None,
 ) -> int | None:
     """Row-level DELETE as a TOMBSTONE commit (Delta/Iceberg
@@ -1320,7 +1321,7 @@ def delete_versioned(
         "tombstone",
         rel,
         d_rows,
-        None,
+        batch_id,
         None,
         _pre_commit_hook,
         expect_latest=int(head["version"]),

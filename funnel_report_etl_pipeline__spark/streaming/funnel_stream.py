@@ -585,3 +585,109 @@ def stream_versioned_changes(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def apply_replicated_commit(
+    spark: SparkSession, src_table: str, replica_table: str, row, id_col: str
+) -> bool:
+    """Apply ONE source commit (its manifest row) to a replica versioned
+    table, exactly once. The replica's commit ledger is keyed by the
+    SOURCE version (batch_id = source version), so a crash-replayed
+    commit is recognized and SKIPPED — the same fail-closed guard as
+    `commit_stream_batch` (a non-empty replica whose manifests lack the
+    ledger column raises instead of guessing). Each kind replays as its
+    O(changes) operation — the point of commit-grain replication at
+    100 TB: a delta ships only the delta directory's rows, a tombstone
+    only its ids, a merge only its source batch (the replica recomputes
+    the matched set against its own head, which equals the source's when
+    in sync); only snapshot commits (initial load, curated recommits,
+    compactions) ship full contents. Returns True if applied, False if
+    the ledger shows the source version already replicated."""
+    import os
+
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        append_versioned,
+        delete_versioned,
+        merge_versioned,
+        read_versioned,
+        table_versions,
+        version_manifest,
+        write_versioned,
+    )
+
+    v = int(row["version"])
+    has_replica = bool(table_versions(spark, replica_table))
+    if has_replica:
+        m = version_manifest(spark, replica_table)
+        if "batch_id" not in m.columns:
+            raise RuntimeError(
+                f"replica {replica_table} has commit manifests without the "
+                f"batch_id ledger column; cannot prove source version {v} "
+                f"is not a replay — refusing to commit"
+            )
+        if m.filter(F.col("batch_id") == v).count() > 0:
+            return False
+    kind = (row["kind"] if "kind" in row.__fields__ else None) or "snapshot"
+    data_dir = row["data_dir"] if "data_dir" in row.__fields__ else None
+    src_path = os.path.join(src_table, data_dir) if data_dir else None
+    if kind == "delta" and src_path and has_replica:
+        append_versioned(
+            spark.read.parquet(src_path), replica_table, id_col=id_col, batch_id=v
+        )
+    elif kind == "tombstone" and src_path:
+        delete_versioned(
+            spark, replica_table, spark.read.parquet(src_path), id_col=id_col,
+            batch_id=v,
+        )
+    elif kind == "merge" and src_path:
+        merge_versioned(
+            spark, replica_table, spark.read.parquet(src_path), id_col=id_col,
+            batch_id=v,
+        )
+    else:
+        # snapshot commits (and a delta bootstrapping an empty replica):
+        # ship the assembled source snapshot as of v
+        write_versioned(
+            read_versioned(spark, src_table, v), replica_table, id_col=id_col,
+            batch_id=v,
+        )
+    return True
+
+
+def replicate_versioned_table(
+    spark: SparkSession,
+    src_table: str,
+    replica_table: str,
+    checkpoint: str,
+    id_col: str,
+    query_name: str = "versioned_replicator",
+    trigger: dict | None = None,
+):
+    """End-to-end exactly-once table replication: `readStream` over the
+    SOURCE's commit log (`read_version_commits` — each committed version
+    arrives as one micro-batch row, checkpoint-resumable), each commit
+    replayed onto the replica through `apply_replicated_commit`. The
+    composition of the round-11/12 pieces: the commit-log streaming
+    source provides at-least-once delivery with resume, the
+    source-version ledger on the replica de-duplicates replays, and the
+    versioned-table CAS protocol makes each applied commit atomic — so
+    a crash ANYWHERE (mid-apply, between apply and checkpoint, during
+    restart) converges to an exact copy: replica version k holds
+    precisely source version k's contents (hash parity pinned in
+    tools/stream_sim.py `versioned_replication_exactly_once` and
+    tests/test_streaming_versioned_replication.py). Per-batch
+    `.collect()` is commit-log grain (one row per version)."""
+
+    commits = read_version_commits(spark, src_table)
+
+    def _proc(batch_df: DataFrame, _bid: int) -> None:
+        for r in batch_df.orderBy("version").collect():  # commit-log grain
+            apply_replicated_commit(spark, src_table, replica_table, r, id_col)
+
+    return (
+        commits.writeStream.foreachBatch(_proc)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

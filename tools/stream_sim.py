@@ -947,12 +947,84 @@ def main() -> int:
         )
         return res
 
+    # 14. exactly-once table REPLICATION from the commit log — the
+    #     round-12 composition: a 4-kind source history (snapshot, delta,
+    #     tombstone, merge) drained through replicate_versioned_table
+    #     (readStream over the source's commit log, each commit replayed
+    #     onto the replica with the ledger keyed by SOURCE version), then
+    #     a FORCED crash-replay of the last commit. Green requires: full
+    #     payload hash parity of the replica head vs the source head,
+    #     version-for-version manifest stat parity (n_rows + checksum +
+    #     ledger), the replayed kinds staying the O(changes) operations,
+    #     and the forced replay being SKIPPED.
+    def _replication():
+        from funnel_report_etl_pipeline__spark.sources.sinks import (
+            append_versioned,
+            delete_versioned,
+            merge_versioned,
+            read_versioned,
+            version_manifest,
+            write_versioned,
+        )
+        from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+            apply_replicated_commit,
+            replicate_versioned_table,
+        )
+
+        src, rep = f"{tmp}/repl_src", f"{tmp}/repl_dst"
+        stats = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+        write_versioned(stats.filter("user_id % 2 = 0"), src, id_col="user_id")
+        append_versioned(stats.filter("user_id % 2 = 1"), src, id_col="user_id")
+        delete_versioned(
+            spark, src, stats.filter("user_id % 5 = 0").select("user_id"),
+            id_col="user_id",
+        )
+        merge_versioned(
+            spark, src,
+            stats.filter("user_id % 3 = 0").withColumn(
+                "n_events", F.col("n_events") + F.lit(1000)
+            ),
+            id_col="user_id",
+        )
+        q = replicate_versioned_table(
+            spark, src, rep, f"{tmp}/repl_ckpt", "user_id", "ss_replication"
+        )
+        q.awaitTermination()
+        last = max(
+            version_manifest(spark, src).collect(), key=lambda r: r["version"]
+        )
+        replay_skipped = (
+            apply_replicated_commit(spark, src, rep, last, "user_id") is False
+        )
+        s = read_versioned(spark, rep).toPandas()
+        b = read_versioned(spark, src).toPandas()
+        res = _canon_ok(s, b)
+        rm = version_manifest(spark, rep).orderBy("version").collect()
+        sm = version_manifest(spark, src).orderBy("version").collect()
+        manifest_parity = len(rm) == len(sm) == 4 and all(
+            r["n_rows"] == s2["n_rows"]
+            and r["content_checksum"] == s2["content_checksum"]
+            and r["batch_id"] == s2["version"]
+            for r, s2 in zip(rm, sm)
+        )
+        res["n_versions"] = len(rm)
+        res["replay_skipped"] = replay_skipped
+        res["manifest_parity"] = manifest_parity
+        res["replicated_kinds"] = [r["kind"] for r in rm]
+        res["hash_match"] = bool(
+            res["hash_match"] and replay_skipped and manifest_parity
+            and res["replicated_kinds"]
+            == ["snapshot", "delta", "tombstone", "merge"]
+        )
+        return res
+
     run("idempotent_parquet_sink", _sink)
     run("late_data_drop", _late)
     run("view_purchase_attribution_outer", _attrib_outer)
     run("enrich_stream", _enrich)
     run("versioned_cdf_stream", _cdf)
     run("versioned_ingest_compacting", _versioned_ingest)
+    run("versioned_replication_exactly_once", _replication)
     run("restart_replay", _restart)
 
     n_pass = sum(1 for r in results.values() if r.get("hash_match"))
