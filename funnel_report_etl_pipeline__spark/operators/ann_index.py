@@ -54,6 +54,7 @@ __all__ = [
     "corpus_signature",
     "build_ivf_medoid_index",
     "ensure_ivf_medoid_index",
+    "ensure_ivf_index_versioned",
     "cosine_topk_ivf_prebuilt",
     "build_pq_index",
     "ensure_pq_index",
@@ -62,6 +63,7 @@ __all__ = [
     "ivfpq_rerank_topk_prebuilt",
     "build_ivfpq_residual_index",
     "ensure_ivfpq_residual_index",
+    "ensure_ivfpq_residual_index_versioned",
     "ivfpq_residual_topk_prebuilt",
 ]
 
@@ -197,6 +199,150 @@ def ensure_ivf_medoid_index(
     tmp = f"{out_dir}.build.{os.getpid()}"
     build_ivf_medoid_index(corpus, tmp, n_cells, id_col, vec_col)
     return _install_index(spark, tmp, out_dir, is_current)
+
+
+def _additive_new_ids(
+    spark: SparkSession, table_dir: str, from_version: int, id_col: str
+):
+    """(head_version, new_ids_df | None): the ids inserted between
+    ``from_version`` and the head of a versioned corpus, IF the span is
+    purely additive (delta appends only — the daily-ingest shape).
+    Deletes or payload updates return None: a removed vector must leave
+    the index and a rewritten one must re-encode, which the append-only
+    incremental path cannot express — the caller falls back to a full
+    rebuild. O(changes) via the CDF fast paths; the detect_updates
+    probe reads payload columns only across snapshot recommits."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        table_versions,
+        version_changes,
+    )
+
+    head = table_versions(spark, table_dir)[-1]
+    if head == from_version:
+        return head, None
+    ch = version_changes(
+        spark, table_dir, from_version, head, id_col, detect_updates=True
+    )
+    kinds = {
+        r["_change_type"]
+        for r in ch.select("_change_type").distinct().collect()
+    }
+    if kinds - {"insert"}:
+        return head, None
+    return head, ch.select(F.col(id_col))
+
+
+def ensure_ivf_index_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    out_dir: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental IVF maintenance over a DELTA-COMMITTED corpus (a
+    versioned table, sources/sinks.py): when the corpus grew by delta
+    appends since the indexed version, re-encode ONLY the new vectors —
+    IVF assignment is per-vector, so a daily append costs O(delta)
+    vector work instead of the full-corpus rebuild `ensure_*` pays
+    (round-11 verdict ask #4: a 100 TB corpus cannot re-encode
+    everything per daily append).
+
+    MEDOID-DRIFT THRESHOLD (documented decision): the incremental path
+    applies ONLY when the quantizer-defining id set is UNCHANGED — the
+    n_cells lowest-md5 ids of the head corpus must equal the saved
+    cells' medoid ids. This is the exactness threshold, not a tuning
+    knob: with the hash-anchored quantizer, an unchanged medoid set
+    makes the incrementally-maintained index BIT-IDENTICAL to a fresh
+    full build (new vectors assign against the same cells — pinned in
+    tests/test_ann_index.py), while ANY medoid change re-shapes every
+    cell boundary, so the only correct response is a full rebuild. (A
+    learned k-means quantizer would instead rebuild on a recall or
+    centroid-displacement tolerance; the deterministic family gives a
+    zero-tolerance threshold for free.) The drift check itself is
+    id-grain (a TakeOrdered over md5(id) — no vector reads).
+
+    Deletes or payload updates in the span force a rebuild too (a
+    removed vector must leave the assignments). Crash-idempotent: the
+    append of new assignments anti-joins ids already present, so a
+    crash between the append and the meta write re-runs cleanly.
+    Returns the meta dict plus ``maintenance`` ∈
+    {'current', 'incremental', 'rebuilt'} (not persisted)."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import read_versioned
+
+    corpus = read_versioned(spark, table_dir)
+    meta = _read_meta(spark, os.path.join(out_dir, "meta.parquet"))
+    n, sig = None, None
+
+    def params_match(m: dict) -> bool:
+        return m.get("family") == "ivf_medoid" and int(m["n_cells"]) == n_cells
+
+    def is_current(m: dict) -> bool:
+        nonlocal n, sig
+        if not params_match(m):
+            return False
+        if n is None:
+            n, sig = corpus_signature(corpus, id_col)
+        return int(m["n_vectors"]) == n and int(m["corpus_sig"]) == sig
+
+    head = None
+    if meta is not None and is_current(meta) and "indexed_version" in meta:
+        return {**meta, "maintenance": "current"}
+    if meta is not None and params_match(meta) and "indexed_version" in meta:
+        head, new_ids = _additive_new_ids(
+            spark, table_dir, int(meta["indexed_version"]), id_col
+        )
+        if new_ids is not None:
+            cells_path = os.path.join(out_dir, "cells.parquet")
+            saved_med = spark.read.parquet(cells_path)
+            saved_mids = [
+                r["mid"] for r in saved_med.select("cell", "mid").orderBy("cell").collect()
+            ]
+            fresh_mids = [
+                r["mid"]
+                for r in corpus.select(F.col(id_col).alias("mid"))
+                .withColumn("__mk", F.md5(F.col("mid").cast("string")))
+                .orderBy("__mk", "mid")
+                .limit(n_cells)
+                .collect()
+            ]
+            if fresh_mids == saved_mids:
+                assign_path = os.path.join(out_dir, "assignments.parquet")
+                newv = (
+                    corpus.join(new_ids, id_col, "semi")
+                    .select(
+                        F.col(id_col).alias("cid"),
+                        F.col(vec_col).cast("array<double>").alias("__v"),
+                    )
+                )
+                done = spark.read.parquet(assign_path).select("cid")
+                fresh = _nearest_medoid_cells(newv, saved_med, "cid", 1).join(
+                    done, "cid", "left_anti"
+                )
+                fresh.write.mode("append").parquet(assign_path)
+                n2, sig2 = corpus_signature(corpus, id_col)
+                new_meta = {
+                    **{k: meta[k] for k in (
+                        "family", "n_cells", "id_col", "vec_col"
+                    )},
+                    "n_vectors": n2,
+                    "corpus_sig": sig2,
+                    "indexed_version": head,
+                }
+                _write_meta(spark, os.path.join(out_dir, "meta.parquet"), new_meta)
+                return {**new_meta, "maintenance": "incremental"}
+    # first build, drifted medoids, non-additive span, or a legacy index
+    # without the indexed_version ledger: full rebuild
+    from funnel_report_etl_pipeline__spark.sources.sinks import table_versions
+
+    head = head if head is not None else table_versions(spark, table_dir)[-1]
+    tmp = f"{out_dir}.build.{os.getpid()}"
+    build_ivf_medoid_index(corpus, tmp, n_cells, id_col, vec_col)
+    installed = _install_index(spark, tmp, out_dir, is_current)
+    stamped = {**installed, "indexed_version": head}
+    stamped.pop("maintenance", None)
+    _write_meta(spark, os.path.join(out_dir, "meta.parquet"), stamped)
+    return {**stamped, "maintenance": "rebuilt"}
 
 
 def cosine_topk_ivf_prebuilt(
@@ -649,6 +795,11 @@ def build_ivfpq_residual_index(
     )
     codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes.parquet"))
     n, sig = corpus_signature(corpus, id_col)
+    # the anchor ID LIST rides in the meta (n_codes ids, salted-md5
+    # order): incremental maintenance's drift check compares it against
+    # the head corpus's fresh anchor pick — the codebook table itself
+    # stores residuals only, so without this the check would be blind
+    anchor_ids = ",".join(str(r["cid"]) for r in picked.orderBy("__ak", "cid").collect())
     meta = {
         "family": "ivfpq_residual",
         "codebook_salt": "res:",  # staleness-checked: unsalted builds are degenerate
@@ -659,6 +810,7 @@ def build_ivfpq_residual_index(
         "vec_col": vec_col,
         "n_vectors": n,
         "corpus_sig": sig,
+        "anchor_ids": anchor_ids,
     }
     _write_meta(spark, os.path.join(out_dir, "meta.parquet"), meta)
     return meta
@@ -701,6 +853,157 @@ def ensure_ivfpq_residual_index(
         corpus, tmp, ivf_dir, n_segments, seg_dim, n_codes, id_col, vec_col
     )
     return _install_index(spark, tmp, out_dir, is_current)
+
+
+def ensure_ivfpq_residual_index_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    out_dir: str,
+    ivf_dir: str,
+    n_segments: int = 8,
+    seg_dim: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental residual-PQ maintenance over a delta-committed corpus
+    — the PQ half of `ensure_ivf_index_versioned` (run that FIRST with
+    the same table so the new ids' cell assignments exist): PQ codes
+    are per-vector, so an additive delta re-encodes only the new
+    vectors' residuals against the SAVED codebook and appends their
+    (cid, s, code) rows. DRIFT THRESHOLD, same exactness rule as the
+    IVF half: the incremental path applies only when BOTH quantizer id
+    sets are unchanged — the saved meta's ``anchor_ids`` (the n_codes
+    lowest salted-md5 ids) must equal the head corpus's fresh pick, and
+    the IVF index must already be current for the head (its own ensure
+    ran first; a drifted medoid set rebuilds there and changes every
+    residual, so the codes must rebuild too — enforced here by checking
+    the IVF meta's corpus signature). Any drift, delete or update →
+    full rebuild. Bit-equality of the maintained index vs a fresh full
+    build is pinned in tests/test_ann_index.py. Returns meta plus
+    ``maintenance`` ∈ {'current', 'incremental', 'rebuilt'}."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        read_versioned,
+        table_versions,
+    )
+
+    corpus = read_versioned(spark, table_dir)
+    meta = _read_meta(spark, os.path.join(out_dir, "meta.parquet"))
+    n, sig = None, None
+
+    def params_match(m: dict) -> bool:
+        return (
+            m.get("family") == "ivfpq_residual"
+            and m.get("codebook_salt") == "res:"
+            and int(m["n_segments"]) == n_segments
+            and int(m["seg_dim"]) == seg_dim
+            and int(m["n_codes"]) == n_codes
+        )
+
+    def is_current(m: dict) -> bool:
+        nonlocal n, sig
+        if not params_match(m):
+            return False
+        if n is None:
+            n, sig = corpus_signature(corpus, id_col)
+        return int(m["n_vectors"]) == n and int(m["corpus_sig"]) == sig
+
+    if meta is not None and is_current(meta) and "indexed_version" in meta:
+        return {**meta, "maintenance": "current"}
+    head = None
+    if (
+        meta is not None
+        and params_match(meta)
+        and "indexed_version" in meta
+        and meta.get("anchor_ids")
+    ):
+        head, new_ids = _additive_new_ids(
+            spark, table_dir, int(meta["indexed_version"]), id_col
+        )
+        ivf_meta = _read_meta(spark, os.path.join(ivf_dir, "meta.parquet"))
+        if n is None:
+            n, sig = corpus_signature(corpus, id_col)
+        ivf_current = (
+            ivf_meta is not None
+            and int(ivf_meta["n_vectors"]) == n
+            and int(ivf_meta["corpus_sig"]) == sig
+        )
+        if new_ids is not None and ivf_current:
+            fresh_anchors = ",".join(
+                str(r["cid"])
+                for r in corpus.select(F.col(id_col).alias("cid"))
+                .withColumn(
+                    "__ak",
+                    F.md5(F.concat(F.lit("res:"), F.col("cid").cast("string"))),
+                )
+                .orderBy("__ak", "cid")
+                .limit(n_codes)
+                .collect()
+            )
+            if fresh_anchors == meta["anchor_ids"]:
+                med = spark.read.parquet(os.path.join(ivf_dir, "cells.parquet"))
+                assign = spark.read.parquet(
+                    os.path.join(ivf_dir, "assignments.parquet")
+                )
+                saved_cb = spark.read.parquet(
+                    os.path.join(out_dir, "codebook.parquet")
+                )
+                codes_path = os.path.join(out_dir, "codes.parquet")
+                dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                newc = (
+                    corpus.join(new_ids, id_col, "semi")
+                    .select(F.col(id_col).alias("cid"), dv.alias("v"))
+                )
+                # crash idempotence: skip ids whose codes already landed
+                done = spark.read.parquet(codes_path).select("cid").distinct()
+                newc = newc.join(done, "cid", "left_anti")
+                res = (
+                    newc.join(assign, "cid")
+                    .join(F.broadcast(med.select("cell", "mv")), "cell")
+                    .select("cid", _residual("v", "mv").alias("rv"))
+                )
+                joined = res.crossJoin(F.broadcast(saved_cb))
+                seg_structs = F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            _seg_dist("rv", "ar", s, seg_dim).alias("d"),
+                        )
+                        for s in range(n_segments)
+                    ]
+                )
+                new_codes = (
+                    joined.select("cid", "code", F.explode(seg_structs).alias("sd"))
+                    .groupBy("cid", F.col("sd.s").alias("s"))
+                    .agg(
+                        F.min(
+                            F.struct(F.col("sd.d").alias("d"), F.col("code"))
+                        ).alias("m")
+                    )
+                    .select("cid", "s", F.col("m.code").alias("code"))
+                )
+                new_codes.write.mode("append").parquet(codes_path)
+                new_meta = {
+                    **{k: meta[k] for k in (
+                        "family", "codebook_salt", "n_segments", "seg_dim",
+                        "n_codes", "id_col", "vec_col", "anchor_ids",
+                    )},
+                    "n_vectors": n,
+                    "corpus_sig": sig,
+                    "indexed_version": head,
+                }
+                _write_meta(spark, os.path.join(out_dir, "meta.parquet"), new_meta)
+                return {**new_meta, "maintenance": "incremental"}
+    head = head if head is not None else table_versions(spark, table_dir)[-1]
+    tmp = f"{out_dir}.build.{os.getpid()}"
+    build_ivfpq_residual_index(
+        corpus, tmp, ivf_dir, n_segments, seg_dim, n_codes, id_col, vec_col
+    )
+    installed = _install_index(spark, tmp, out_dir, is_current)
+    stamped = {**installed, "indexed_version": head}
+    stamped.pop("maintenance", None)
+    _write_meta(spark, os.path.join(out_dir, "meta.parquet"), stamped)
+    return {**stamped, "maintenance": "rebuilt"}
 
 
 def ivfpq_residual_topk_prebuilt(

@@ -30,6 +30,92 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental ANN maintenance over a delta-committed corpus
+# ---------------------------------------------------------------------------
+
+# the incrementally-maintained index serves answers bit-identical to a
+# fresh full build (the medoid-drift exactness threshold), so this query
+# shares the fresh-build IVF oracle verbatim — a green row proves the
+# O(delta) maintenance path converged on the full-build artifact
+from funnel_report_etl_pipeline__spark.plans import pipeline_ops  # noqa: E402,F401
+from funnel_report_etl_pipeline__spark.plans.registry import REGISTRY  # noqa: E402
+
+_IVF_ORACLE = REGISTRY["similarity_ann_ivf"].oracle
+
+
+@register(
+    "ann_ivf_incremental",
+    oracle=_IVF_ORACLE,
+    tags=("pipeline-r12", "similarity", "ann", "index", "versioning"),
+    # bench=False: builds a per-run versioned corpus table + two index
+    # generations (side-effectful commit/build latency, not throughput)
+    bench=False,
+)
+def ann_ivf_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance composed with the versioned table
+    (operators/ann_index.py::ensure_ivf_index_versioned — round-11
+    verdict ask #4): the corpus lands as a versioned table missing a
+    deterministic slice, the index builds against it, the slice arrives
+    as a DELTA commit, and maintenance re-encodes ONLY the delta (the
+    slice deliberately avoids the 64 lowest-md5 ids, so the medoid set
+    is provably unchanged and the exactness threshold admits the
+    incremental path — the query RAISES if maintenance reports anything
+    but 'incremental', making the external green row a proof the
+    O(delta) fast path ran). Serving then answers from the maintained
+    index over the full corpus and must hash-match the fresh-build IVF
+    oracle — bit-equality of incremental vs full rebuild, checked
+    externally. The drift/delete rebuild side and the O(delta)
+    row-count probe are pinned in tests/test_ann_index.py."""
+    import shutil
+    import tempfile
+
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        cosine_topk_ivf_prebuilt,
+        ensure_ivf_index_versioned,
+    )
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        append_versioned,
+        write_versioned,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="spark_graft_ann_inc_")
+    try:
+        low = [
+            r["vec_id"]
+            for r in emb.select("vec_id")
+            .withColumn("__k", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("__k", "vec_id")
+            .limit(64)
+            .collect()
+        ]
+        delta = emb.filter(
+            (F.col("vec_id") % 7 == 3) & ~F.col("vec_id").isin(*low)
+        )
+        tbl = f"{root}/corpus"
+        idx = f"{root}/ivf"
+        write_versioned(emb.subtract(delta), tbl, id_col="vec_id")
+        first = ensure_ivf_index_versioned(spark, tbl, idx, n_cells=16)
+        append_versioned(delta, tbl, id_col="vec_id")
+        second = ensure_ivf_index_versioned(spark, tbl, idx, n_cells=16)
+        if (first["maintenance"], second["maintenance"]) != ("rebuilt", "incremental"):
+            raise RuntimeError(
+                f"expected initial build then incremental maintenance, got "
+                f"{first['maintenance']!r} then {second['maintenance']!r}"
+            )
+        queries = emb.filter(F.col("vec_id") < 10)
+        served = cosine_topk_ivf_prebuilt(emb, queries, idx, k=5, n_probe=2).orderBy(
+            "qid", "rnk"
+        )
+        # the per-run index dir is deleted in finally — materialize the
+        # audit-grain result (|Q|·k = 50 rows) before the cleanup, the
+        # same shape as the sibling versioned audits
+        return spark.createDataFrame(served.collect(), served.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Atomic MERGE: upsert as one commit, audited with the update-aware CDF
 # ---------------------------------------------------------------------------
 #

@@ -137,7 +137,10 @@ _WINDOW: tuple[str, ...] = (
     "lang_id_confusion",
     # graph:
     "community_modularity",
-    "two_hop_reach",
+    # (r9-rotation keeper two_hop_reach rotated out in round 12 —
+    # external rows r09+r10+r11; the graph family keeps its window
+    # presence via community_modularity — its slot goes to
+    # ann_ivf_incremental)
     # relational / profiling:
     # (r9-rotation keeper table_profile_orders rotated out in round 11 —
     # external rows r09+r10; column_stats_orders keeps the profiling
@@ -233,8 +236,12 @@ _WINDOW: tuple[str, ...] = (
     # round-12 registrations — windowed from day one: atomic MERGE
     # (upsert as ONE commit carrying add + tombstone dirs) audited with
     # the update-aware CDF (displaces r9-rotation keeper
-    # cumulative_unique_users, external rows r09+r10+r11)
+    # cumulative_unique_users, external rows r09+r10+r11), and
+    # incremental ANN maintenance over a delta-committed corpus (the
+    # O(delta) fast path proven by the fresh-build oracle; displaces
+    # r9-rotation keeper two_hop_reach, external rows r09+r10+r11)
     "versioned_merge_audit",
+    "ann_ivf_incremental",
 )
 
 

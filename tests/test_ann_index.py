@@ -437,3 +437,199 @@ def test_residual_beats_raw_recall_at_identical_bytes(spark, tmp_path):
         ivfpq_residual_topk_prebuilt(q, ivf, res, k=1000, n_probe=2).collect()
     )
     assert res_err < raw_err, (res_err, raw_err)  # measured ~1.29 vs ~2.0
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance over a delta-committed corpus (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _versioned_corpus_with_clean_delta(spark, tmp_path):
+    """A versioned corpus table whose delta deliberately avoids both
+    quantizer-defining id regions (the 64 lowest ids by raw AND salted
+    md5), so the delta append leaves medoids and anchors unchanged and
+    the incremental path MUST apply."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import write_versioned
+
+    emb = _emb(spark)
+    lowm = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .withColumn("k", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("k", "vec_id").limit(64).collect()
+    ]
+    lowa = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .withColumn(
+            "k", F.md5(F.concat(F.lit("res:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("k", "vec_id").limit(64).collect()
+    ]
+    excl = set(lowm) | set(lowa)
+    delta = emb.filter(
+        (F.col("vec_id") % 7 == 3) & ~F.col("vec_id").isin(*excl)
+    )
+    base = emb.subtract(delta)
+    tbl = str(tmp_path / "corpus")
+    write_versioned(base, tbl, id_col="vec_id")
+    return emb, base, delta, tbl
+
+
+def test_incremental_maintenance_encodes_only_the_delta(spark, tmp_path):
+    """The O(delta) contract: after a delta append, maintenance (a) takes
+    the incremental path, (b) appends EXACTLY |delta| assignment rows and
+    |delta|·n_segments code rows, and (c) never rewrites a pre-existing
+    part file (mtimes untouched — the ensure-shards idiom)."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        ensure_ivf_index_versioned,
+        ensure_ivfpq_residual_index_versioned,
+    )
+    from funnel_report_etl_pipeline__spark.sources.sinks import append_versioned
+
+    emb, base, delta, tbl = _versioned_corpus_with_clean_delta(spark, tmp_path)
+    ivf, res = str(tmp_path / "ivf"), str(tmp_path / "res")
+    assert ensure_ivf_index_versioned(spark, tbl, ivf)["maintenance"] == "rebuilt"
+    assert (
+        ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)["maintenance"]
+        == "rebuilt"
+    )
+    # second run with no corpus change: current, nothing touched
+    before = {**_mtimes(ivf), **_mtimes(res)}
+    assert ensure_ivf_index_versioned(spark, tbl, ivf)["maintenance"] == "current"
+    assert (
+        ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)["maintenance"]
+        == "current"
+    )
+    assert {**_mtimes(ivf), **_mtimes(res)} == before
+
+    append_versioned(delta, tbl, id_col="vec_id")
+    n_delta = delta.count()
+    a_pre = spark.read.parquet(os.path.join(ivf, "assignments.parquet")).count()
+    c_pre = spark.read.parquet(os.path.join(res, "codes.parquet")).count()
+    pre_assign_files = _mtimes(os.path.join(ivf, "assignments.parquet"))
+    m = ensure_ivf_index_versioned(spark, tbl, ivf)
+    r = ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)
+    assert m["maintenance"] == "incremental" and r["maintenance"] == "incremental"
+    spark.catalog.refreshByPath(os.path.join(ivf, "assignments.parquet"))
+    spark.catalog.refreshByPath(os.path.join(res, "codes.parquet"))
+    a_post = spark.read.parquet(os.path.join(ivf, "assignments.parquet")).count()
+    c_post = spark.read.parquet(os.path.join(res, "codes.parquet")).count()
+    assert a_post - a_pre == n_delta
+    assert c_post - c_pre == n_delta * 8
+    # append-only: every pre-existing assignment part file untouched
+    post = _mtimes(os.path.join(ivf, "assignments.parquet"))
+    for p, t in pre_assign_files.items():
+        assert post.get(p) == t, f"rewrote {p}"
+
+
+def test_incremental_index_is_bit_identical_to_full_rebuild(spark, tmp_path):
+    """The drift threshold's payoff: with the quantizer id sets
+    unchanged, the incrementally-maintained index equals a from-scratch
+    full build row for row, and the served top-k is identical."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        build_ivf_medoid_index,
+        build_ivfpq_residual_index,
+        ensure_ivf_index_versioned,
+        ensure_ivfpq_residual_index_versioned,
+        ivfpq_residual_topk_prebuilt,
+    )
+    from funnel_report_etl_pipeline__spark.sources.sinks import append_versioned
+
+    emb, base, delta, tbl = _versioned_corpus_with_clean_delta(spark, tmp_path)
+    ivf, res = str(tmp_path / "ivf"), str(tmp_path / "res")
+    ensure_ivf_index_versioned(spark, tbl, ivf)
+    ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)
+    append_versioned(delta, tbl, id_col="vec_id")
+    assert ensure_ivf_index_versioned(spark, tbl, ivf)["maintenance"] == "incremental"
+    assert (
+        ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)["maintenance"]
+        == "incremental"
+    )
+    fivf, fres = str(tmp_path / "fivf"), str(tmp_path / "fres")
+    build_ivf_medoid_index(emb, fivf, 16)
+    build_ivfpq_residual_index(emb, fres, fivf)
+    a_inc = {
+        (r["cid"], r["cell"])
+        for r in spark.read.parquet(os.path.join(ivf, "assignments.parquet")).collect()
+    }
+    a_ful = {
+        (r["cid"], r["cell"])
+        for r in spark.read.parquet(os.path.join(fivf, "assignments.parquet")).collect()
+    }
+    assert a_inc == a_ful
+    c_inc = {
+        (r["cid"], r["s"], r["code"])
+        for r in spark.read.parquet(os.path.join(res, "codes.parquet")).collect()
+    }
+    c_ful = {
+        (r["cid"], r["s"], r["code"])
+        for r in spark.read.parquet(os.path.join(fres, "codes.parquet")).collect()
+    }
+    assert c_inc == c_ful
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    s_inc = sorted(
+        tuple(r) for r in ivfpq_residual_topk_prebuilt(q, ivf, res, k=5, n_probe=2).collect()
+    )
+    s_ful = sorted(
+        tuple(r)
+        for r in ivfpq_residual_topk_prebuilt(q, fivf, fres, k=5, n_probe=2).collect()
+    )
+    assert s_inc == s_ful
+
+
+def test_maintenance_rebuilds_on_drift_or_delete(spark, tmp_path):
+    """The other side of the threshold: (a) a delta that CHANGES the
+    medoid set (contains the corpus's lowest-md5 id) must full-rebuild —
+    serving from stale cells would silently change results vs a fresh
+    build; (b) a delete in the span must full-rebuild — the removed
+    vector has to leave the assignments."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        build_ivf_medoid_index,
+        ensure_ivf_index_versioned,
+    )
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        append_versioned,
+        delete_versioned,
+        write_versioned,
+    )
+
+    emb = _emb(spark)
+    low1 = (
+        emb.select("vec_id")
+        .withColumn("k", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("k", "vec_id").limit(1).collect()[0]["vec_id"]
+    )
+    tbl = str(tmp_path / "corpus")
+    write_versioned(emb.filter(F.col("vec_id") != low1), tbl, id_col="vec_id")
+    ivf = str(tmp_path / "ivf")
+    ensure_ivf_index_versioned(spark, tbl, ivf)
+    # (a) the appended id takes over cell 0 -> drift -> rebuild
+    append_versioned(emb.filter(F.col("vec_id") == low1), tbl, id_col="vec_id")
+    m = ensure_ivf_index_versioned(spark, tbl, ivf)
+    assert m["maintenance"] == "rebuilt"
+    # the rebuilt index equals a fresh full build over the head corpus
+    fivf = str(tmp_path / "fivf")
+    build_ivf_medoid_index(emb, fivf, 16)
+    a = {
+        (r["cid"], r["cell"])
+        for r in spark.read.parquet(os.path.join(ivf, "assignments.parquet")).collect()
+    }
+    b = {
+        (r["cid"], r["cell"])
+        for r in spark.read.parquet(os.path.join(fivf, "assignments.parquet")).collect()
+    }
+    assert a == b
+    # (b) delete -> rebuild, and the deleted ids left the index
+    delete_versioned(
+        spark, tbl, emb.filter("vec_id % 9 = 2").select("vec_id"), id_col="vec_id"
+    )
+    m2 = ensure_ivf_index_versioned(spark, tbl, ivf)
+    assert m2["maintenance"] == "rebuilt"
+    spark.catalog.refreshByPath(os.path.join(ivf, "assignments.parquet"))
+    left = {
+        r["cid"]
+        for r in spark.read.parquet(os.path.join(ivf, "assignments.parquet")).collect()
+    }
+    gone = {r["vec_id"] for r in emb.filter("vec_id % 9 = 2").collect()}
+    assert not (left & gone)

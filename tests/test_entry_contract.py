@@ -58,7 +58,7 @@ def test_driver_window_composition_pinned():
     # equidepth_price_histogram, asof_join_nearest and (round 12)
     # cumulative_unique_users (each holds committed external rows, so
     # they may sit outside per the standing budget contract below)
-    assert window[-8:] == [
+    assert window[-9:] == [
         "versioned_vacuum_audit",
         "ann_ivfpq_residual",
         "versioned_compact_audit",
@@ -67,6 +67,7 @@ def test_driver_window_composition_pinned():
         "rrf_trimodal_fusion",
         "versioned_tombstone_audit",
         "versioned_merge_audit",
+        "ann_ivf_incremental",
     ]
     specs = load_all()
     parity = [n for n, s in specs.items() if s.fn.__module__.endswith(".parity")]
@@ -97,14 +98,15 @@ def test_driver_window_composition_pinned():
     # four r9-rotation keepers earned external rows in r09/r10 and
     # rotated out in round 11 (slots went to late_interaction_maxsim /
     # _pruned / rrf_trimodal_fusion / versioned_tombstone_audit);
-    # cumulative_unique_users (rows r09-r11) rotated out in round 12
-    # (slot to versioned_merge_audit); the rest of the r9 rotation
-    # still holds its window seats
+    # cumulative_unique_users and two_hop_reach (rows r09-r11) rotated
+    # out in round 12 (slots to versioned_merge_audit /
+    # ann_ivf_incremental); the rest of the r9 rotation still holds its
+    # window seats
     assert (
         rotated_in_r9
         - {"window_dist_funcs", "equidepth_price_histogram",
            "asof_join_nearest", "table_profile_orders",
-           "cumulative_unique_users"}
+           "cumulative_unique_users", "two_hop_reach"}
     ) <= set(window)
     import json
     from pathlib import Path

@@ -415,6 +415,9 @@ WINDOW_SHUFFLE_BUDGET = {
     # snapshot/delta/merge/recommit history and its per-pair CDF
     # readouts all run inside fn())
     "versioned_merge_audit": 0,
+    # returned frame is the collected 50-row serve result re-created
+    # (the per-run corpus table + index builds run inside fn())
+    "ann_ivf_incremental": 0,
 }
 
 
