@@ -1,5 +1,5 @@
-"""Round-12 queries: atomic MERGE (upsert) for the versioned table and
-the update-aware change-data feed.
+"""Round-12 queries: atomic MERGE (upsert) for the versioned table, the
+update-aware change-data feed, and incremental ANN maintenance.
 
 * `versioned_merge_audit` — the versioned-table protocol's upsert story
   (sources/sinks.py::merge_versioned): ONE commit carries both an
@@ -11,10 +11,16 @@ the update-aware change-data feed.
   -> physical 'update'), and the fallback's payload-fingerprint update
   detection across a snapshot recommit (payload-only changes were
   invisible to membership diffs — round-11 advice item #2).
+* `ann_ivf_incremental` — incremental index maintenance over a
+  delta-committed corpus (operators/ann_index.py::
+  ensure_ivf_index_versioned, round-11 verdict ask #4): an additive
+  delta re-encodes only the new vectors; the medoid-drift exactness
+  threshold makes the maintained index bit-identical to a fresh full
+  build, proven externally by sharing the fresh-build IVF oracle.
 
 Reference parity note: the reference engine (report_engine.py /
-run_reports.py) has no storage/versioning surface — this extends the
-beyond-reference LLM-data-pipeline families per the round brief.
+run_reports.py) has no storage/versioning/ANN surface — this extends
+the beyond-reference LLM-data-pipeline families per the round brief.
 """
 
 from __future__ import annotations

@@ -518,7 +518,7 @@ def compact_small_files(
 _MANIFEST_BASE_SCHEMA = (
     "version long, n_rows long, content_checksum long, batch_id long, "
     "kind string, data_dir string, n_delta long, tomb_dir string, "
-    "n_tomb long"
+    "n_tomb long, commit_ts long"
 )
 
 
@@ -570,6 +570,7 @@ def _cas_commit_manifest(
     administrative actor), like Delta's."""
     import os
     import shutil
+    import time
 
     extra = extra or {}
     vdir = os.path.join(table_dir, "_versions")
@@ -612,6 +613,12 @@ def _cas_commit_manifest(
                     n_delta,
                     tomb_dir,
                     int(n_tomb),
+                    # wall-clock commit stamp (epoch micros): timestamp
+                    # time travel resolves through it. Stamped inside the
+                    # CAS loop so a retried commit carries its ACTUAL
+                    # commit time, and monotone per table because commits
+                    # are linearized by the rename
+                    time.time_ns() // 1_000,
                     *(int(v) for v in extra.values()),
                 )
             ],
@@ -1257,6 +1264,36 @@ def read_versioned_as_of_batch(
             f"no committed version carries batch_id={batch_id} in {table_dir}"
         )
     return read_versioned(spark, table_dir, int(rows[0]["version"]))
+
+
+def read_versioned_as_of_timestamp(
+    spark: SparkSession, table_dir: str, ts_micros: int
+) -> DataFrame:
+    """Time travel addressed by WALL-CLOCK time (Delta's `TIMESTAMP AS
+    OF`): the table as of the LATEST commit whose ``commit_ts`` (epoch
+    micros, stamped inside the CAS loop so it reflects actual commit
+    order) is ≤ ``ts_micros``. Manifests from the pre-commit_ts protocol
+    (NULL commit_ts) are treated as arbitrarily old — they are eligible
+    at any requested time, which keeps legacy tables readable and can
+    only ever select an OLDER version than the true answer. Raises if no
+    commit is old enough (a time before the table existed is not a
+    readable point)."""
+    rows = _manifest_rows(spark, table_dir)
+    if not rows:
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
+    eligible = [
+        int(r["version"])
+        for r in rows
+        if ("commit_ts" not in r.__fields__)
+        or r["commit_ts"] is None
+        or int(r["commit_ts"]) <= int(ts_micros)
+    ]
+    if not eligible:
+        raise FileNotFoundError(
+            f"no commit in {table_dir} at or before ts={ts_micros}; the "
+            f"earliest commit is newer than the requested time"
+        )
+    return read_versioned(spark, table_dir, max(eligible))
 
 
 def delete_versioned(

@@ -430,6 +430,7 @@ def write_stream_versioned(
     query_name: str = "versioned_sink",
     trigger: dict | None = None,
     auto_compact_chain: int | None = None,
+    mode: str = "append",
 ):
     """Streaming ingestion into a VERSIONED table (sources/sinks.py):
     each micro-batch commits one version whose manifest carries the
@@ -461,9 +462,15 @@ def write_stream_versioned(
     a policy, rewrite amortized to O(snapshot/max_chain) bytes per
     ingested byte). The compacted version is a normal snapshot commit
     with a NULL batch_id, so the exactly-once ledger (delta commits'
-    batch ids) is untouched and replays are still recognized."""
+    batch ids) is untouched and replays are still recognized.
+
+    ``mode='merge'`` turns the sink into streaming UPSERT ingest (CDC
+    apply): each micro-batch replaces its matched ids and inserts the
+    rest as one atomic merge commit — see `commit_stream_batch`."""
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        committed = commit_stream_batch(batch_df, table_dir, id_col, batch_id)
+        committed = commit_stream_batch(
+            batch_df, table_dir, id_col, batch_id, mode=mode
+        )
         if committed and auto_compact_chain is not None:
             from funnel_report_etl_pipeline__spark.sources.sinks import (
                 maybe_compact_versioned,
@@ -483,7 +490,8 @@ def write_stream_versioned(
 
 
 def commit_stream_batch(
-    batch_df: DataFrame, table_dir: str, id_col: str, batch_id: int
+    batch_df: DataFrame, table_dir: str, id_col: str, batch_id: int,
+    mode: str = "append",
 ) -> bool:
     """The guarded exactly-once commit `write_stream_versioned` runs per
     micro-batch (module-level so the replay guard is directly testable —
@@ -494,7 +502,16 @@ def commit_stream_batch(
     rather than guess (the round-10 fail-open, where schema inference
     dropped the column on mixed batch+stream tables; `version_manifest`
     now mergeSchema-reads and every writer stamps the column, so this
-    raise only fires on legacy/corrupt logs)."""
+    raise only fires on legacy/corrupt logs).
+
+    ``mode='append'`` delta-commits the batch (insert-only ingest).
+    ``mode='merge'`` UPSERTS it (the CDC-apply shape: a re-keyed row
+    replaces the live row atomically via `merge_versioned`'s combined
+    add+tombstone commit; the first batch bootstraps the table as a
+    snapshot). Merge batches must be id-unique — `merge_versioned`
+    raises on duplicates, so a CDC source with several updates per id
+    per batch must pre-reduce to its latest row (an ordering the SOURCE
+    defines; silently keeping an arbitrary one would be wrong)."""
     from funnel_report_etl_pipeline__spark.sources.sinks import (
         append_versioned,
         version_manifest,
@@ -514,7 +531,22 @@ def commit_stream_batch(
     # stamp-after-commit window), and the CAS commit protocol makes a
     # crashed attempt an invisible orphan, so a crash anywhere in here
     # replays cleanly
-    append_versioned(batch_df, table_dir, id_col=id_col, batch_id=batch_id)
+    if mode == "merge":
+        from funnel_report_etl_pipeline__spark.sources.sinks import (
+            merge_versioned,
+            table_versions,
+            write_versioned,
+        )
+
+        if not table_versions(spark, table_dir):
+            # bootstrap: the first batch IS the table (merge needs a head)
+            write_versioned(batch_df, table_dir, id_col=id_col, batch_id=batch_id)
+        else:
+            merge_versioned(
+                spark, table_dir, batch_df, id_col=id_col, batch_id=batch_id
+            )
+    else:
+        append_versioned(batch_df, table_dir, id_col=id_col, batch_id=batch_id)
     return True
 
 
@@ -547,6 +579,7 @@ def stream_versioned_changes(
     emit,
     query_name: str = "cdf_stream",
     trigger: dict | None = None,
+    detect_updates: bool = False,
 ):
     """The change-data feed as a STREAMING consumer: `readStream` over
     the commit log, and for each newly committed version emit only what
@@ -559,7 +592,11 @@ def stream_versioned_changes(
     no join); snapshot-kind commits fall back to the id anti-join diff.
     The per-batch `.collect()` is commit-log grain (one row per
     version), never data grain. Version 1 emits against from_version=0:
-    every row of the first snapshot is an insert."""
+    every row of the first snapshot is an insert. ``detect_updates``
+    passes through to `version_changes`: merge commits then emit
+    'update' for their matched ids and snapshot recommits emit 'update'
+    for payload-only changes — the streamed feed for a replica that
+    applies updates in place rather than as delete+insert."""
     from funnel_report_etl_pipeline__spark.sources.sinks import (
         read_versioned,
         version_changes,
@@ -576,7 +613,14 @@ def stream_versioned_changes(
                 )
                 emit(first, 0, 1)
             else:
-                emit(version_changes(spark, table_dir, v - 1, v, id_col), v - 1, v)
+                emit(
+                    version_changes(
+                        spark, table_dir, v - 1, v, id_col,
+                        detect_updates=detect_updates,
+                    ),
+                    v - 1,
+                    v,
+                )
 
     return (
         commits.writeStream.foreachBatch(_proc)

@@ -326,7 +326,7 @@ def test_legacy_v1_layout_remains_readable(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def _drain_cdf(spark, table_dir, ckpt, name):
+def _drain_cdf(spark, table_dir, ckpt, name, detect_updates=False):
     """Run stream_versioned_changes with availableNow and collect every
     emit as (from_version, to_version, id, _change_type) pandas rows."""
     from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
@@ -342,7 +342,8 @@ def _drain_cdf(spark, table_dir, ckpt, name):
         emitted.append(pdf)
 
     q = stream_versioned_changes(
-        spark, table_dir, ckpt, "doc_id", emit, query_name=name
+        spark, table_dir, ckpt, "doc_id", emit, query_name=name,
+        detect_updates=detect_updates,
     )
     q.awaitTermination()
     import pandas as pd
@@ -829,6 +830,84 @@ def test_readd_after_tombstone_with_schema_evolution(spark, tmp_path):
     rows = {r["doc_id"]: r["quality"] for r in out.collect()}
     assert sorted(rows) == [0, 2, 3, 4, 5, 6, 7]  # 1 stays dead, 5 re-added
     assert rows[5] == 0.7 and rows[0] is None
+
+
+def test_stream_cdf_emits_updates_over_merge_history(spark, tmp_path):
+    """detect_updates through the STREAMED feed: a merge commit's
+    emission splits new ids (insert) from rewritten ids (update)."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import merge_versioned
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 8"), t, id_col="doc_id")
+    merge_versioned(
+        spark, t,
+        docs.filter("doc_id IN (2, 5, 30)").withColumn("text", F.lit("m")),
+        id_col="doc_id",
+    )
+    got = _drain_cdf(
+        spark, t, str(tmp_path / "ckpt"), "cdf_upd", detect_updates=True
+    )
+    v2 = got[got["to_version"] == 2]
+    assert set(zip(v2["doc_id"], v2["_change_type"])) == {
+        (30, "insert"), (2, "update"), (5, "update"),
+    }
+
+
+def test_commit_stream_batch_merge_mode_is_cdc_apply(spark, tmp_path):
+    """Streaming UPSERT ingest: mode='merge' bootstraps on the first
+    batch, then each batch atomically replaces matched ids and inserts
+    new ones; the ledger still recognizes replays; every intermediate
+    state stays time-travel-readable."""
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    b0 = docs.filter("doc_id < 10")
+    b1 = docs.filter("doc_id >= 5 AND doc_id < 13").withColumn("text", F.lit("v2"))
+    b2 = docs.filter("doc_id IN (0, 12)").withColumn("text", F.lit("v3"))
+    assert commit_stream_batch(b0, t, "doc_id", 0, mode="merge") is True
+    assert commit_stream_batch(b1, t, "doc_id", 1, mode="merge") is True
+    assert commit_stream_batch(b2, t, "doc_id", 2, mode="merge") is True
+    rows = {r["doc_id"]: r["text"] for r in read_versioned(spark, t).collect()}
+    assert sorted(rows) == list(range(13))
+    assert rows[0] == "v3" and rows[12] == "v3"
+    assert all(rows[i] == "v2" for i in range(5, 12))
+    assert not rows[1].startswith("v")  # original corpus payload
+    m = version_manifest(spark, t).orderBy("version").collect()
+    assert [r["kind"] for r in m] == ["snapshot", "merge", "merge"]
+    assert [r["batch_id"] for r in m] == [0, 1, 2]
+    # crash replay of any batch is recognized by the ledger
+    assert commit_stream_batch(b1, t, "doc_id", 1, mode="merge") is False
+    assert table_versions(spark, t) == [1, 2, 3]
+    # intermediate state: after batch 1, id 12 held the v2 payload
+    mid = {r["doc_id"]: r["text"] for r in read_versioned(spark, t, 2).collect()}
+    assert mid[12] == "v2" and mid[0] != "v3"
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: the commit_ts stamped inside the CAS loop
+    resolves a wall-clock time to the latest commit at or before it;
+    a time before the table existed raises."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        read_versioned_as_of_timestamp,
+    )
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    t_before = _time.time_ns() // 1_000
+    write_versioned(docs.filter("doc_id < 10"), t, id_col="doc_id")
+    t_mid = _time.time_ns() // 1_000
+    append_versioned(docs.filter("doc_id >= 10 AND doc_id < 15"), t, id_col="doc_id")
+    assert read_versioned_as_of_timestamp(spark, t, t_mid).count() == 10
+    assert (
+        read_versioned_as_of_timestamp(spark, t, _time.time_ns() // 1_000).count()
+        == 15
+    )
+    with _pytest.raises(FileNotFoundError, match="no commit"):
+        read_versioned_as_of_timestamp(spark, t, t_before)
 
 
 # ---------------------------------------------------------------------------

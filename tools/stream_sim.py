@@ -1018,6 +1018,92 @@ def main() -> int:
         )
         return res
 
+    # 15. streaming MERGE ingest (CDC apply) — each time slice upserts its
+    #     per-user stats (commit_stream_batch mode='merge', the sink's
+    #     commit path, module-level like case 7's replay drive): the final
+    #     table must hold each user's LAST-slice stats — hash parity
+    #     against a batch latest-state twin — with a [snapshot, merge...]
+    #     history, a recognized replay, and time-travel to every
+    #     intermediate CDC state.
+    def _merge_ingest():
+        from funnel_report_etl_pipeline__spark.sources.sinks import (
+            read_versioned,
+            table_versions,
+            version_manifest,
+        )
+        from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+            commit_stream_batch,
+        )
+        from pyspark.sql import Window
+
+        t = f"{tmp}/cdc_table"
+        slices = sorted(
+            f for f in os.listdir(ev_dir) if f.endswith(".parquet")
+        )
+
+        def slice_stats(i: int):
+            return (
+                spark.read.parquet(f"{ev_dir}/{slices[i]}")
+                .groupBy("user_id")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(22,6)"))
+                    .cast("double")
+                    .alias("total_value"),
+                )
+            )
+
+        for i in range(len(slices)):
+            assert commit_stream_batch(
+                slice_stats(i), t, "user_id", i, mode="merge"
+            ) is True
+        # forced replay of the last batch: ledger recognizes it
+        replay_skipped = (
+            commit_stream_batch(
+                slice_stats(len(slices) - 1), t, "user_id",
+                len(slices) - 1, mode="merge",
+            )
+            is False
+        )
+        s = read_versioned(spark, t).toPandas()
+        # batch latest-state twin: per user, the stats of the LAST slice
+        # that contains the user
+        parts = [
+            spark.read.parquet(f"{ev_dir}/{f}").withColumn("__b", F.lit(i))
+            for i, f in enumerate(slices)
+        ]
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        per_slice = allp.groupBy("user_id", "__b").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        w = Window.partitionBy("user_id").orderBy(F.col("__b").desc())
+        b = (
+            per_slice.withColumn("__r", F.row_number().over(w))
+            .filter("__r = 1")
+            .drop("__b", "__r")
+            .toPandas()
+        )
+        res = _canon_ok(s, b)
+        m = version_manifest(spark, t).orderBy("version").collect()
+        kinds = [r["kind"] for r in m]
+        res["replay_skipped"] = replay_skipped
+        res["kinds"] = kinds
+        res["n_versions"] = len(table_versions(spark, t))
+        # time travel: version 1 is exactly slice 0's stats
+        v1 = read_versioned(spark, t, 1).count()
+        res["v1_rows_ok"] = v1 == slice_stats(0).count()
+        res["hash_match"] = bool(
+            res["hash_match"] and replay_skipped and res["v1_rows_ok"]
+            and kinds[0] == "snapshot"
+            and all(k == "merge" for k in kinds[1:])
+        )
+        return res
+
     run("idempotent_parquet_sink", _sink)
     run("late_data_drop", _late)
     run("view_purchase_attribution_outer", _attrib_outer)
@@ -1025,6 +1111,7 @@ def main() -> int:
     run("versioned_cdf_stream", _cdf)
     run("versioned_ingest_compacting", _versioned_ingest)
     run("versioned_replication_exactly_once", _replication)
+    run("versioned_merge_ingest_cdc", _merge_ingest)
     run("restart_replay", _restart)
 
     n_pass = sum(1 for r in results.values() if r.get("hash_match"))
