@@ -286,7 +286,18 @@ def ensure_ivf_index_versioned(
         return int(m["n_vectors"]) == n and int(m["corpus_sig"]) == sig
 
     head = None
-    if meta is not None and is_current(meta) and "indexed_version" in meta:
+    if meta is not None and is_current(meta):
+        if "indexed_version" not in meta:
+            # a signature-current index built by the plain ensure_* just
+            # needs the version ledger stamped — the deterministic-build
+            # property makes a rebuild bit-identical, i.e. pure waste
+            from funnel_report_etl_pipeline__spark.sources.sinks import (
+                table_versions as _tv,
+            )
+
+            stamped = {**meta, "indexed_version": _tv(spark, table_dir)[-1]}
+            _write_meta(spark, os.path.join(out_dir, "meta.parquet"), stamped)
+            return {**stamped, "maintenance": "current"}
         return {**meta, "maintenance": "current"}
     if meta is not None and params_match(meta) and "indexed_version" in meta:
         head, new_ids = _additive_new_ids(
@@ -320,7 +331,12 @@ def ensure_ivf_index_versioned(
                     done, "cid", "left_anti"
                 )
                 fresh.write.mode("append").parquet(assign_path)
-                n2, sig2 = corpus_signature(corpus, id_col)
+                # is_current already computed the head corpus signature
+                # (cached via nonlocal) — recomputing it here would be a
+                # second full id-column pass on the O(delta) path
+                if n is None:
+                    n, sig = corpus_signature(corpus, id_col)
+                n2, sig2 = n, sig
                 new_meta = {
                     **{k: meta[k] for k in (
                         "family", "n_cells", "id_col", "vec_col"
@@ -800,6 +816,15 @@ def build_ivfpq_residual_index(
     # the head corpus's fresh anchor pick — the codebook table itself
     # stores residuals only, so without this the check would be blind
     anchor_ids = ",".join(str(r["cid"]) for r in picked.orderBy("__ak", "cid").collect())
+    # the IVF BUILD IDENTITY (medoid id list) rides in the meta too:
+    # every saved residual and code is relative to THESE cells, so
+    # incremental maintenance must refuse when the IVF index was
+    # rebuilt with different medoids even though the corpus signature
+    # and anchors still match (medoid drift and anchor drift are
+    # independent hash orders — round-12 review finding #1)
+    medoid_ids = ",".join(
+        str(r["mid"]) for r in med.select("cell", "mid").orderBy("cell").collect()
+    )
     meta = {
         "family": "ivfpq_residual",
         "codebook_salt": "res:",  # staleness-checked: unsalted builds are degenerate
@@ -811,6 +836,7 @@ def build_ivfpq_residual_index(
         "n_vectors": n,
         "corpus_sig": sig,
         "anchor_ids": anchor_ids,
+        "medoid_ids": medoid_ids,
     }
     _write_meta(spark, os.path.join(out_dir, "meta.parquet"), meta)
     return meta
@@ -908,92 +934,134 @@ def ensure_ivfpq_residual_index_versioned(
             n, sig = corpus_signature(corpus, id_col)
         return int(m["n_vectors"]) == n and int(m["corpus_sig"]) == sig
 
-    if meta is not None and is_current(meta) and "indexed_version" in meta:
+    if meta is not None and is_current(meta):
+        if "indexed_version" not in meta:
+            # a signature-current index built by the plain ensure_* just
+            # needs the version ledger stamped — rebuilding a provably
+            # bit-identical artifact would waste a full corpus pass
+            from funnel_report_etl_pipeline__spark.sources.sinks import (
+                table_versions as _tv,
+            )
+
+            stamped = {**meta, "indexed_version": _tv(spark, table_dir)[-1]}
+            _write_meta(spark, os.path.join(out_dir, "meta.parquet"), stamped)
+            return {**stamped, "maintenance": "current"}
         return {**meta, "maintenance": "current"}
     head = None
-    if (
-        meta is not None
-        and params_match(meta)
-        and "indexed_version" in meta
-        and meta.get("anchor_ids")
-    ):
+
+    def _try_incremental() -> dict | None:
+        """The additive fast path, or None when any precondition fails
+        (the caller then full-rebuilds). Preconditions, in check order:
+        additive span; IVF index current for the head; IVF BUILD
+        IDENTITY unchanged — the saved medoid id list must equal the
+        live cells' (a medoid-drift rebuild of the IVF half keeps the
+        corpus signature current but changes EVERY residual, so
+        appending delta codes against new cells while keeping old codes
+        would serve a silently inconsistent index — round-12 review
+        finding); anchor id set unchanged; no PARTIAL cid in the saved
+        codes (a crash mid-append can publish a subset of part files,
+        splitting one cid's n_segments rows — stray rows cannot be
+        removed from parquet in place, so partial state rebuilds)."""
+        nonlocal head, n, sig
+        if not (
+            meta is not None
+            and params_match(meta)
+            and "indexed_version" in meta
+            and meta.get("anchor_ids")
+            and meta.get("medoid_ids")
+        ):
+            return None
         head, new_ids = _additive_new_ids(
             spark, table_dir, int(meta["indexed_version"]), id_col
         )
+        if new_ids is None:
+            return None
         ivf_meta = _read_meta(spark, os.path.join(ivf_dir, "meta.parquet"))
         if n is None:
             n, sig = corpus_signature(corpus, id_col)
-        ivf_current = (
+        if not (
             ivf_meta is not None
             and int(ivf_meta["n_vectors"]) == n
             and int(ivf_meta["corpus_sig"]) == sig
+        ):
+            return None
+        med = spark.read.parquet(os.path.join(ivf_dir, "cells.parquet"))
+        live_medoids = ",".join(
+            str(r["mid"])
+            for r in med.select("cell", "mid").orderBy("cell").collect()
         )
-        if new_ids is not None and ivf_current:
-            fresh_anchors = ",".join(
-                str(r["cid"])
-                for r in corpus.select(F.col(id_col).alias("cid"))
-                .withColumn(
-                    "__ak",
-                    F.md5(F.concat(F.lit("res:"), F.col("cid").cast("string"))),
-                )
-                .orderBy("__ak", "cid")
-                .limit(n_codes)
-                .collect()
+        if meta["medoid_ids"] != live_medoids:
+            return None
+        fresh_anchors = ",".join(
+            str(r["cid"])
+            for r in corpus.select(F.col(id_col).alias("cid"))
+            .withColumn(
+                "__ak",
+                F.md5(F.concat(F.lit("res:"), F.col("cid").cast("string"))),
             )
-            if fresh_anchors == meta["anchor_ids"]:
-                med = spark.read.parquet(os.path.join(ivf_dir, "cells.parquet"))
-                assign = spark.read.parquet(
-                    os.path.join(ivf_dir, "assignments.parquet")
+            .orderBy("__ak", "cid")
+            .limit(n_codes)
+            .collect()
+        )
+        if fresh_anchors != meta["anchor_ids"]:
+            return None
+        codes_path = os.path.join(out_dir, "codes.parquet")
+        per_cid = (
+            spark.read.parquet(codes_path)
+            .groupBy("cid")
+            .agg(F.count("*").alias("__k"))
+        )
+        if per_cid.filter(F.col("__k") != n_segments).count() > 0:
+            return None  # partial cid: crash debris → full rebuild
+        assign = spark.read.parquet(os.path.join(ivf_dir, "assignments.parquet"))
+        saved_cb = spark.read.parquet(os.path.join(out_dir, "codebook.parquet"))
+        dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        newc = (
+            corpus.join(new_ids, id_col, "semi")
+            .select(F.col(id_col).alias("cid"), dv.alias("v"))
+            .join(per_cid.select("cid"), "cid", "left_anti")  # idempotence
+        )
+        res = (
+            newc.join(assign, "cid")
+            .join(F.broadcast(med.select("cell", "mv")), "cell")
+            .select("cid", _residual("v", "mv").alias("rv"))
+        )
+        joined = res.crossJoin(F.broadcast(saved_cb))
+        seg_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _seg_dist("rv", "ar", s, seg_dim).alias("d"),
                 )
-                saved_cb = spark.read.parquet(
-                    os.path.join(out_dir, "codebook.parquet")
-                )
-                codes_path = os.path.join(out_dir, "codes.parquet")
-                dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-                newc = (
-                    corpus.join(new_ids, id_col, "semi")
-                    .select(F.col(id_col).alias("cid"), dv.alias("v"))
-                )
-                # crash idempotence: skip ids whose codes already landed
-                done = spark.read.parquet(codes_path).select("cid").distinct()
-                newc = newc.join(done, "cid", "left_anti")
-                res = (
-                    newc.join(assign, "cid")
-                    .join(F.broadcast(med.select("cell", "mv")), "cell")
-                    .select("cid", _residual("v", "mv").alias("rv"))
-                )
-                joined = res.crossJoin(F.broadcast(saved_cb))
-                seg_structs = F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("s"),
-                            _seg_dist("rv", "ar", s, seg_dim).alias("d"),
-                        )
-                        for s in range(n_segments)
-                    ]
-                )
-                new_codes = (
-                    joined.select("cid", "code", F.explode(seg_structs).alias("sd"))
-                    .groupBy("cid", F.col("sd.s").alias("s"))
-                    .agg(
-                        F.min(
-                            F.struct(F.col("sd.d").alias("d"), F.col("code"))
-                        ).alias("m")
-                    )
-                    .select("cid", "s", F.col("m.code").alias("code"))
-                )
-                new_codes.write.mode("append").parquet(codes_path)
-                new_meta = {
-                    **{k: meta[k] for k in (
-                        "family", "codebook_salt", "n_segments", "seg_dim",
-                        "n_codes", "id_col", "vec_col", "anchor_ids",
-                    )},
-                    "n_vectors": n,
-                    "corpus_sig": sig,
-                    "indexed_version": head,
-                }
-                _write_meta(spark, os.path.join(out_dir, "meta.parquet"), new_meta)
-                return {**new_meta, "maintenance": "incremental"}
+                for s in range(n_segments)
+            ]
+        )
+        new_codes = (
+            joined.select("cid", "code", F.explode(seg_structs).alias("sd"))
+            .groupBy("cid", F.col("sd.s").alias("s"))
+            .agg(
+                F.min(
+                    F.struct(F.col("sd.d").alias("d"), F.col("code"))
+                ).alias("m")
+            )
+            .select("cid", "s", F.col("m.code").alias("code"))
+        )
+        new_codes.write.mode("append").parquet(codes_path)
+        new_meta = {
+            **{k: meta[k] for k in (
+                "family", "codebook_salt", "n_segments", "seg_dim",
+                "n_codes", "id_col", "vec_col", "anchor_ids", "medoid_ids",
+            )},
+            "n_vectors": n,
+            "corpus_sig": sig,
+            "indexed_version": head,
+        }
+        _write_meta(spark, os.path.join(out_dir, "meta.parquet"), new_meta)
+        return {**new_meta, "maintenance": "incremental"}
+
+    inc = _try_incremental()
+    if inc is not None:
+        return inc
     head = head if head is not None else table_versions(spark, table_dir)[-1]
     tmp = f"{out_dir}.build.{os.getpid()}"
     build_ivfpq_residual_index(

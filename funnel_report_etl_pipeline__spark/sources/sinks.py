@@ -954,8 +954,13 @@ def version_changes(
         # set. New ids (in the add dir, not the tombstone dir) are
         # inserts; matched ids were REWRITTEN — physical 'update' rows
         # under detect_updates (Delta MERGE emits update for every
-        # matched row whether or not values changed), omitted otherwise
-        # (membership unchanged). O(source + matched), no snapshot scan.
+        # matched row whether or not values changed), omitted otherwise.
+        # MULTIPLICITY: the tombstone dir holds one row per removed LIVE
+        # row, so a matched id that had k>1 duplicate rows collapses to
+        # one — emit its net (k−1) deletes, keeping this fast path in
+        # agreement with the multiplicity fallback on duplicate-id
+        # tables (round-12 review finding). O(source + matched): the
+        # only shuffle is the id-grain count over the tombstone dir.
         r = between[0]
         adds = spark.read.parquet(os.path.join(table_dir, r["data_dir"])).select(
             F.col(id_col)
@@ -963,18 +968,30 @@ def version_changes(
         tomb_rel = r["tomb_dir"] if "tomb_dir" in r.__fields__ else None
         if not tomb_rel:
             return adds.select(F.col(id_col), F.lit("insert").alias("_change_type"))
-        tomb = spark.read.parquet(os.path.join(table_dir, tomb_rel)).select(
-            F.col(id_col)
+        tomb_counts = (
+            spark.read.parquet(os.path.join(table_dir, tomb_rel))
+            .groupBy(F.col(id_col))
+            .agg(F.count("*").alias("__k"))
         )
-        inserts = adds.join(tomb, id_col, "left_anti").select(
+        inserts = adds.join(tomb_counts, id_col, "left_anti").select(
             F.col(id_col), F.lit("insert").alias("_change_type")
         )
+        net_deletes = (
+            tomb_counts.filter(F.col("__k") > 1)
+            .select(
+                F.col(id_col),
+                F.lit("delete").alias("_change_type"),
+                F.explode(F.expr("sequence(2, __k)")).alias("__i"),
+            )
+            .drop("__i")
+        )
+        out = inserts.unionByName(net_deletes)
         if not detect_updates:
-            return inserts
-        updates = tomb.distinct().select(
+            return out
+        updates = tomb_counts.select(
             F.col(id_col), F.lit("update").alias("_change_type")
         )
-        return inserts.unionByName(updates)
+        return out.unionByName(updates)
     va = read_versioned(spark, table_dir, from_version)
     vb = read_versioned(spark, table_dir, to_version)
     return _multiplicity_changes(va, vb, id_col, detect_updates)
@@ -1409,27 +1426,39 @@ def merge_versioned(
     if not rows:
         raise FileNotFoundError(f"no committed versions under {table_dir}")
     head = max(rows, key=lambda r: r["version"])
-    agg = source.agg(
+    # stage the add directory FIRST and derive everything else (the
+    # duplicate check, the tombstone half, the stats) from the
+    # MATERIALIZED files: `source` is evaluated exactly once, so a
+    # non-deterministic source (sample/limit over an unordered shuffle)
+    # cannot commit mismatched add/tombstone halves whose stats diverge
+    # from the read (round-12 review finding). A rejected source's
+    # staged directory is removed eagerly; a crash leaves an invisible
+    # orphan for vacuum, as everywhere else in the protocol.
+    _, add_rel = _write_data_dir(source, table_dir)
+    add_written = spark.read.parquet(os.path.join(table_dir, add_rel))
+    agg = add_written.agg(
         F.count("*").alias("n"),
         F.count_distinct(F.col(id_col)).alias("nd"),
     ).collect()[0]
     if int(agg["n"]) != int(agg["nd"]):
+        shutil.rmtree(os.path.join(table_dir, add_rel), ignore_errors=True)
         raise ValueError(
             f"merge source has duplicate {id_col} values "
             f"({int(agg['n'])} rows, {int(agg['nd'])} distinct ids); an "
             f"upsert with ambiguous per-id payloads is rejected before "
-            f"staging"
+            f"committing"
         )
     if int(agg["n"]) == 0:
+        shutil.rmtree(os.path.join(table_dir, add_rel), ignore_errors=True)
         return None
     current = read_versioned(spark, table_dir, int(head["version"]))
-    # the delete half: ids present in BOTH (intersection-only, id grain)
+    # the delete half: rows present in BOTH (intersection-only, id
+    # grain) — semi-joined against the WRITTEN add files, not the
+    # source expression
     victims = current.select(F.col(id_col)).join(
-        source.select(F.col(id_col)), id_col, "semi"
+        add_written.select(F.col(id_col)), id_col, "semi"
     )
-    _, add_rel = _write_data_dir(source, table_dir)
     _, tomb_rel = _write_data_dir(victims, table_dir)
-    add_written = spark.read.parquet(os.path.join(table_dir, add_rel))
     s_rows, s_sum = _count_and_checksum(add_written, id_col)
     tomb_written = spark.read.parquet(os.path.join(table_dir, tomb_rel))
     m_rows, m_sum = _count_and_checksum(tomb_written, id_col)

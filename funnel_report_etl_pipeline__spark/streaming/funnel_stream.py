@@ -674,23 +674,31 @@ def apply_replicated_commit(
     kind = (row["kind"] if "kind" in row.__fields__ else None) or "snapshot"
     data_dir = row["data_dir"] if "data_dir" in row.__fields__ else None
     src_path = os.path.join(src_table, data_dir) if data_dir else None
-    if kind == "delta" and src_path and has_replica:
+    if not has_replica or kind == "snapshot" or not src_path:
+        # snapshot commits — and ANY kind bootstrapping an empty replica
+        # (a reset replica resuming mid-log from a surviving checkpoint
+        # would crash delete/merge with 'no committed versions'; a
+        # snapshot of the source as of v is the correct state either
+        # way) — ship the assembled source snapshot
+        write_versioned(
+            read_versioned(spark, src_table, v), replica_table, id_col=id_col,
+            batch_id=v,
+        )
+    elif kind == "delta":
         append_versioned(
             spark.read.parquet(src_path), replica_table, id_col=id_col, batch_id=v
         )
-    elif kind == "tombstone" and src_path:
+    elif kind == "tombstone":
         delete_versioned(
             spark, replica_table, spark.read.parquet(src_path), id_col=id_col,
             batch_id=v,
         )
-    elif kind == "merge" and src_path:
+    elif kind == "merge":
         merge_versioned(
             spark, replica_table, spark.read.parquet(src_path), id_col=id_col,
             batch_id=v,
         )
     else:
-        # snapshot commits (and a delta bootstrapping an empty replica):
-        # ship the assembled source snapshot as of v
         write_versioned(
             read_versioned(spark, src_table, v), replica_table, id_col=id_col,
             batch_id=v,

@@ -633,3 +633,136 @@ def test_maintenance_rebuilds_on_drift_or_delete(spark, tmp_path):
     }
     gone = {r["vec_id"] for r in emb.filter("vec_id % 9 = 2").collect()}
     assert not (left & gone)
+
+
+def test_pq_refuses_incremental_after_ivf_medoid_rebuild(spark, tmp_path):
+    """Round-12 review finding #1: medoid drift and anchor drift are
+    independent hash orders, so an appended id can rebuild the IVF half
+    (new cells — every residual changes) while the salted anchor set
+    stays identical. The residual index must detect the IVF BUILD
+    IDENTITY change (meta medoid_ids vs live cells) and full-rebuild —
+    appending delta codes against new cells while keeping old codes
+    would serve a silently inconsistent index."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        build_ivf_medoid_index,
+        build_ivfpq_residual_index,
+        ensure_ivf_index_versioned,
+        ensure_ivfpq_residual_index_versioned,
+    )
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        append_versioned,
+        write_versioned,
+    )
+
+    emb = _emb(spark)
+    # find an id inside the 16 lowest RAW-md5 ids (a medoid) but outside
+    # the 64 lowest SALTED ids (not an anchor) — deterministic search
+    raw_low = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .withColumn("k", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("k", "vec_id").limit(16).collect()
+    ]
+    salted_low = {
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .withColumn(
+            "k", F.md5(F.concat(F.lit("res:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("k", "vec_id").limit(64).collect()
+    }
+    drifters = [i for i in raw_low if i not in salted_low]
+    assert drifters, "corpus has no medoid id outside the anchor region"
+    x = drifters[0]
+    tbl = str(tmp_path / "corpus")
+    write_versioned(emb.filter(F.col("vec_id") != x), tbl, id_col="vec_id")
+    ivf, res = str(tmp_path / "ivf"), str(tmp_path / "res")
+    ensure_ivf_index_versioned(spark, tbl, ivf)
+    ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)
+    append_versioned(emb.filter(F.col("vec_id") == x), tbl, id_col="vec_id")
+    m = ensure_ivf_index_versioned(spark, tbl, ivf)
+    assert m["maintenance"] == "rebuilt"  # medoid drift
+    r = ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)
+    assert r["maintenance"] == "rebuilt", (
+        "residual index took the incremental path against rebuilt cells"
+    )
+    # the rebuilt pair equals a from-scratch full build over the head
+    fivf, fres = str(tmp_path / "fivf"), str(tmp_path / "fres")
+    build_ivf_medoid_index(emb, fivf, 16)
+    build_ivfpq_residual_index(emb, fres, fivf)
+    c_inc = {
+        (row["cid"], row["s"], row["code"])
+        for row in spark.read.parquet(os.path.join(res, "codes.parquet")).collect()
+    }
+    c_ful = {
+        (row["cid"], row["s"], row["code"])
+        for row in spark.read.parquet(os.path.join(fres, "codes.parquet")).collect()
+    }
+    assert c_inc == c_ful
+
+
+def test_pq_partial_cid_crash_debris_forces_rebuild(spark, tmp_path):
+    """Round-12 review finding #3: a crash mid-append can publish a
+    SUBSET of one cid's n_segments code rows. The next maintenance run
+    must detect the partial cid and full-rebuild (stray rows cannot be
+    removed from parquet in place) — never skip the cid as 'done'."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        build_ivfpq_residual_index,
+        ensure_ivf_index_versioned,
+        ensure_ivfpq_residual_index_versioned,
+    )
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        append_versioned,
+        write_versioned,
+    )
+
+    emb, base, delta, tbl = _versioned_corpus_with_clean_delta(spark, tmp_path)
+    ivf, res = str(tmp_path / "ivf"), str(tmp_path / "res")
+    ensure_ivf_index_versioned(spark, tbl, ivf)
+    ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)
+    append_versioned(delta, tbl, id_col="vec_id")
+    ensure_ivf_index_versioned(spark, tbl, ivf)
+    # simulate the crash debris: one delta cid landed only 3 of 8 codes
+    some = delta.limit(1).collect()[0]["vec_id"]
+    spark.createDataFrame(
+        [(int(some), s, 0) for s in range(3)], "cid long, s int, code int"
+    ).write.mode("append").parquet(os.path.join(res, "codes.parquet"))
+    r = ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)
+    assert r["maintenance"] == "rebuilt"
+    # the rebuild leaves every cid with exactly 8 segment codes
+    spark.catalog.refreshByPath(os.path.join(res, "codes.parquet"))
+    bad = (
+        spark.read.parquet(os.path.join(res, "codes.parquet"))
+        .groupBy("cid").count().filter("count != 8").count()
+    )
+    assert bad == 0
+
+
+def test_versioned_ensure_stamps_signature_current_legacy_index(spark, tmp_path):
+    """Round-12 review finding #7: an index built by the plain ensure_*
+    over the same head corpus is signature-current — the versioned
+    ensure must stamp indexed_version and report 'current', never waste
+    a full rebuild on a provably bit-identical artifact."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        ensure_ivf_index_versioned,
+        ensure_ivf_medoid_index,
+    )
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        append_versioned,
+        write_versioned,
+    )
+
+    emb, base, delta, tbl = _versioned_corpus_with_clean_delta(spark, tmp_path)
+    from funnel_report_etl_pipeline__spark.sources.sinks import read_versioned
+
+    ivf = str(tmp_path / "ivf")
+    # legacy build: the PLAIN ensure over the table's head contents
+    ensure_ivf_medoid_index(read_versioned(spark, tbl), ivf, n_cells=16)
+    before = _mtimes(os.path.join(ivf, "assignments.parquet"))
+    m = ensure_ivf_index_versioned(spark, tbl, ivf)
+    assert m["maintenance"] == "current"
+    assert "indexed_version" in m
+    assert _mtimes(os.path.join(ivf, "assignments.parquet")) == before
+    # and the stamped ledger now admits the incremental path
+    append_versioned(delta, tbl, id_col="vec_id")
+    assert ensure_ivf_index_versioned(spark, tbl, ivf)["maintenance"] == "incremental"

@@ -1021,10 +1021,15 @@ def test_merge_cdf_fast_path_and_update_emission(spark, tmp_path):
         id_col="doc_id",
     )
     plain = version_changes(spark, t, 1, 2, "doc_id")
-    # O(changes): the tombstone side broadcasts into the anti-join — no
-    # shuffle, and no snapshot directory in the scanned paths
+    # O(changes): only the merge commit's own two directories are
+    # scanned — the base snapshot's data dir must NOT appear in the plan
+    # (the one exchange is the id-grain multiplicity count over the
+    # tombstone dir)
     pstr = plain._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange hashpartitioning" not in pstr
+    base_dir = version_manifest(spark, t).filter("version = 1").collect()[0][
+        "data_dir"
+    ]
+    assert base_dir not in pstr, "merge fast path scanned the base snapshot"
     assert {(r["doc_id"], r["_change_type"]) for r in plain.collect()} == {
         (30, "insert")
     }
@@ -1088,6 +1093,112 @@ def test_cdf_fallback_detects_payload_updates_and_multiplicity(spark, tmp_path):
         ).collect()
     )
     assert fb == fast
+
+
+def test_merge_cdf_fast_path_multiplicity_on_duplicate_ids(spark, tmp_path):
+    """Round-12 review finding: a merge over an id holding k duplicate
+    rows collapses it to one — the fast path must emit the net (k−1)
+    deletes the multiplicity fallback emits, not silently nothing."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        _multiplicity_changes,
+        merge_versioned,
+    )
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 5"), t, id_col="doc_id")
+    append_versioned(docs.filter("doc_id IN (1, 3)"), t, id_col="doc_id")
+    # head: ids 1 and 3 each have TWO rows
+    merge_versioned(
+        spark, t,
+        docs.filter("doc_id IN (1, 30)").withColumn("text", F.lit("m")),
+        id_col="doc_id",
+    )
+    fast = sorted(
+        (r["doc_id"], r["_change_type"])
+        for r in version_changes(spark, t, 2, 3, "doc_id").collect()
+    )
+    # id 1: 2 rows -> 1 (net one delete); id 30: new insert
+    assert fast == [(1, "delete"), (30, "insert")]
+    fb = sorted(
+        (r["doc_id"], r["_change_type"])
+        for r in _multiplicity_changes(
+            read_versioned(spark, t, 2), read_versioned(spark, t, 3),
+            "doc_id", False,
+        ).collect()
+    )
+    assert fb == fast
+    # physical updates remain fast-path-only extras on top of the
+    # membership rows (the logical fallback cannot see a rewrite whose
+    # multiplicity also changed)
+    upd = sorted(
+        (r["doc_id"], r["_change_type"])
+        for r in version_changes(
+            spark, t, 2, 3, "doc_id", detect_updates=True
+        ).collect()
+    )
+    assert upd == [(1, "delete"), (1, "update"), (30, "insert")]
+
+
+def test_merge_source_evaluated_once_from_staged_files(spark, tmp_path):
+    """Round-12 review finding: the tombstone half and the stats must
+    derive from the MATERIALIZED add directory, so a non-deterministic
+    source cannot commit mismatched halves. A sampled source round-trips
+    with manifest == read at every step, and compaction still passes."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        compact_versioned,
+        merge_versioned,
+    )
+
+    docs = _docs(spark)
+    t = str(tmp_path / "tbl")
+    write_versioned(docs.filter("doc_id < 50"), t, id_col="doc_id")
+    # non-deterministic source: a sample re-evaluates differently per pass
+    src = docs.filter("doc_id < 100").sample(0.5, seed=None).withColumn(
+        "text", F.lit("m")
+    )
+    v = merge_versioned(spark, t, src, id_col="doc_id")
+    if v is not None:  # an empty sample is a legitimate no-op
+        m = {r["version"]: r for r in version_manifest(spark, t).collect()}
+        assert m[v]["n_rows"] == read_versioned(spark, t, v).count()
+        assert compact_versioned(spark, t, id_col="doc_id") == v + 1
+
+
+def test_replication_bootstraps_reset_replica_on_any_kind(spark, tmp_path):
+    """Round-12 review finding: a replica reset while the source moved
+    on must bootstrap from ANY commit kind — a tombstone or merge replay
+    onto an empty replica ships the source snapshot as of that version
+    instead of crashing delete/merge with 'no committed versions'."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        delete_versioned,
+        merge_versioned,
+    )
+    from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+        apply_replicated_commit,
+    )
+
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    write_versioned(docs.filter("doc_id < 10"), src, id_col="doc_id")
+    delete_versioned(
+        spark, src, spark.createDataFrame([(2,)], "doc_id long"), id_col="doc_id"
+    )
+    merge_versioned(
+        spark, src,
+        docs.filter("doc_id IN (5, 40)").withColumn("text", F.lit("m")),
+        id_col="doc_id",
+    )
+    rows = version_manifest(spark, src).orderBy("version").collect()
+    # tombstone commit onto an EMPTY replica: snapshot bootstrap
+    rep1 = str(tmp_path / "rep1")
+    assert apply_replicated_commit(spark, src, rep1, rows[1], "doc_id") is True
+    assert read_versioned(spark, rep1).count() == read_versioned(spark, src, 2).count()
+    # merge commit onto an EMPTY replica: snapshot bootstrap too
+    rep2 = str(tmp_path / "rep2")
+    assert apply_replicated_commit(spark, src, rep2, rows[2], "doc_id") is True
+    assert sorted(r["doc_id"] for r in read_versioned(spark, rep2).collect()) == sorted(
+        r["doc_id"] for r in read_versioned(spark, src, 3).collect()
+    )
 
 
 def test_dead_fraction_triggers_compaction_despite_short_chain(spark, tmp_path):
