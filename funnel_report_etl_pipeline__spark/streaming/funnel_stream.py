@@ -539,7 +539,23 @@ def commit_stream_batch(
         )
 
         if not table_versions(spark, table_dir):
-            # bootstrap: the first batch IS the table (merge needs a head)
+            # bootstrap: the first batch IS the table (merge needs a
+            # head) — but it must honor merge's id-unique contract too:
+            # without this check a CDC first batch with duplicate ids
+            # would silently SEED a duplicate-id table that every later
+            # merge then upserts ambiguously (round-12 advice #1)
+            agg = batch_df.agg(
+                F.count("*").alias("n"),
+                F.count_distinct(F.col(id_col)).alias("nd"),
+            ).collect()[0]
+            if int(agg["n"]) != int(agg["nd"]):
+                raise ValueError(
+                    f"merge-mode bootstrap batch {batch_id} has duplicate "
+                    f"{id_col} values ({int(agg['n'])} rows, "
+                    f"{int(agg['nd'])} distinct ids); merge batches must "
+                    f"be id-unique — pre-reduce the CDC source to its "
+                    f"latest row per id"
+                )
             write_versioned(batch_df, table_dir, id_col=id_col, batch_id=batch_id)
         else:
             merge_versioned(
@@ -661,6 +677,7 @@ def apply_replicated_commit(
 
     v = int(row["version"])
     has_replica = bool(table_versions(spark, replica_table))
+    applied_max = None
     if has_replica:
         m = version_manifest(spark, replica_table)
         if "batch_id" not in m.columns:
@@ -671,6 +688,8 @@ def apply_replicated_commit(
             )
         if m.filter(F.col("batch_id") == v).count() > 0:
             return False
+        r0 = m.agg(F.max("batch_id").alias("mx")).collect()[0]
+        applied_max = None if r0["mx"] is None else int(r0["mx"])
     kind = (row["kind"] if "kind" in row.__fields__ else None) or "snapshot"
     data_dir = row["data_dir"] if "data_dir" in row.__fields__ else None
     src_path = os.path.join(src_table, data_dir) if data_dir else None
@@ -679,20 +698,48 @@ def apply_replicated_commit(
         # (a reset replica resuming mid-log from a surviving checkpoint
         # would crash delete/merge with 'no committed versions'; a
         # snapshot of the source as of v is the correct state either
-        # way) — ship the assembled source snapshot
+        # way) — ship the assembled source snapshot. State-complete, so
+        # no predecessor check: the result is exact at any position.
         write_versioned(
             read_versioned(spark, src_table, v), replica_table, id_col=id_col,
             batch_id=v,
         )
-    elif kind == "delta":
+        return True
+    # INCREMENTAL kinds replay against the replica head, so they are
+    # correct only when that head IS source version v−1: verify the
+    # ledger's newest applied source version before touching the table
+    # (round-12 advice #4 — an out-of-order manifest delivery would
+    # otherwise apply a tombstone/merge against the wrong head and
+    # silently diverge). The commit-log file source delivers in order
+    # (maxFilesPerTrigger=1 + per-batch version sort), so this guard
+    # fires only on real delivery faults or a manually-written replica.
+    if applied_max != v - 1:
+        raise RuntimeError(
+            f"replica {replica_table} ledger head is source version "
+            f"{applied_max}, but incremental commit {v} ({kind}) requires "
+            f"{v - 1}; out-of-order delivery or a foreign write — refusing "
+            f"to apply"
+        )
+    if kind == "delta":
         append_versioned(
             spark.read.parquet(src_path), replica_table, id_col=id_col, batch_id=v
         )
     elif kind == "tombstone":
-        delete_versioned(
+        applied = delete_versioned(
             spark, replica_table, spark.read.parquet(src_path), id_col=id_col,
             batch_id=v,
         )
+        if applied is None:
+            # the source tombstone listed only live rows (intersection-
+            # only), so a no-op here means the replica diverged BEFORE
+            # this commit; proceeding silently would also leave no ledger
+            # row — the version would vanish from the replica's history
+            # and every later predecessor check would fail confusingly
+            raise RuntimeError(
+                f"tombstone commit {v} matched no rows on replica "
+                f"{replica_table} — replica state diverges from source; "
+                f"refusing to skip silently"
+            )
     elif kind == "merge":
         merge_versioned(
             spark, replica_table, spark.read.parquet(src_path), id_col=id_col,
