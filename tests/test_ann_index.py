@@ -582,9 +582,13 @@ def test_maintenance_rebuilds_on_drift_or_delete(spark, tmp_path):
     """The other side of the threshold: (a) a delta that CHANGES the
     medoid set (contains the corpus's lowest-md5 id) must full-rebuild —
     serving from stale cells would silently change results vs a fresh
-    build; (b) a delete in the span must full-rebuild — the removed
-    vector has to leave the assignments."""
+    build; (b) a delete-only span with the medoids intact is MASKED
+    (round 13): the assignments keep the dead rows (no re-encode — the
+    O(deleted) contract) while `_live_assignments` excludes them; (c)
+    deleting a MEDOID re-shapes every cell, so that span full-rebuilds
+    and the fresh install drops both the dead rows and the mask."""
     from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        _live_assignments,
         build_ivf_medoid_index,
         ensure_ivf_index_versioned,
     )
@@ -595,11 +599,13 @@ def test_maintenance_rebuilds_on_drift_or_delete(spark, tmp_path):
     )
 
     emb = _emb(spark)
-    low1 = (
-        emb.select("vec_id")
+    lowm = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
         .withColumn("k", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("k", "vec_id").limit(1).collect()[0]["vec_id"]
-    )
+        .orderBy("k", "vec_id").limit(16).collect()
+    ]
+    low1 = lowm[0]
     tbl = str(tmp_path / "corpus")
     write_versioned(emb.filter(F.col("vec_id") != low1), tbl, id_col="vec_id")
     ivf = str(tmp_path / "ivf")
@@ -620,19 +626,187 @@ def test_maintenance_rebuilds_on_drift_or_delete(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(fivf, "assignments.parquet")).collect()
     }
     assert a == b
-    # (b) delete -> rebuild, and the deleted ids left the index
-    delete_versioned(
-        spark, tbl, emb.filter("vec_id % 9 = 2").select("vec_id"), id_col="vec_id"
-    )
+    # (b) medoid-preserving delete -> MASKED, dead rows stay on disk but
+    # leave the served assignment view
+    victims = emb.filter("vec_id % 9 = 2").filter(~F.col("vec_id").isin(*lowm))
+    delete_versioned(spark, tbl, victims.select("vec_id"), id_col="vec_id")
     m2 = ensure_ivf_index_versioned(spark, tbl, ivf)
-    assert m2["maintenance"] == "rebuilt"
+    assert m2["maintenance"] == "masked"
+    gone = {r["vec_id"] for r in victims.collect()}
+    assert int(m2["n_masked"]) == len(gone)
+    spark.catalog.refreshByPath(os.path.join(ivf, "assignments.parquet"))
+    raw = {
+        r["cid"]
+        for r in spark.read.parquet(os.path.join(ivf, "assignments.parquet")).collect()
+    }
+    assert gone <= raw, "mask path must not rewrite the assignments"
+    live = {r["cid"] for r in _live_assignments(spark, ivf).collect()}
+    assert not (live & gone)
+    # masked maintenance is idempotent: an immediate re-run is 'current'
+    assert ensure_ivf_index_versioned(spark, tbl, ivf)["maintenance"] == "current"
+    # (c) deleting a medoid -> rebuild; the fresh install removes the
+    # dead rows AND the tombstone mask
+    delete_versioned(
+        spark, tbl,
+        spark.createDataFrame([(low1,)], "vec_id long"),
+        id_col="vec_id",
+    )
+    m3 = ensure_ivf_index_versioned(spark, tbl, ivf)
+    assert m3["maintenance"] == "rebuilt"
+    assert not os.path.exists(os.path.join(ivf, "deleted.parquet"))
     spark.catalog.refreshByPath(os.path.join(ivf, "assignments.parquet"))
     left = {
         r["cid"]
         for r in spark.read.parquet(os.path.join(ivf, "assignments.parquet")).collect()
     }
-    gone = {r["vec_id"] for r in emb.filter("vec_id % 9 = 2").collect()}
-    assert not (left & gone)
+    assert not (left & (gone | {low1}))
+
+
+def test_masked_delete_serves_bit_identical_to_fresh_build(spark, tmp_path):
+    """The mask's exactness contract (round-13 verdict ask #3): after a
+    medoid/anchor-preserving delete, BOTH versioned indexes take the
+    'masked' path and every serve shape — IVF exact top-k and residual
+    IVF-PQ ADC — answers bit-identically to indexes freshly built on
+    the live corpus."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        build_ivf_medoid_index,
+        build_ivfpq_residual_index,
+        cosine_topk_ivf_prebuilt,
+        ensure_ivf_index_versioned,
+        ensure_ivfpq_residual_index_versioned,
+        ivfpq_residual_topk_prebuilt,
+    )
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        delete_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    emb = _emb(spark)
+    # victims avoid BOTH quantizer id regions, so medoids and anchors
+    # survive the delete and the masked path must apply
+    lowm = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .withColumn("k", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("k", "vec_id").limit(64).collect()
+    ]
+    lowa = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .withColumn(
+            "k", F.md5(F.concat(F.lit("res:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("k", "vec_id").limit(64).collect()
+    ]
+    excl = set(lowm) | set(lowa)
+    victims = emb.filter(
+        (F.col("vec_id") % 5 == 1) & ~F.col("vec_id").isin(*excl)
+    ).select("vec_id")
+    tbl = str(tmp_path / "corpus")
+    write_versioned(emb, tbl, id_col="vec_id")
+    ivf, res = str(tmp_path / "ivf"), str(tmp_path / "res")
+    ensure_ivf_index_versioned(spark, tbl, ivf)
+    ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)
+    delete_versioned(spark, tbl, victims, id_col="vec_id")
+    assert ensure_ivf_index_versioned(spark, tbl, ivf)["maintenance"] == "masked"
+    assert (
+        ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)["maintenance"]
+        == "masked"
+    )
+    live = read_versioned(spark, tbl)
+    fivf, fres = str(tmp_path / "fivf"), str(tmp_path / "fres")
+    build_ivf_medoid_index(live, fivf, 16)
+    build_ivfpq_residual_index(live, fres, fivf)
+    q = emb.filter(F.col("vec_id") % 100 == 7)
+    ivf_masked = sorted(
+        tuple(r) for r in cosine_topk_ivf_prebuilt(live, q, ivf, k=5, n_probe=2).collect()
+    )
+    ivf_fresh = sorted(
+        tuple(r) for r in cosine_topk_ivf_prebuilt(live, q, fivf, k=5, n_probe=2).collect()
+    )
+    assert ivf_masked == ivf_fresh
+    res_masked = sorted(
+        tuple(r) for r in ivfpq_residual_topk_prebuilt(q, ivf, res, k=5, n_probe=2).collect()
+    )
+    res_fresh = sorted(
+        tuple(r) for r in ivfpq_residual_topk_prebuilt(q, fivf, fres, k=5, n_probe=2).collect()
+    )
+    assert res_masked == res_fresh
+    # no served candidate is a deleted id
+    gone = {r["vec_id"] for r in victims.collect()}
+    assert not ({t[1] for t in ivf_masked} & gone)
+    assert not ({t[1] for t in res_masked} & gone)
+
+
+def test_masked_then_readd_forces_rebuild(spark, tmp_path):
+    """The re-add tripwire: a masked id's stale assignment/code rows
+    cannot be replaced in place, so re-inserting it must full-rebuild
+    BOTH halves (serving from the stale cell/codes would diverge from a
+    fresh build if the payload changed). Also pins the dead-fraction
+    trigger: deleting more than half the corpus rebuilds instead of
+    masking."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        ensure_ivf_index_versioned,
+        ensure_ivfpq_residual_index_versioned,
+    )
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        append_versioned,
+        delete_versioned,
+        write_versioned,
+    )
+
+    emb = _emb(spark)
+    lowm = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .withColumn("k", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("k", "vec_id").limit(64).collect()
+    ]
+    lowa = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .withColumn(
+            "k", F.md5(F.concat(F.lit("res:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("k", "vec_id").limit(64).collect()
+    ]
+    excl = set(lowm) | set(lowa)
+    victims = emb.filter(
+        (F.col("vec_id") % 11 == 4) & ~F.col("vec_id").isin(*excl)
+    )
+    tbl = str(tmp_path / "corpus")
+    write_versioned(emb, tbl, id_col="vec_id")
+    ivf, res = str(tmp_path / "ivf"), str(tmp_path / "res")
+    ensure_ivf_index_versioned(spark, tbl, ivf)
+    ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)
+    delete_versioned(spark, tbl, victims.select("vec_id"), id_col="vec_id")
+    assert ensure_ivf_index_versioned(spark, tbl, ivf)["maintenance"] == "masked"
+    assert (
+        ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)["maintenance"]
+        == "masked"
+    )
+    # re-add the masked ids -> pure-insert span, but the tripwire fires
+    append_versioned(victims, tbl, id_col="vec_id")
+    assert ensure_ivf_index_versioned(spark, tbl, ivf)["maintenance"] == "rebuilt"
+    assert (
+        ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)["maintenance"]
+        == "rebuilt"
+    )
+    assert not os.path.exists(os.path.join(ivf, "deleted.parquet"))
+    assert not os.path.exists(os.path.join(res, "deleted.parquet"))
+    # dead-fraction trigger: delete ~4/5 of a fresh table -> rebuild
+    tbl2 = str(tmp_path / "corpus2")
+    ivf2 = str(tmp_path / "ivf2")
+    write_versioned(emb, tbl2, id_col="vec_id")
+    ensure_ivf_index_versioned(spark, tbl2, ivf2)
+    big = emb.filter(
+        (F.col("vec_id") % 5 != 0) & ~F.col("vec_id").isin(*lowm)
+    ).select("vec_id")
+    delete_versioned(spark, tbl2, big, id_col="vec_id")
+    m = ensure_ivf_index_versioned(spark, tbl2, ivf2)
+    assert m["maintenance"] == "rebuilt"
+    assert not os.path.exists(os.path.join(ivf2, "deleted.parquet"))
 
 
 def test_pq_refuses_incremental_after_ivf_medoid_rebuild(spark, tmp_path):
