@@ -1,0 +1,250 @@
+"""Round-13 queries: the O(changes) mixed-span change feed and the
+partition-pruned versioned table.
+
+* `versioned_span_feed` — the round-12 verdict's #1 ask externally
+  pinned: a change feed over a span mixing delta + tombstone + re-add +
+  merge commits is served from the span's own commit directories (per-id
+  net multiplicity: +1 per add row, −1 per tombstone row), never from
+  two assembled snapshots. The query RAISES if the feed's plan touches
+  the base snapshot's data directory, so its green row is a proof the
+  O(changes) path ran — the same raise-unless-fast-path device
+  `ann_ivf_incremental` uses.
+* `versioned_partition_audit` — the storage layout lever
+  (sources/sinks.py layout sidecar): a table created with
+  partition_by=['lang'] lays every add directory out hive-partitioned;
+  the audit RAISES unless a lang-filtered snapshot read shows a
+  PartitionFilter on EVERY add-dir scan of the assembly union, then
+  emits per-lang live stats that hash-match DuckDB.
+
+Reference parity note: the reference engine (report_engine.py /
+run_reports.py) has no storage/versioning surface — this extends the
+beyond-reference LLM-data-pipeline families per the round brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from funnel_report_etl_pipeline__spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# O(changes) mixed-span change feed
+# ---------------------------------------------------------------------------
+#
+# History (closed-form sets over documents so DuckDB reproduces them):
+#   v1 snapshot  = doc_id % 4 IN (0, 1)
+#   v2 delta     = doc_id % 4 = 2
+#   v3 delete    = doc_id % 6 = 0 (intersected with the live set)
+#   v4 re-add    = doc_id % 12 = 0, new payload    (% 12 = 0 ⊂ deleted)
+#   v5 merge     = source doc_id % 5 = 0, payload 'M'
+#
+# live1 = % 4 IN (0, 1)
+# live5 = ((% 4 IN (0,1,2) AND % 6 <> 0) OR % 12 = 0) OR % 5 = 0
+# feed(1→5) = net multiplicity: insert where live5 ∧ ¬live1,
+#             delete where live1 ∧ ¬live5 (re-adds net to zero).
+# The audit emits the feed at (bucket = doc_id % 97, kind) grain with a
+# per-bucket id checksum — any membership error shifts a bucket's count
+# or checksum, so the hash is as discriminating as the raw feed while
+# the returned frame stays audit-grain.
+
+_SPAN_FEED_ORACLE = """
+WITH k AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+         (doc_id % 4 IN (0, 1)) AS live1,
+         (((doc_id % 4 IN (0, 1, 2)) AND doc_id % 6 <> 0)
+          OR doc_id % 12 = 0 OR doc_id % 5 = 0) AS live5
+  FROM documents
+),
+f AS (
+  SELECT doc_id, h, 'insert' AS _change_type FROM k WHERE live5 AND NOT live1
+  UNION ALL
+  SELECT doc_id, h, 'delete' AS _change_type FROM k WHERE live1 AND NOT live5
+)
+SELECT CAST(doc_id % 97 AS BIGINT) AS bucket,
+       _change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_changes,
+       CAST(SUM(h) AS BIGINT) AS id_checksum
+FROM f
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "versioned_span_feed",
+    oracle=_SPAN_FEED_ORACLE,
+    tags=("pipeline-r13", "etl", "versioning", "cdf"),
+    # bench=False like the sibling audits: builds a fresh per-run
+    # 5-version table (commit-protocol latency, not query throughput)
+    bench=False,
+)
+def versioned_span_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replication/repro primitive at 100 TB: "what changed between
+    last week's version and now" over a week of appends + deletes +
+    re-adds + merges, answered from O(changes) bytes. The audit builds
+    snapshot → delta → delete → re-add → MERGE in a per-run temp dir,
+    asks `version_changes` for the FULL mixed span (v1 → v5), and
+    RAISES if the feed's plan reads the base snapshot's data directory
+    — round 12 served this span by assembling BOTH endpoint snapshots
+    (two full table scans to report a handful of changes, the round-12
+    verdict's one scale blemish); round 13 serves it from the span's
+    own commit directories via per-id net multiplicity, valid because
+    tombstones are intersection-only. Emitted at (doc_id % 97, kind)
+    grain with per-bucket id checksums, so the external value hash pins
+    the exact change membership. Plan shape, fallback parity and
+    exact-state-transform semantics are pinned in
+    tests/test_versioned_r13.py."""
+    import shutil
+    import tempfile
+
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        _id_checksum_col,
+        append_versioned,
+        delete_versioned,
+        merge_versioned,
+        version_changes,
+        version_manifest,
+        write_versioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = tempfile.mkdtemp(prefix="spark_graft_span_feed_")
+    try:
+        write_versioned(docs.filter(F.col("doc_id") % 4 < 2), table, id_col="doc_id")
+        append_versioned(docs.filter(F.col("doc_id") % 4 == 2), table, id_col="doc_id")
+        delete_versioned(
+            spark, table, docs.filter(F.col("doc_id") % 6 == 0).select("doc_id"),
+            id_col="doc_id",
+        )
+        append_versioned(
+            docs.filter(F.col("doc_id") % 12 == 0).withColumn("text", F.lit("READD")),
+            table, id_col="doc_id",
+        )
+        merge_versioned(
+            spark, table,
+            docs.filter(F.col("doc_id") % 5 == 0).withColumn("text", F.lit("M")),
+            id_col="doc_id",
+        )
+        feed = version_changes(spark, table, 1, 5, "doc_id")
+        base_dir = {
+            int(r["version"]): r["data_dir"]
+            for r in version_manifest(spark, table).collect()
+        }[1]
+        if any(base_dir in f for f in feed.inputFiles()):
+            raise RuntimeError(
+                "mixed-span change feed scanned the base snapshot directory "
+                f"{base_dir}; expected the O(changes) commit-dir path"
+            )
+        out = (
+            feed.groupBy(
+                (F.col("doc_id") % 97).cast("long").alias("bucket"),
+                F.col("_change_type"),
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_changes"),
+                F.sum(_id_checksum_col("doc_id")).cast("long").alias("id_checksum"),
+            )
+        )
+        # the per-run table dir is deleted in finally — materialize the
+        # audit-grain result (≤ 194 rows) before the cleanup
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned versioned table
+# ---------------------------------------------------------------------------
+
+_PARTITION_AUDIT_ORACLE = """
+WITH k AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(h) AS BIGINT) AS id_checksum
+FROM k
+WHERE doc_id % 7 <> 0
+GROUP BY lang
+"""
+
+
+@register(
+    "versioned_partition_audit",
+    oracle=_PARTITION_AUDIT_ORACLE,
+    tags=("pipeline-r13", "etl", "versioning", "layout"),
+    # bench=False: builds a fresh per-run partitioned 3-version table
+    bench=False,
+)
+def versioned_partition_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning for the versioned table (round-12 verdict ask
+    #4): a 100 TB snapshot read was a flat directory scan; with a
+    layout (partition_by=['lang'], fixed at creation and persisted in
+    the _layout.json sidecar) every add directory is hive-partitioned
+    and a lang predicate prunes at the DIRECTORY level across the WHOLE
+    base+delta assembly chain. The audit commits snapshot → delta →
+    delete on a partitioned table, RAISES unless the lang-filtered
+    snapshot read shows a PartitionFilter on every add-dir scan of the
+    assembly union AND the pruned count matches the partition's share,
+    then emits per-lang live stats the oracle recomputes closed-form.
+    Compaction layout preservation and Z-order clustering are pinned in
+    tests/test_versioned_r13.py."""
+    import shutil
+    import tempfile
+
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        _id_checksum_col,
+        append_versioned,
+        delete_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    table = tempfile.mkdtemp(prefix="spark_graft_part_audit_")
+    try:
+        write_versioned(
+            docs.filter(F.col("doc_id") % 3 < 2), table, id_col="doc_id",
+            partition_by=["lang"],
+        )
+        append_versioned(docs.filter(F.col("doc_id") % 3 == 2), table, id_col="doc_id")
+        delete_versioned(
+            spark, table, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+            id_col="doc_id",
+        )
+        snap = read_versioned(spark, table)
+        pick = min(r["lang"] for r in docs.select("lang").distinct().collect())
+        pruned = snap.filter(F.col("lang") == pick)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        pf_lines = [
+            l for l in plan.split("\n")
+            if "PartitionFilters: [isnotnull(lang" in l
+        ]
+        if len(pf_lines) != 2 or not all(f"= {pick})" in l for l in pf_lines):
+            raise RuntimeError(
+                "expected a lang PartitionFilter on both add-dir scans of "
+                f"the assembly union; plan:\n{plan}"
+            )
+        expected = docs.filter(
+            (F.col("lang") == pick) & (F.col("doc_id") % 7 != 0)
+        ).count()
+        got = pruned.count()
+        if got != expected:
+            raise RuntimeError(
+                f"pruned read returned {got} rows, expected {expected}"
+            )
+        out = snap.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n_live"),
+            F.sum(_id_checksum_col("doc_id")).cast("long").alias("id_checksum"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)

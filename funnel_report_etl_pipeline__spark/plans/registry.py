@@ -74,6 +74,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline_r10,  # round-10 batch (persistent ANN index, corpus refresh)
         pipeline_r11,  # round-11 batch (versioned-table vacuum, residual IVF-PQ)
         pipeline_r12,  # round-12 batch (atomic MERGE, update-aware CDF)
+        pipeline_r13,  # round-13 batch (O(changes) span feed, partitioned tables)
     )
 
     return REGISTRY
@@ -116,8 +117,12 @@ _WINDOW: tuple[str, ...] = (
     # round-9 rotation: the 22 round-8 close-batch registrations — the
     # only names with zero external rows after round 8 (the round-8
     # verdict's top ask). Stats / eval family:
-    "ols_brand_price_quantity",
-    "chi_square_flag_status",
+    # (r9-rotation keepers ols_brand_price_quantity and
+    # chi_square_flag_status rotated out in round 13 — external rows
+    # r09+r10+r11+r12; the stats family keeps its window presence via
+    # gini_impurity_segments / winsorized_revenue_mean /
+    # weekday_seasonality / ewma_revenue_anomaly — their slots go to
+    # versioned_span_feed / versioned_partition_audit)
     "gini_impurity_segments",
     "winsorized_revenue_mean",
     "weekday_seasonality",
@@ -242,6 +247,15 @@ _WINDOW: tuple[str, ...] = (
     # r9-rotation keeper two_hop_reach, external rows r09+r10+r11)
     "versioned_merge_audit",
     "ann_ivf_incremental",
+    # round-13 registrations — windowed from day one: the O(changes)
+    # mixed-span change feed (the query raises unless the plan avoids
+    # the snapshot scan, so its green row proves the commit-dir path;
+    # displaces keeper ols_brand_price_quantity, external rows
+    # r09-r12) and the partition-pruned versioned table (raises unless
+    # every add-dir scan carries the PartitionFilter; displaces keeper
+    # chi_square_flag_status, external rows r09-r12)
+    "versioned_span_feed",
+    "versioned_partition_audit",
 )
 
 
