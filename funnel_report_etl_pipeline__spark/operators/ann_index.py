@@ -230,18 +230,6 @@ def _span_changes(
     return head, ch, kinds
 
 
-def _additive_new_ids(
-    spark: SparkSession, table_dir: str, from_version: int, id_col: str
-):
-    """(head_version, new_ids_df | None): the ids inserted between
-    ``from_version`` and the head, IF the span is purely additive
-    (delta appends only — the daily-ingest shape); None otherwise."""
-    head, ch, kinds = _span_changes(spark, table_dir, from_version, id_col)
-    if ch is None or kinds - {"insert"}:
-        return head, None
-    return head, ch.select(F.col(id_col))
-
-
 def _mask_path(index_dir: str) -> str:
     return os.path.join(index_dir, "deleted.parquet")
 
@@ -260,14 +248,67 @@ def _read_mask(spark: SparkSession, index_dir: str) -> DataFrame | None:
 def _live_assignments(spark: SparkSession, index_dir: str) -> DataFrame:
     """The saved IVF assignments with tombstone-masked ids removed — the
     serve-time anti-join that makes deletes O(deleted) instead of an
-    O(corpus) re-encode (round-12 verdict ask #3). The mask is tiny
-    relative to the corpus (the dead-fraction trigger rebuilds before
-    it grows past ``max_dead_fraction``), so the anti-join broadcasts."""
+    O(corpus) re-encode (round-12 verdict ask #3). No forced broadcast:
+    the dead-fraction policy legally lets the mask grow to
+    ``max_dead_fraction`` of the corpus before the rebuild trigger, so
+    the join strategy is left to the size-gated planner — a small mask
+    still broadcasts under the session threshold, a near-trigger one
+    degrades to a shuffled join instead of an OOM (round-13 review)."""
     assign = spark.read.parquet(os.path.join(index_dir, "assignments.parquet"))
     mask = _read_mask(spark, index_dir)
     if mask is None:
         return assign
-    return assign.join(F.broadcast(mask.distinct()), "cid", "left_anti")
+    return assign.join(mask.distinct(), "cid", "left_anti")
+
+
+def _readded_masked_id(
+    spark: SparkSession, index_dir: str, new_ids: DataFrame, id_col: str
+) -> bool:
+    """The re-add tripwire shared by both versioned indexes: True when
+    any inserted id is currently tombstone-masked — its stale
+    assignment/code rows cannot be replaced in place (parquet is
+    immutable), so the caller must full-rebuild."""
+    mask = _read_mask(spark, index_dir)
+    if mask is None:
+        return False
+    return (
+        new_ids.join(
+            mask.withColumnRenamed("cid", id_col).distinct(), id_col, "semi"
+        ).limit(1).count()
+        > 0
+    )
+
+
+def _append_delete_mask(
+    spark: SparkSession,
+    index_dir: str,
+    deleted: DataFrame,
+    n_live: int,
+    max_dead_fraction: float,
+) -> int | None:
+    """Append ``deleted`` (one column ``cid``) to the index's tombstone
+    mask, crash-idempotently: the append anti-joins ids already masked,
+    and the returned count is re-read FROM THE FILES so the meta
+    attests disk state even after a crashed earlier append. Returns the
+    new mask size, or None when the projected dead fraction exceeds
+    ``max_dead_fraction`` (nothing written — the caller rebuilds,
+    mirroring the compaction policy's trigger). Shared by the IVF and
+    residual-PQ maintenance paths so the mask protocol cannot drift
+    between them (round-13 review)."""
+    mask = _read_mask(spark, index_dir)
+    mask_total = (
+        deleted if mask is None else mask.distinct().unionByName(deleted).distinct()
+    )
+    n_masked = mask_total.count()
+    if n_masked / max(1, n_live + n_masked) > max_dead_fraction:
+        return None
+    to_add = (
+        deleted if mask is None else deleted.join(mask.distinct(), "cid", "left_anti")
+    )
+    to_add.write.mode("overwrite" if mask is None else "append").parquet(
+        _mask_path(index_dir)
+    )
+    return spark.read.parquet(_mask_path(index_dir)).distinct().count()
 
 
 def ensure_ivf_index_versioned(
@@ -358,7 +399,6 @@ def ensure_ivf_index_versioned(
         head, ch, ch_kinds = _span_changes(
             spark, table_dir, int(meta["indexed_version"]), id_col
         )
-        mask = _read_mask(spark, out_dir)
 
         def _fresh_mids() -> list:
             return [
@@ -378,14 +418,7 @@ def ensure_ivf_index_versioned(
 
         if ch is not None and ch_kinds == {"insert"}:
             new_ids = ch.select(F.col(id_col))
-            readded_masked = mask is not None and (
-                new_ids.join(
-                    mask.withColumnRenamed("cid", id_col).distinct(),
-                    id_col,
-                    "semi",
-                ).limit(1).count()
-                > 0
-            )
+            readded_masked = _readded_masked_id(spark, out_dir, new_ids, id_col)
             cells_path = os.path.join(out_dir, "cells.parquet")
             saved_med = spark.read.parquet(cells_path)
             if not readded_masked and _fresh_mids() == _saved_mids(saved_med):
@@ -433,31 +466,12 @@ def ensure_ivf_index_versioned(
             cells_path = os.path.join(out_dir, "cells.parquet")
             saved_med = spark.read.parquet(cells_path)
             if not still_live and _fresh_mids() == _saved_mids(saved_med):
-                mask_total = (
-                    deleted
-                    if mask is None
-                    else mask.distinct().unionByName(deleted).distinct()
-                )
-                n_masked = mask_total.count()
                 if n is None:
                     n, sig = corpus_signature(corpus, id_col)
-                if n_masked / max(1, n + n_masked) <= max_dead_fraction:
-                    to_add = (
-                        deleted
-                        if mask is None
-                        else deleted.join(mask.distinct(), "cid", "left_anti")
-                    )
-                    to_add.write.mode(
-                        "overwrite" if mask is None else "append"
-                    ).parquet(_mask_path(out_dir))
-                    # re-read the mask count from the files: a crashed
-                    # earlier append may have landed rows this run's
-                    # anti-join skipped — the meta must attest disk state
-                    n_masked = (
-                        spark.read.parquet(_mask_path(out_dir))
-                        .distinct()
-                        .count()
-                    )
+                n_masked = _append_delete_mask(
+                    spark, out_dir, deleted, n, max_dead_fraction
+                )
+                if n_masked is not None:
                     new_meta = {
                         **{
                             k: meta[k]
@@ -1163,24 +1177,11 @@ def ensure_ivfpq_residual_index_versioned(
         )
         if still_live or not _quantizers_unchanged():
             return None
-        own_mask = _read_mask(spark, out_dir)
-        mask_total = (
-            deleted
-            if own_mask is None
-            else own_mask.distinct().unionByName(deleted).distinct()
+        n_masked = _append_delete_mask(
+            spark, out_dir, deleted, n, max_dead_fraction
         )
-        n_masked = mask_total.count()
-        if n_masked / max(1, n + n_masked) > max_dead_fraction:
+        if n_masked is None:
             return None  # dead fraction past the trigger: rebuild
-        to_add = (
-            deleted
-            if own_mask is None
-            else deleted.join(own_mask.distinct(), "cid", "left_anti")
-        )
-        to_add.write.mode("overwrite" if own_mask is None else "append").parquet(
-            _mask_path(out_dir)
-        )
-        n_masked = spark.read.parquet(_mask_path(out_dir)).distinct().count()
         new_meta = {
             **{
                 k: meta[k]
@@ -1219,15 +1220,7 @@ def ensure_ivfpq_residual_index_versioned(
         if ch is None or ch_kinds != {"insert"}:
             return None
         new_ids = ch.select(F.col(id_col))
-        own_mask = _read_mask(spark, out_dir)
-        if own_mask is not None and (
-            new_ids.join(
-                own_mask.withColumnRenamed("cid", id_col).distinct(),
-                id_col,
-                "semi",
-            ).limit(1).count()
-            > 0
-        ):
+        if _readded_masked_id(spark, out_dir, new_ids, id_col):
             return None
         if not _quantizers_unchanged():
             return None

@@ -689,6 +689,19 @@ def _write_data_dir(
     rel = f"d-{token}"
     w = df.write.mode("overwrite")
     if partition_cols:
+        missing = [c for c in partition_cols if c not in df.columns]
+        if missing:
+            # a clear protocol error instead of Spark's raw
+            # AnalysisException: NARROWER sources (legal on flat tables
+            # — the rewritten rows carry NULL payloads) cannot omit the
+            # partition columns of a layouted table, because a
+            # NULL-partition directory would type-drift the column
+            # against the other directories' encoded values
+            raise ValueError(
+                f"data for a partition-layouted table must carry its "
+                f"partition columns; missing {missing} "
+                f"(layout partition_by={partition_cols})"
+            )
         w = w.partitionBy(*partition_cols)
     w.parquet(os.path.join(table_dir, rel))
     return token, rel

@@ -690,20 +690,62 @@ def apply_replicated_commit(
             return False
         r0 = m.agg(F.max("batch_id").alias("mx")).collect()[0]
         applied_max = None if r0["mx"] is None else int(r0["mx"])
+        if applied_max is not None and v <= applied_max:
+            # late/duplicate delivery of an already-SUPERSEDED commit:
+            # the replica holds source@applied_max, whose state already
+            # includes v's effects — re-applying a snapshot here would
+            # REGRESS the head (and later deltas would then diverge it
+            # permanently, the round-13 review repro); skipping is exact
+            return False
     kind = (row["kind"] if "kind" in row.__fields__ else None) or "snapshot"
     data_dir = row["data_dir"] if "data_dir" in row.__fields__ else None
     src_path = os.path.join(src_table, data_dir) if data_dir else None
+
+    def _verify_head_stats() -> None:
+        # generic divergence tripwire: the source manifest row carries
+        # the SNAPSHOT-grain stats for version v, and every replica
+        # apply must land exactly there — catches a diverged replica on
+        # ANY kind (a merge recomputing its matched set against a wrong
+        # head, a delta over missing rows), not just no-op tombstones
+        want_n = row["n_rows"] if "n_rows" in row.__fields__ else None
+        want_s = (
+            row["content_checksum"]
+            if "content_checksum" in row.__fields__
+            else None
+        )
+        if want_n is None or want_s is None:
+            return  # legacy source manifest without stats
+        got = (
+            version_manifest(spark, replica_table)
+            .filter(F.col("batch_id") == v)
+            .collect()
+        )
+        if not got:
+            return
+        if (int(got[0]["n_rows"]), int(got[0]["content_checksum"])) != (
+            int(want_n), int(want_s)
+        ):
+            raise RuntimeError(
+                f"replica {replica_table} diverges from source at version "
+                f"{v}: stats ({got[0]['n_rows']}, "
+                f"{got[0]['content_checksum']}) vs source ({want_n}, "
+                f"{want_s})"
+            )
+
     if not has_replica or kind == "snapshot" or not src_path:
         # snapshot commits — and ANY kind bootstrapping an empty replica
         # (a reset replica resuming mid-log from a surviving checkpoint
         # would crash delete/merge with 'no committed versions'; a
         # snapshot of the source as of v is the correct state either
         # way) — ship the assembled source snapshot. State-complete, so
-        # no predecessor check: the result is exact at any position.
+        # no predecessor check: the result is exact at any position
+        # FORWARD of the replica head (stale snapshots returned False
+        # above).
         write_versioned(
             read_versioned(spark, src_table, v), replica_table, id_col=id_col,
             batch_id=v,
         )
+        _verify_head_stats()
         return True
     # INCREMENTAL kinds replay against the replica head, so they are
     # correct only when that head IS source version v−1: verify the
@@ -750,6 +792,7 @@ def apply_replicated_commit(
             read_versioned(spark, src_table, v), replica_table, id_col=id_col,
             batch_id=v,
         )
+    _verify_head_stats()
     return True
 
 

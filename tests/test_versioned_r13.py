@@ -590,3 +590,63 @@ def test_merge_schema_evolution_wider_and_narrower_source(spark, tmp_path):
     # compaction still round-trips the evolved, merged table exactly
     v = compact_versioned(spark, t, id_col="doc_id")
     assert read_versioned(spark, t, v).count() == 12
+
+
+def test_replication_skips_stale_commits_and_verifies_stats(spark, tmp_path):
+    """Round-13 review findings: (a) a LATE-delivered old snapshot must
+    not regress a replica already past it (skipped as superseded — its
+    effects are contained in the applied head), and (b) every apply
+    verifies the replica's new head stats against the source manifest
+    row — a diverged replica fails loudly on ANY commit kind."""
+    from funnel_report_etl_pipeline__spark.streaming.funnel_stream import (
+        apply_replicated_commit,
+    )
+
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "rep")
+    write_versioned(docs.filter("doc_id < 10"), src, id_col="doc_id")  # v1
+    append_versioned(docs.filter("doc_id = 20"), src, id_col="doc_id")  # v2
+    write_versioned(
+        read_versioned(spark, src, 2), src, id_col="doc_id"
+    )  # v3 snapshot recommit
+    append_versioned(docs.filter("doc_id = 30"), src, id_col="doc_id")  # v4
+    rows = {
+        int(r["version"]): r for r in version_manifest(spark, src).collect()
+    }
+    # replica bootstraps mid-log at v3, then applies v4
+    assert apply_replicated_commit(spark, src, rep, rows[3], "doc_id")
+    assert apply_replicated_commit(spark, src, rep, rows[4], "doc_id")
+    # (a) LATE v1 snapshot: must be skipped, not regress the head
+    assert apply_replicated_commit(spark, src, rep, rows[1], "doc_id") is False
+    assert read_versioned(spark, rep).count() == 12  # still source@v4
+    # (b) stats tripwire: diverge the replica behind the replicator's
+    # back, then apply a further source delta — the replica's new head
+    # stats cannot match the source manifest and must raise
+    delete_versioned(
+        spark, rep, spark.createDataFrame([(5,)], "doc_id long"), id_col="doc_id"
+    )
+    append_versioned(docs.filter("doc_id = 40"), src, id_col="doc_id")  # v5
+    rows5 = {
+        int(r["version"]): r for r in version_manifest(spark, src).collect()
+    }[5]
+    with pytest.raises(RuntimeError, match="diverges"):
+        apply_replicated_commit(spark, src, rep, rows5, "doc_id")
+
+
+def test_layouted_table_rejects_source_missing_partition_column(spark, tmp_path):
+    """Round-13 review finding: a narrower source (legal on flat tables)
+    cannot omit a layouted table's partition columns — the protocol
+    raises a clear error instead of Spark's raw AnalysisException, and
+    nothing is staged."""
+    d = _docs_lang(spark)
+    t = str(tmp_path / "ptbl")
+    write_versioned(
+        d.filter("doc_id < 10"), t, id_col="doc_id", partition_by=["lang"]
+    )
+    narrow = spark.createDataFrame([(3,), (40,)], "doc_id long")
+    with pytest.raises(ValueError, match="partition columns"):
+        merge_versioned(spark, t, narrow, id_col="doc_id")
+    with pytest.raises(ValueError, match="partition columns"):
+        append_versioned(narrow, t, id_col="doc_id")
+    assert table_versions(spark, t) == [1]
