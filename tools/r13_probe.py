@@ -194,14 +194,21 @@ def probe_partition_prune(spark, mult: int) -> dict:
             partition_by=["lang"],
         )
         append_versioned(docs.filter("doc_id % 2 = 1"), t, id_col="doc_id")
-        t0 = time.monotonic()
-        n_pruned = (
-            read_versioned(spark, t).filter(F.col("lang") == "0").count()
+        # sum over a data column forces real page reads on both sides —
+        # a bare count() would serve from parquet row-group metadata and
+        # understate the full-scan baseline
+        def _scan_cost(df) -> tuple[int, float]:
+            t0 = time.monotonic()
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.sum(F.length("text")).alias("b"),
+            ).collect()[0]
+            return int(row["n"]), time.monotonic() - t0
+
+        n_pruned, pruned_wall = _scan_cost(
+            read_versioned(spark, t).filter(F.col("lang") == "0")
         )
-        pruned_wall = time.monotonic() - t0
-        t0 = time.monotonic()
-        n_all = read_versioned(spark, t).count()
-        full_wall = time.monotonic() - t0
+        n_all, full_wall = _scan_cost(read_versioned(spark, t))
         return {
             "probe": "partition_prune",
             "scale": mult,
