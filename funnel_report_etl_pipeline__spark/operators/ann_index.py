@@ -342,28 +342,32 @@ def ensure_ivf_index_versioned(
     zero-tolerance threshold for free.) The drift check itself is
     id-grain (a TakeOrdered over md5(id) — no vector reads).
 
-    DELETE-ONLY spans are MASKED, not rebuilt (round-12 verdict ask
-    #3): the deleted ids append to the index's tombstone mask
+    DELETES are MASKED, not rebuilt (round-12 verdict ask #3): the
+    deleted ids append to the index's tombstone mask
     (``deleted.parquet``) and every serve path anti-joins the mask out
     of the assignments (`_live_assignments`) — O(deleted) bytes per
     delete where round 12 paid an O(corpus) re-encode, mirroring the
-    table protocol's own merge-on-read tombstones. Rails that keep the
-    masked index bit-identical to a fresh build on the live corpus:
-    the medoid set must be unchanged (a deleted medoid re-shapes every
-    cell → rebuild); every deleted id must be FULLY gone from the head
-    (a net-delete of one duplicate row keeps the id live → rebuild);
-    and a DEAD-FRACTION trigger — masked ids exceeding
-    ``max_dead_fraction`` of scanned rows — rebuilds to re-shrink the
-    artifact, exactly the compaction policy's trigger shape. A later
-    RE-ADD of a masked id rebuilds too (its stale assignment row
-    cannot be replaced in place — parquet is immutable).
+    table protocol's own merge-on-read tombstones. CHURN spans mixing
+    inserts and deletes (the daily ingest-plus-takedown shape) apply
+    BOTH halves in one pass — mask the deletes, append-encode the
+    inserts (round 13; previously a rebuild). Rails that keep the
+    maintained index bit-identical to a fresh build on the live
+    corpus: the medoid set must be unchanged (a deleted medoid
+    re-shapes every cell → rebuild); every deleted id must be FULLY
+    gone from the head (a net-delete of one duplicate row keeps the id
+    live → rebuild); and a DEAD-FRACTION trigger — masked ids
+    exceeding ``max_dead_fraction`` of scanned rows — rebuilds to
+    re-shrink the artifact, exactly the compaction policy's trigger
+    shape. A later RE-ADD of a masked id rebuilds too (its stale
+    assignment row cannot be replaced in place — parquet is
+    immutable).
 
     Payload updates in the span force a rebuild (a rewritten vector
     must re-encode). Crash-idempotent: assignment appends anti-join
     ids already present, mask appends anti-join ids already masked,
     and the mask count is re-read from the files before the meta
     write. Returns the meta dict plus ``maintenance`` ∈ {'current',
-    'incremental', 'masked', 'rebuilt'} (not persisted)."""
+    'incremental', 'masked', 'churn', 'rebuilt'} (not persisted)."""
     from funnel_report_etl_pipeline__spark.sources.sinks import read_versioned
 
     corpus = read_versioned(spark, table_dir)
@@ -416,47 +420,31 @@ def ensure_ivf_index_versioned(
                 for r in saved_med.select("cell", "mid").orderBy("cell").collect()
             ]
 
-        if ch is not None and ch_kinds == {"insert"}:
-            new_ids = ch.select(F.col(id_col))
-            readded_masked = _readded_masked_id(spark, out_dir, new_ids, id_col)
-            cells_path = os.path.join(out_dir, "cells.parquet")
-            saved_med = spark.read.parquet(cells_path)
-            if not readded_masked and _fresh_mids() == _saved_mids(saved_med):
-                assign_path = os.path.join(out_dir, "assignments.parquet")
-                newv = (
-                    corpus.join(new_ids, id_col, "semi")
-                    .select(
-                        F.col(id_col).alias("cid"),
-                        F.col(vec_col).cast("array<double>").alias("__v"),
-                    )
-                )
-                done = spark.read.parquet(assign_path).select("cid")
-                fresh = _nearest_medoid_cells(newv, saved_med, "cid", 1).join(
-                    done, "cid", "left_anti"
-                )
-                fresh.write.mode("append").parquet(assign_path)
-                # is_current already computed the head corpus signature
-                # (cached via nonlocal) — recomputing it here would be a
-                # second full id-column pass on the O(delta) path
-                if n is None:
-                    n, sig = corpus_signature(corpus, id_col)
-                new_meta = {
-                    **{
-                        k: meta[k]
-                        for k in ("family", "n_cells", "id_col", "vec_col")
-                    },
-                    "n_vectors": n,
-                    "corpus_sig": sig,
-                    "indexed_version": head,
-                    "n_masked": int(meta.get("n_masked", 0) or 0),
-                }
-                _write_meta(spark, os.path.join(out_dir, "meta.parquet"), new_meta)
-                return {**new_meta, "maintenance": "incremental"}
-        elif ch is not None and ch_kinds == {"delete"}:
-            deleted = ch.select(F.col(id_col).alias("cid")).distinct()
+        if ch is not None and ch_kinds and ch_kinds <= {"insert", "delete"}:
+            # CHURN-capable fast path (round 13): any mix of pure
+            # inserts and pure deletes — the daily-ingest-plus-takedown
+            # shape — masks the deletes (O(deleted)) AND append-encodes
+            # the inserts (O(delta)) in one maintenance pass; only
+            # payload UPDATES (or the rails below) force the rebuild.
+            # An id cannot appear on both sides: the net-multiplicity
+            # feed emits one sign per id, and delete→re-add round trips
+            # either net to nothing (untouched) or surface as 'update'.
+            new_ids = ch.filter(F.col("_change_type") == "insert").select(
+                F.col(id_col)
+            )
+            deleted = (
+                ch.filter(F.col("_change_type") == "delete")
+                .select(F.col(id_col).alias("cid"))
+                .distinct()
+            )
+            has_inserts = "insert" in ch_kinds
+            has_deletes = "delete" in ch_kinds
+            readded_masked = has_inserts and _readded_masked_id(
+                spark, out_dir, new_ids, id_col
+            )
             # fully-gone guard: a net-delete of one duplicate row keeps
             # the id live — masking it would hide a live vector
-            still_live = (
+            still_live = has_deletes and (
                 corpus.select(F.col(id_col).alias("cid"))
                 .join(deleted, "cid", "semi")
                 .limit(1)
@@ -465,13 +453,37 @@ def ensure_ivf_index_versioned(
             )
             cells_path = os.path.join(out_dir, "cells.parquet")
             saved_med = spark.read.parquet(cells_path)
-            if not still_live and _fresh_mids() == _saved_mids(saved_med):
+            if (
+                not readded_masked
+                and not still_live
+                and _fresh_mids() == _saved_mids(saved_med)
+            ):
                 if n is None:
                     n, sig = corpus_signature(corpus, id_col)
-                n_masked = _append_delete_mask(
-                    spark, out_dir, deleted, n, max_dead_fraction
-                )
+                n_masked = int(meta.get("n_masked", 0) or 0)
+                if has_deletes:
+                    masked = _append_delete_mask(
+                        spark, out_dir, deleted, n, max_dead_fraction
+                    )
+                    if masked is None:
+                        n_masked = None  # dead fraction: fall to rebuild
+                    else:
+                        n_masked = masked
                 if n_masked is not None:
+                    if has_inserts:
+                        assign_path = os.path.join(out_dir, "assignments.parquet")
+                        newv = (
+                            corpus.join(new_ids, id_col, "semi")
+                            .select(
+                                F.col(id_col).alias("cid"),
+                                F.col(vec_col).cast("array<double>").alias("__v"),
+                            )
+                        )
+                        done = spark.read.parquet(assign_path).select("cid")
+                        fresh = _nearest_medoid_cells(
+                            newv, saved_med, "cid", 1
+                        ).join(done, "cid", "left_anti")
+                        fresh.write.mode("append").parquet(assign_path)
                     new_meta = {
                         **{
                             k: meta[k]
@@ -485,11 +497,17 @@ def ensure_ivf_index_versioned(
                     _write_meta(
                         spark, os.path.join(out_dir, "meta.parquet"), new_meta
                     )
-                    return {**new_meta, "maintenance": "masked"}
-    # first build, drifted medoids, updates in the span, mixed spans,
-    # re-added masked ids, dead fraction past the trigger, or a legacy
-    # index without the indexed_version ledger: full rebuild (installs
-    # a fresh directory — the tombstone mask disappears with it)
+                    label = (
+                        "churn"
+                        if has_inserts and has_deletes
+                        else ("incremental" if has_inserts else "masked")
+                    )
+                    return {**new_meta, "maintenance": label}
+    # first build, drifted medoids, payload updates in the span,
+    # re-added masked ids, partially-deleted duplicate ids, dead
+    # fraction past the trigger, or a legacy index without the
+    # indexed_version ledger: full rebuild (installs a fresh
+    # directory — the tombstone mask disappears with it)
     from funnel_report_etl_pipeline__spark.sources.sinks import table_versions
 
     head = head if head is not None else table_versions(spark, table_dir)[-1]
@@ -1155,73 +1173,54 @@ def ensure_ivfpq_residual_index_versioned(
         )
         return fresh_anchors == meta["anchor_ids"]
 
-    def _try_masked() -> dict | None:
-        """Delete-only span → mask instead of rebuild. The codes keep
-        the dead rows (serving excludes them through the IVF
-        assignments mask); this index's own ``deleted.parquet`` is the
-        re-add tripwire. Preconditions: ids fully gone from the head,
-        quantizer id sets unchanged, dead fraction under the trigger."""
-        nonlocal n, sig
+    def _try_churn() -> dict | None:
+        """The non-rebuild fast path for any span mixing pure inserts
+        and pure deletes (round 13 — insert-only and delete-only are
+        its degenerate cases), or None when any precondition fails (the
+        caller then full-rebuilds). Deletes MASK into this index's own
+        ``deleted.parquet`` (the re-add tripwire; serving already
+        excludes them through the IVF assignments mask); inserts
+        re-encode only the new vectors' residuals against the SAVED
+        codebook. Preconditions, in check order: span holds only
+        inserts/deletes (an update re-shapes a stored code); no RE-ADD
+        of a masked id (its stale code rows cannot be replaced in
+        place); deleted ids fully gone from the head; IVF index current
+        for the head; IVF BUILD IDENTITY unchanged — the saved medoid
+        id list must equal the live cells\' (a medoid-drift rebuild of
+        the IVF half keeps the corpus signature current but changes
+        EVERY residual, so appending delta codes against new cells
+        while keeping old codes would serve a silently inconsistent
+        index — round-12 review finding); anchor id set unchanged;
+        dead fraction under the trigger; no PARTIAL cid in the saved
+        codes (a crash mid-append can publish a subset of part files,
+        splitting one cid\'s n_segments rows — stray rows cannot be
+        removed from parquet in place, so partial state rebuilds)."""
+        nonlocal head, n, sig
         if not _meta_ready():
             return None
         _, ch, ch_kinds = _span()
-        if ch is None or ch_kinds != {"delete"}:
+        if ch is None or not ch_kinds or ch_kinds - {"insert", "delete"}:
             return None
-        deleted = ch.select(F.col(id_col).alias("cid")).distinct()
-        still_live = (
+        has_inserts = "insert" in ch_kinds
+        has_deletes = "delete" in ch_kinds
+        new_ids = ch.filter(F.col("_change_type") == "insert").select(
+            F.col(id_col)
+        )
+        deleted = (
+            ch.filter(F.col("_change_type") == "delete")
+            .select(F.col(id_col).alias("cid"))
+            .distinct()
+        )
+        if has_inserts and _readded_masked_id(spark, out_dir, new_ids, id_col):
+            return None
+        if has_deletes and (
             corpus.select(F.col(id_col).alias("cid"))
             .join(deleted, "cid", "semi")
             .limit(1)
             .count()
             > 0
-        )
-        if still_live or not _quantizers_unchanged():
-            return None
-        n_masked = _append_delete_mask(
-            spark, out_dir, deleted, n, max_dead_fraction
-        )
-        if n_masked is None:
-            return None  # dead fraction past the trigger: rebuild
-        new_meta = {
-            **{
-                k: meta[k]
-                for k in (
-                    "family", "codebook_salt", "n_segments", "seg_dim",
-                    "n_codes", "id_col", "vec_col", "anchor_ids",
-                    "medoid_ids",
-                )
-            },
-            "n_vectors": n,
-            "corpus_sig": sig,
-            "indexed_version": head,
-            "n_masked": n_masked,
-        }
-        _write_meta(spark, os.path.join(out_dir, "meta.parquet"), new_meta)
-        return {**new_meta, "maintenance": "masked"}
-
-    def _try_incremental() -> dict | None:
-        """The additive fast path, or None when any precondition fails
-        (the caller then full-rebuilds). Preconditions, in check order:
-        additive span; no RE-ADD of a masked id (its stale code rows
-        cannot be replaced in place); IVF index current for the head;
-        IVF BUILD IDENTITY unchanged — the saved medoid id list must
-        equal the live cells' (a medoid-drift rebuild of the IVF half
-        keeps the corpus signature current but changes EVERY residual,
-        so appending delta codes against new cells while keeping old
-        codes would serve a silently inconsistent index — round-12
-        review finding); anchor id set unchanged; no PARTIAL cid in the
-        saved codes (a crash mid-append can publish a subset of part
-        files, splitting one cid's n_segments rows — stray rows cannot
-        be removed from parquet in place, so partial state rebuilds)."""
-        nonlocal head, n, sig
-        if not _meta_ready():
-            return None
-        _, ch, ch_kinds = _span()
-        if ch is None or ch_kinds != {"insert"}:
-            return None
-        new_ids = ch.select(F.col(id_col))
-        if _readded_masked_id(spark, out_dir, new_ids, id_col):
-            return None
+        ):
+            return None  # partially-deleted duplicate id stays live
         if not _quantizers_unchanged():
             return None
         med = spark.read.parquet(os.path.join(ivf_dir, "cells.parquet"))
@@ -1232,41 +1231,54 @@ def ensure_ivfpq_residual_index_versioned(
             .agg(F.count("*").alias("__k"))
         )
         if per_cid.filter(F.col("__k") != n_segments).count() > 0:
-            return None  # partial cid: crash debris → full rebuild
-        assign = spark.read.parquet(os.path.join(ivf_dir, "assignments.parquet"))
-        saved_cb = spark.read.parquet(os.path.join(out_dir, "codebook.parquet"))
-        dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        newc = (
-            corpus.join(new_ids, id_col, "semi")
-            .select(F.col(id_col).alias("cid"), dv.alias("v"))
-            .join(per_cid.select("cid"), "cid", "left_anti")  # idempotence
-        )
-        res = (
-            newc.join(assign, "cid")
-            .join(F.broadcast(med.select("cell", "mv")), "cell")
-            .select("cid", _residual("v", "mv").alias("rv"))
-        )
-        joined = res.crossJoin(F.broadcast(saved_cb))
-        seg_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("s"),
-                    _seg_dist("rv", "ar", s, seg_dim).alias("d"),
-                )
-                for s in range(n_segments)
-            ]
-        )
-        new_codes = (
-            joined.select("cid", "code", F.explode(seg_structs).alias("sd"))
-            .groupBy("cid", F.col("sd.s").alias("s"))
-            .agg(
-                F.min(
-                    F.struct(F.col("sd.d").alias("d"), F.col("code"))
-                ).alias("m")
+            return None  # partial cid: crash debris -> full rebuild
+        n_masked = int(meta.get("n_masked", 0) or 0)
+        if has_deletes:
+            masked = _append_delete_mask(
+                spark, out_dir, deleted, n, max_dead_fraction
             )
-            .select("cid", "s", F.col("m.code").alias("code"))
-        )
-        new_codes.write.mode("append").parquet(codes_path)
+            if masked is None:
+                return None  # dead fraction past the trigger: rebuild
+            n_masked = masked
+        if has_inserts:
+            assign = spark.read.parquet(
+                os.path.join(ivf_dir, "assignments.parquet")
+            )
+            saved_cb = spark.read.parquet(
+                os.path.join(out_dir, "codebook.parquet")
+            )
+            dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            newc = (
+                corpus.join(new_ids, id_col, "semi")
+                .select(F.col(id_col).alias("cid"), dv.alias("v"))
+                .join(per_cid.select("cid"), "cid", "left_anti")  # idempotence
+            )
+            res = (
+                newc.join(assign, "cid")
+                .join(F.broadcast(med.select("cell", "mv")), "cell")
+                .select("cid", _residual("v", "mv").alias("rv"))
+            )
+            joined = res.crossJoin(F.broadcast(saved_cb))
+            seg_structs = F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        _seg_dist("rv", "ar", s, seg_dim).alias("d"),
+                    )
+                    for s in range(n_segments)
+                ]
+            )
+            new_codes = (
+                joined.select("cid", "code", F.explode(seg_structs).alias("sd"))
+                .groupBy("cid", F.col("sd.s").alias("s"))
+                .agg(
+                    F.min(
+                        F.struct(F.col("sd.d").alias("d"), F.col("code"))
+                    ).alias("m")
+                )
+                .select("cid", "s", F.col("m.code").alias("code"))
+            )
+            new_codes.write.mode("append").parquet(codes_path)
         new_meta = {
             **{k: meta[k] for k in (
                 "family", "codebook_salt", "n_segments", "seg_dim",
@@ -1275,15 +1287,17 @@ def ensure_ivfpq_residual_index_versioned(
             "n_vectors": n,
             "corpus_sig": sig,
             "indexed_version": head,
-            "n_masked": int(meta.get("n_masked", 0) or 0),
+            "n_masked": n_masked,
         }
         _write_meta(spark, os.path.join(out_dir, "meta.parquet"), new_meta)
-        return {**new_meta, "maintenance": "incremental"}
+        label = (
+            "churn"
+            if has_inserts and has_deletes
+            else ("incremental" if has_inserts else "masked")
+        )
+        return {**new_meta, "maintenance": label}
 
-    inc = _try_masked()
-    if inc is not None:
-        return inc
-    inc = _try_incremental()
+    inc = _try_churn()
     if inc is not None:
         return inc
     head = head if head is not None else table_versions(spark, table_dir)[-1]

@@ -248,3 +248,110 @@ def versioned_partition_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Timestamp time travel, externally pinned
+# ---------------------------------------------------------------------------
+#
+# History: v1 snapshot = doc_id % 3 = 0; v2 delta = % 3 = 1;
+#          v3 delete  = % 5 = 0 (of live); v4 merge = % 7 = 0 ('M').
+# live1 = %3=0; live2 = %3 IN (0,1); live3 = live2 AND %5<>0;
+# live4 = live3 OR %7=0. Probing AS OF each commit's own stamp must
+# resolve exactly that version's live set.
+
+_TIMETRAVEL_ORACLE = """
+WITH k AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM documents
+)
+SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(h) AS BIGINT) AS id_checksum
+FROM k WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT), CAST(SUM(h) AS BIGINT)
+FROM k WHERE doc_id % 3 IN (0, 1)
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT), CAST(SUM(h) AS BIGINT)
+FROM k WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0
+UNION ALL
+SELECT CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT), CAST(SUM(h) AS BIGINT)
+FROM k WHERE (doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0) OR doc_id % 7 = 0
+"""
+
+
+@register(
+    "versioned_timetravel_audit",
+    oracle=_TIMETRAVEL_ORACLE,
+    tags=("pipeline-r13", "etl", "versioning", "timetravel"),
+    # bench=False: builds a fresh per-run 4-version table
+    bench=False,
+)
+def versioned_timetravel_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF, externally value-hashed (the round-12 surface
+    was library-only): over a snapshot → delta → delete → merge
+    history, reading AS OF each commit's own wall-clock stamp must
+    resolve exactly that version's contents — per version the audit
+    emits the as-of read's live count and id checksum, which the oracle
+    recomputes closed-form. The query RAISES unless the commit stamps
+    are strictly increasing (the round-13 clamp makes them monotone;
+    equal stamps would make as-of resolution ambiguous) and unless a
+    before-the-table timestamp raises. NULL-stamp (legacy) inheritance
+    and clock-regression clamping are pinned in
+    tests/test_versioned_r13.py."""
+    import shutil
+    import tempfile
+
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        _id_checksum_col,
+        append_versioned,
+        delete_versioned,
+        merge_versioned,
+        read_versioned_as_of_timestamp,
+        version_manifest,
+        write_versioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = tempfile.mkdtemp(prefix="spark_graft_timetravel_")
+    try:
+        write_versioned(docs.filter(F.col("doc_id") % 3 == 0), table, id_col="doc_id")
+        append_versioned(docs.filter(F.col("doc_id") % 3 == 1), table, id_col="doc_id")
+        delete_versioned(
+            spark, table, docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+            id_col="doc_id",
+        )
+        merge_versioned(
+            spark, table,
+            docs.filter(F.col("doc_id") % 7 == 0).withColumn("text", F.lit("M")),
+            id_col="doc_id",
+        )
+        stamps = {
+            int(r["version"]): int(r["commit_ts"])
+            for r in version_manifest(spark, table).collect()
+        }
+        ordered = [stamps[v] for v in sorted(stamps)]
+        if ordered != sorted(set(ordered)):
+            raise RuntimeError(
+                f"commit stamps are not strictly increasing: {stamps}"
+            )
+        try:
+            read_versioned_as_of_timestamp(spark, table, ordered[0] - 10_000_000)
+        except FileNotFoundError:
+            pass
+        else:
+            raise RuntimeError("a before-the-table timestamp must raise")
+        out = []
+        for v in sorted(stamps):
+            snap = read_versioned_as_of_timestamp(spark, table, stamps[v])
+            row = snap.agg(
+                F.count("*").alias("n"),
+                F.sum(_id_checksum_col("doc_id")).alias("s"),
+            ).collect()[0]
+            out.append((v, int(row["n"]), int(row["s"])))
+        return spark.createDataFrame(
+            out, "version long, n_live long, id_checksum long"
+        )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)

@@ -128,7 +128,11 @@ _WINDOW: tuple[str, ...] = (
     "weekday_seasonality",
     "ewma_revenue_anomaly",
     # ETL / CDC / sessionization family:
-    "markov_event_transitions",
+    # (r9-rotation keeper markov_event_transitions rotated out in
+    # round 13 — external rows r09+r10+r11+r12; the family keeps its
+    # window presence via priority_change_intervals /
+    # session_bounce_stats / event_path_topk — its slot goes to
+    # versioned_timetravel_audit)
     "priority_change_intervals",
     "session_bounce_stats",
     # (r9-rotation keeper cumulative_unique_users rotated out in round 12
@@ -256,6 +260,10 @@ _WINDOW: tuple[str, ...] = (
     # chi_square_flag_status, external rows r09-r12)
     "versioned_span_feed",
     "versioned_partition_audit",
+    # timestamp time travel externally pinned (raises unless commit
+    # stamps are strictly increasing and pre-table times raise;
+    # displaces keeper markov_event_transitions, external rows r09-r12)
+    "versioned_timetravel_audit",
 )
 
 

@@ -940,3 +940,92 @@ def test_versioned_ensure_stamps_signature_current_legacy_index(spark, tmp_path)
     # and the stamped ledger now admits the incremental path
     append_versioned(delta, tbl, id_col="vec_id")
     assert ensure_ivf_index_versioned(spark, tbl, ivf)["maintenance"] == "incremental"
+
+
+def test_churn_span_masks_deletes_and_encodes_inserts(spark, tmp_path):
+    """Round-13 churn path: a span mixing DELETES and INSERTS (the daily
+    ingest-plus-takedown shape) maintains both index halves in one pass
+    — deletes masked, inserts append-encoded, maintenance == 'churn' —
+    and every serve shape stays bit-identical to fresh builds on the
+    live corpus. Previously any mixed span forced the O(corpus)
+    rebuild."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        build_ivf_medoid_index,
+        build_ivfpq_residual_index,
+        cosine_topk_ivf_prebuilt,
+        ensure_ivf_index_versioned,
+        ensure_ivfpq_residual_index_versioned,
+        ivfpq_residual_topk_prebuilt,
+    )
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        append_versioned,
+        delete_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    emb = _emb(spark)
+    lowm = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .withColumn("k", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("k", "vec_id").limit(64).collect()
+    ]
+    lowa = [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .withColumn(
+            "k", F.md5(F.concat(F.lit("res:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("k", "vec_id").limit(64).collect()
+    ]
+    excl = set(lowm) | set(lowa)
+    arrivals = emb.filter(
+        (F.col("vec_id") % 9 == 2) & ~F.col("vec_id").isin(*excl)
+    )
+    victims = emb.filter(
+        (F.col("vec_id") % 9 == 5) & ~F.col("vec_id").isin(*excl)
+    ).select("vec_id")
+    base = emb.subtract(arrivals)
+    tbl = str(tmp_path / "corpus")
+    write_versioned(base, tbl, id_col="vec_id")
+    ivf, res = str(tmp_path / "ivf"), str(tmp_path / "res")
+    ensure_ivf_index_versioned(spark, tbl, ivf)
+    ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)
+    # churn: takedown + ingest in one span
+    delete_versioned(spark, tbl, victims, id_col="vec_id")
+    append_versioned(arrivals, tbl, id_col="vec_id")
+    m = ensure_ivf_index_versioned(spark, tbl, ivf)
+    r = ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)
+    assert m["maintenance"] == "churn" and r["maintenance"] == "churn"
+    gone = {x["vec_id"] for x in victims.collect()}
+    assert int(m["n_masked"]) == len(gone)
+    # dead rows still on disk (no re-encode) but out of the served view
+    raw = {
+        x["cid"]
+        for x in spark.read.parquet(os.path.join(ivf, "assignments.parquet")).collect()
+    }
+    assert gone <= raw
+    # bit-equality of serving vs fresh builds on the live corpus
+    live = read_versioned(spark, tbl)
+    fivf, fres = str(tmp_path / "fivf"), str(tmp_path / "fres")
+    build_ivf_medoid_index(live, fivf, 16)
+    build_ivfpq_residual_index(live, fres, fivf)
+    q = emb.filter(F.col("vec_id") % 100 == 11)
+    a = sorted(
+        tuple(x) for x in cosine_topk_ivf_prebuilt(live, q, ivf, k=5, n_probe=2).collect()
+    )
+    b = sorted(
+        tuple(x) for x in cosine_topk_ivf_prebuilt(live, q, fivf, k=5, n_probe=2).collect()
+    )
+    assert a == b
+    ra = sorted(
+        tuple(x) for x in ivfpq_residual_topk_prebuilt(q, ivf, res, k=5, n_probe=2).collect()
+    )
+    rb = sorted(
+        tuple(x) for x in ivfpq_residual_topk_prebuilt(q, fivf, fres, k=5, n_probe=2).collect()
+    )
+    assert ra == rb
+    # a repeat run is 'current'; a subsequent pure-insert span after the
+    # churn is still 'incremental' (the mask survives)
+    assert ensure_ivf_index_versioned(spark, tbl, ivf)["maintenance"] == "current"

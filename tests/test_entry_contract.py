@@ -59,8 +59,9 @@ def test_driver_window_composition_pinned():
     # cumulative_unique_users (each holds committed external rows, so
     # they may sit outside per the standing budget contract below)
     # ... and (round 13) ols_brand_price_quantity +
-    # chi_square_flag_status (external rows r09-r12)
-    assert window[-11:] == [
+    # chi_square_flag_status + markov_event_transitions (external rows
+    # r09-r12)
+    assert window[-12:] == [
         "versioned_vacuum_audit",
         "ann_ivfpq_residual",
         "versioned_compact_audit",
@@ -72,6 +73,7 @@ def test_driver_window_composition_pinned():
         "ann_ivf_incremental",
         "versioned_span_feed",
         "versioned_partition_audit",
+        "versioned_timetravel_audit",
     ]
     specs = load_all()
     parity = [n for n, s in specs.items() if s.fn.__module__.endswith(".parity")]
@@ -104,16 +106,18 @@ def test_driver_window_composition_pinned():
     # _pruned / rrf_trimodal_fusion / versioned_tombstone_audit);
     # cumulative_unique_users and two_hop_reach (rows r09-r11) rotated
     # out in round 12 (slots to versioned_merge_audit /
-    # ann_ivf_incremental); ols_brand_price_quantity and
-    # chi_square_flag_status (rows r09-r12) rotated out in round 13
-    # (slots to versioned_span_feed / versioned_partition_audit); the
+    # ann_ivf_incremental); ols_brand_price_quantity,
+    # chi_square_flag_status and markov_event_transitions (rows
+    # r09-r12) rotated out in round 13 (slots to versioned_span_feed /
+    # versioned_partition_audit / versioned_timetravel_audit); the
     # rest of the r9 rotation still holds its window seats
     assert (
         rotated_in_r9
         - {"window_dist_funcs", "equidepth_price_histogram",
            "asof_join_nearest", "table_profile_orders",
            "cumulative_unique_users", "two_hop_reach",
-           "ols_brand_price_quantity", "chi_square_flag_status"}
+           "ols_brand_price_quantity", "chi_square_flag_status",
+           "markov_event_transitions"}
     ) <= set(window)
     import json
     from pathlib import Path

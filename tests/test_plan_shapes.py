@@ -418,11 +418,12 @@ WINDOW_SHUFFLE_BUDGET = {
     # returned frame is the collected 50-row serve result re-created
     # (the per-run corpus table + index builds run inside fn())
     "ann_ivf_incremental": 0,
-    # round 13: both return collected audit-grain rows re-created (the
-    # per-run 5-version mixed history / partitioned 3-version table and
+    # round 13: all three return collected audit-grain rows re-created
+    # (the per-run mixed-history / partitioned / 4-version tables and
     # their plan-shape raises all run inside fn())
     "versioned_span_feed": 0,
     "versioned_partition_audit": 0,
+    "versioned_timetravel_audit": 0,
 }
 
 
