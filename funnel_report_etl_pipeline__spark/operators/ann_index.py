@@ -208,10 +208,13 @@ def _span_changes(
     ``from_version`` and the head of a versioned corpus, plus the set of
     change kinds it contains ({'insert'}, {'delete'}, mixed, or — for
     an up-to-date index — (head, None, set())). O(changes) via the CDF
-    fast paths; the detect_updates probe reads payload columns only
-    across snapshot recommits. The caller picks the maintenance
-    strategy per kind set: pure inserts append-encode, pure deletes
-    mask, anything else rebuilds."""
+    commit-artifact paths (round 14: genuinely O(changes) even with
+    ``detect_updates`` — a disjoint insert+delete span reads NO snapshot
+    directory at all, and update detection reads the endpoints
+    restricted to the candidate id set only; the round-13 advice's
+    medium finding). The caller picks the maintenance strategy per kind
+    set: pure inserts append-encode, pure deletes mask, churn does
+    both, anything else rebuilds."""
     from funnel_report_etl_pipeline__spark.sources.sinks import (
         table_versions,
         version_changes,
@@ -387,22 +390,38 @@ def ensure_ivf_index_versioned(
 
     head = None
     if meta is not None and is_current(meta):
+        from funnel_report_etl_pipeline__spark.sources.sinks import (
+            table_versions as _tv,
+        )
+
         if "indexed_version" not in meta:
             # a signature-current index built by the plain ensure_* just
             # needs the version ledger stamped — the deterministic-build
             # property makes a rebuild bit-identical, i.e. pure waste
-            from funnel_report_etl_pipeline__spark.sources.sinks import (
-                table_versions as _tv,
-            )
-
             stamped = {**meta, "indexed_version": _tv(spark, table_dir)[-1]}
             _write_meta(spark, os.path.join(out_dir, "meta.parquet"), stamped)
             return {**stamped, "maintenance": "current"}
-        return {**meta, "maintenance": "current"}
+        if int(meta["indexed_version"]) == _tv(spark, table_dir)[-1]:
+            return {**meta, "maintenance": "current"}
+        # signature-current but the ledger lags the head: the id
+        # signature is MEMBERSHIP-only, so a span of membership-
+        # preserving payload rewrites (a merge re-upserting every id
+        # with new vectors) is invisible to it — fall through to the
+        # span probe instead of serving stale encodings (round-14
+        # review finding, caught by the dedup-index twin's test)
     if meta is not None and params_match(meta) and "indexed_version" in meta:
         head, ch, ch_kinds = _span_changes(
             spark, table_dir, int(meta["indexed_version"]), id_col
         )
+        if ch is not None and not ch_kinds:
+            # non-empty span with an EMPTY feed (pure compaction /
+            # no-op recommits): nothing changed — restamp the ledger,
+            # the artifacts stay exactly valid
+            stamped = {**meta, "indexed_version": head}
+            _write_meta(spark, os.path.join(out_dir, "meta.parquet"), stamped)
+            return {**stamped, "maintenance": "current"}
+        if ch is None and is_current(meta):
+            return {**meta, "maintenance": "current"}
 
         def _fresh_mids() -> list:
             return [
@@ -513,7 +532,18 @@ def ensure_ivf_index_versioned(
     head = head if head is not None else table_versions(spark, table_dir)[-1]
     tmp = f"{out_dir}.build.{os.getpid()}"
     build_ivf_medoid_index(corpus, tmp, n_cells, id_col, vec_col)
-    installed = _install_index(spark, tmp, out_dir, is_current)
+
+    def install_current(m: dict) -> bool:
+        # the install-race check must be VERSION-aware here: the id
+        # signature alone would declare a stale pre-rewrite index
+        # "current" after a membership-preserving payload update and
+        # silently discard the fresh build (round-14 review finding)
+        return (
+            is_current(m)
+            and str(m.get("indexed_version", "")) == str(head)
+        )
+
+    installed = _install_index(spark, tmp, out_dir, install_current)
     stamped = {**installed, "indexed_version": head}
     stamped.pop("maintenance", None)
     _write_meta(spark, os.path.join(out_dir, "meta.parquet"), stamped)
@@ -1105,18 +1135,24 @@ def ensure_ivfpq_residual_index_versioned(
         return int(m["n_vectors"]) == n and int(m["corpus_sig"]) == sig
 
     if meta is not None and is_current(meta):
+        from funnel_report_etl_pipeline__spark.sources.sinks import (
+            table_versions as _tv,
+        )
+
         if "indexed_version" not in meta:
             # a signature-current index built by the plain ensure_* just
             # needs the version ledger stamped — rebuilding a provably
             # bit-identical artifact would waste a full corpus pass
-            from funnel_report_etl_pipeline__spark.sources.sinks import (
-                table_versions as _tv,
-            )
-
             stamped = {**meta, "indexed_version": _tv(spark, table_dir)[-1]}
             _write_meta(spark, os.path.join(out_dir, "meta.parquet"), stamped)
             return {**stamped, "maintenance": "current"}
-        return {**meta, "maintenance": "current"}
+        if int(meta["indexed_version"]) == _tv(spark, table_dir)[-1]:
+            return {**meta, "maintenance": "current"}
+        # signature-current but the ledger lags the head: the id
+        # signature is MEMBERSHIP-only — a span of membership-preserving
+        # payload rewrites (merge re-upserting ids with new vectors) is
+        # invisible to it, so probe the span below instead of serving
+        # stale codes (round-14 review finding)
     head = None
 
     span: tuple | None = None
@@ -1297,6 +1333,16 @@ def ensure_ivfpq_residual_index_versioned(
         )
         return {**new_meta, "maintenance": label}
 
+    if _meta_ready():
+        _, _ch, _ch_kinds = _span()
+        if _ch is not None and not _ch_kinds:
+            # non-empty span with an EMPTY feed (pure compaction /
+            # no-op recommits): nothing changed — restamp the ledger
+            stamped = {**meta, "indexed_version": head}
+            _write_meta(spark, os.path.join(out_dir, "meta.parquet"), stamped)
+            return {**stamped, "maintenance": "current"}
+        if _ch is None and is_current(meta):
+            return {**meta, "maintenance": "current"}
     inc = _try_churn()
     if inc is not None:
         return inc
@@ -1305,7 +1351,15 @@ def ensure_ivfpq_residual_index_versioned(
     build_ivfpq_residual_index(
         corpus, tmp, ivf_dir, n_segments, seg_dim, n_codes, id_col, vec_col
     )
-    installed = _install_index(spark, tmp, out_dir, is_current)
+
+    def install_current(m: dict) -> bool:
+        # version-aware install-race check — see ensure_ivf_index_versioned
+        return (
+            is_current(m)
+            and str(m.get("indexed_version", "")) == str(head)
+        )
+
+    installed = _install_index(spark, tmp, out_dir, install_current)
     stamped = {**installed, "indexed_version": head}
     stamped.pop("maintenance", None)
     _write_meta(spark, os.path.join(out_dir, "meta.parquet"), stamped)

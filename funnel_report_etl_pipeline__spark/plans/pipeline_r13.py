@@ -223,15 +223,43 @@ def versioned_partition_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap = read_versioned(spark, table)
         pick = min(r["lang"] for r in docs.select("lang").distinct().collect())
         pruned = snap.filter(F.col("lang") == pick)
-        plan = pruned._jdf.queryExecution().executedPlan().toString()
-        pf_lines = [
-            l for l in plan.split("\n")
-            if "PartitionFilters: [isnotnull(lang" in l
-        ]
-        if len(pf_lines) != 2 or not all(f"= {pick})" in l for l in pf_lines):
+        # STRUCTURAL pruning evidence (round-13 advice: the plan-TEXT
+        # match was brittle across Spark versions): walk the executed
+        # plan's scan nodes and read their partitionFilters via the JVM
+        # objects; anchor the pruned-scan count to the assembly chain's
+        # ADD-dir count from the commit log instead of a hard-coded 2.
+        from funnel_report_etl_pipeline__spark.sources.layout import (
+            scan_partition_filters,
+        )
+        from funnel_report_etl_pipeline__spark.sources.sinks import (
+            _assembly_for,
+            _manifest_rows,
+        )
+
+        rows = _manifest_rows(spark, table)
+        add_dirs, tomb_dirs = _assembly_for(
+            table, rows, max(int(r["version"]) for r in rows)
+        )
+        per_scan = scan_partition_filters(pruned)
+        # classify scans by the directory they read (the optimizer may
+        # duplicate a tombstone scan per union branch) and require the
+        # lang filter on EVERY scan of an ADD directory; each add dir
+        # must be scanned at least once
+        seen_adds: set[str] = set()
+        for paths, filters in per_scan:
+            hit_adds = [d for d in add_dirs if any(p.rstrip("/").endswith(d.rstrip("/").split("/")[-1]) for p in paths)]
+            seen_adds.update(hit_adds)
+            if hit_adds and not any(
+                "lang" in f and f"= {pick})" in f for f in filters
+            ):
+                raise RuntimeError(
+                    f"add-dir scan of {hit_adds} carries no lang "
+                    f"PartitionFilter; scans: {per_scan}"
+                )
+        if len(seen_adds) != len(add_dirs):
             raise RuntimeError(
-                "expected a lang PartitionFilter on both add-dir scans of "
-                f"the assembly union; plan:\n{plan}"
+                f"expected every add dir {add_dirs} scanned; saw "
+                f"{sorted(seen_adds)} in {per_scan}"
             )
         expected = docs.filter(
             (F.col("lang") == pick) & (F.col("doc_id") % 7 != 0)

@@ -75,6 +75,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline_r11,  # round-11 batch (versioned-table vacuum, residual IVF-PQ)
         pipeline_r12,  # round-12 batch (atomic MERGE, update-aware CDF)
         pipeline_r13,  # round-13 batch (O(changes) span feed, partitioned tables)
+        pipeline_r14,  # round-14 batch (incremental near-dup index, CDC, SQL time travel)
     )
 
     return REGISTRY
@@ -119,21 +120,20 @@ _WINDOW: tuple[str, ...] = (
     # verdict's top ask). Stats / eval family:
     # (r9-rotation keepers ols_brand_price_quantity and
     # chi_square_flag_status rotated out in round 13 — external rows
-    # r09+r10+r11+r12; the stats family keeps its window presence via
-    # gini_impurity_segments / winsorized_revenue_mean /
-    # weekday_seasonality / ewma_revenue_anomaly — their slots go to
-    # versioned_span_feed / versioned_partition_audit)
-    "gini_impurity_segments",
+    # r09+r10+r11+r12; gini_impurity_segments rotated out in round 14 —
+    # external rows r09-r13; the stats family keeps its window presence
+    # via winsorized_revenue_mean / weekday_seasonality /
+    # ewma_revenue_anomaly — the slot goes to dedup_minhash_incremental)
     "winsorized_revenue_mean",
     "weekday_seasonality",
     "ewma_revenue_anomaly",
     # ETL / CDC / sessionization family:
     # (r9-rotation keeper markov_event_transitions rotated out in
-    # round 13 — external rows r09+r10+r11+r12; the family keeps its
-    # window presence via priority_change_intervals /
-    # session_bounce_stats / event_path_topk — its slot goes to
-    # versioned_timetravel_audit)
-    "priority_change_intervals",
+    # round 13 — external rows r09+r10+r11+r12;
+    # priority_change_intervals rotated out in round 14 — external rows
+    # r09-r13; the family keeps its window presence via
+    # session_bounce_stats / event_path_topk — the slot goes to
+    # versioned_update_span_audit)
     "session_bounce_stats",
     # (r9-rotation keeper cumulative_unique_users rotated out in round 12
     # — external rows r09+r10+r11; the sessionization family keeps its
@@ -141,7 +141,10 @@ _WINDOW: tuple[str, ...] = (
     # to versioned_merge_audit)
     "event_path_topk",
     # dedup / decontamination / text:
-    "assoc_rules_brand",
+    # (assoc_rules_brand rotated out in round 14 — external rows
+    # r09-r13; benchmark_contamination / lang_id_confusion keep the
+    # family's window presence — the slot goes to
+    # versioned_recommit_cdc_audit)
     "benchmark_contamination",
     "lang_id_confusion",
     # graph:
@@ -154,10 +157,12 @@ _WINDOW: tuple[str, ...] = (
     # (r9-rotation keeper table_profile_orders rotated out in round 11 —
     # external rows r09+r10; column_stats_orders keeps the profiling
     # family's history — its slot goes to versioned_tombstone_audit)
-    "asof_join_forward",
+    # (asof_join_forward rotated out in round 14 — external rows
+    # r09-r13; grouping_sets_mixed keeps the relational family's seat —
+    # the slot goes to versioned_sql_timetravel)
     # (r9-rotation keeper asof_join_nearest rotated out in round 11 —
-    # external rows r09+r10; asof_join_forward keeps the family's seat —
-    # its slot goes to rrf_trimodal_fusion)
+    # external rows r09+r10; asof_join_forward held the family's seat
+    # through r13 — its slot went to rrf_trimodal_fusion)
     # (r9-rotation keeper equidepth_price_histogram rotated out in
     # round 11 — external rows r09+r10; its _approx twin keeps the
     # family's history — its slot goes to late_interaction_maxsim_pruned)
@@ -264,6 +269,25 @@ _WINDOW: tuple[str, ...] = (
     # stamps are strictly increasing and pre-table times raise;
     # displaces keeper markov_event_transitions, external rows r09-r12)
     "versioned_timetravel_audit",
+    # round-14 registrations — windowed from day one: the incremental
+    # near-dup index (raises unless the append span reports
+    # 'incremental' and the delete span 'masked' — the O(delta)/
+    # O(deleted) paths proven by a full-batch DuckDB re-derivation;
+    # displaces keeper gini_impurity_segments, external rows r09-r13),
+    "dedup_minhash_incremental",
+    # O(changes) detect_updates with candidate-partition pruning
+    # (raises unless every base-snapshot scan carries the candidate
+    # PartitionFilter; displaces keeper priority_change_intervals,
+    # external rows r09-r13),
+    "versioned_update_span_audit",
+    # commit-time CDC across snapshot recommits (raises if the
+    # membership feed reads endpoint payload files; displaces keeper
+    # assoc_rules_brand, external rows r09-r13),
+    "versioned_recommit_cdc_audit",
+    # and the SQL time-travel front-end (history diff entirely through
+    # spark.sql over versioned_table_view temp views; displaces keeper
+    # asof_join_forward, external rows r09-r13)
+    "versioned_sql_timetravel",
 )
 
 

@@ -187,3 +187,44 @@ def files_straddling(stats: list[dict], col: str, value) -> int:
         if lo is None or hi is None or (lo <= value <= hi):
             n += 1
     return n
+
+
+def scan_partition_filters(df: DataFrame) -> list[tuple[list[str], list[str]]]:
+    """STRUCTURAL pruning evidence: for every parquet scan in ``df``'s
+    executed plan, a ``(root_paths, partition_filter_strings)`` tuple in
+    plan order (empty filter list = an unpruned/flat scan). Root paths
+    let the caller classify scans by the DIRECTORY they read — the
+    optimizer legally duplicates scans (e.g. an anti-join distributed
+    over a union scans the tombstone directory once per branch), so
+    counting scans without locations misattributes them.
+
+    This replaces matching `PartitionFilters: [...]` lines in
+    ``executedPlan().toString()`` (round-13 advice: the text rendering
+    is brittle across Spark versions — filter ordering, literal
+    quoting, scan dedup — and plan strings TRUNCATE long lists). The
+    JVM objects are walked directly; AdaptiveSparkPlanExec wrappers are
+    descended through so AQE re-planning cannot hide a scan. Driver-side
+    metadata only — nothing is executed."""
+    out: list[tuple[list[str], list[str]]] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls == "FileSourceScanExec":
+            pf = node.partitionFilters()
+            filters = [pf.apply(i).toString() for i in range(pf.size())]
+            roots = node.relation().location().rootPaths()
+            paths = [roots.apply(i).toString() for i in range(roots.size())]
+            out.append((paths, filters))
+            return
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+        # shuffle/broadcast reuse and query-stage wrappers keep their
+        # child under a different accessor; covered by children() in
+        # every Spark 4 node we exercise (pinned by the audits' counts)
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

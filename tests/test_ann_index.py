@@ -1029,3 +1029,95 @@ def test_churn_span_masks_deletes_and_encodes_inserts(spark, tmp_path):
     # a repeat run is 'current'; a subsequent pure-insert span after the
     # churn is still 'incremental' (the mask survives)
     assert ensure_ivf_index_versioned(spark, tbl, ivf)["maintenance"] == "current"
+
+
+def test_payload_rewrite_without_membership_change_rebuilds(spark, tmp_path):
+    """Round-14 review finding: the corpus signature is MEMBERSHIP-only
+    (id checksums), so a merge re-upserting ids with NEW VECTORS leaves
+    it unchanged — the pre-fix ensure returned 'current' and served
+    stale encodings. The ledger-lag probe must now see the span's
+    'update' kind and rebuild, and the rebuilt serve must reflect the
+    new vectors."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        cosine_topk_ivf_prebuilt,
+        ensure_ivf_index_versioned,
+        ensure_ivfpq_residual_index_versioned,
+    )
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        merge_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    emb = _emb(spark)
+    tbl = str(tmp_path / "tbl")
+    write_versioned(emb, tbl, id_col="vec_id")
+    ivf, res = str(tmp_path / "ivf"), str(tmp_path / "res")
+    ensure_ivf_index_versioned(spark, tbl, ivf)
+    ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)
+    # rewrite some vectors in place (same ids -> same corpus signature)
+    rewritten = emb.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x * F.lit(-1.0))
+    )
+    merge_versioned(spark, tbl, rewritten, id_col="vec_id")
+    m = ensure_ivf_index_versioned(spark, tbl, ivf)
+    assert m["maintenance"] == "rebuilt"
+    r = ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)
+    assert r["maintenance"] == "rebuilt"
+    # served answers equal a fresh build over the rewritten corpus
+    live = read_versioned(spark, tbl)
+    fivf = str(tmp_path / "fivf")
+    build_ivf_medoid_index(live, fivf, 16)
+    q = emb.filter(F.col("vec_id") % 100 == 17)
+    # compare the per-query SCORE multisets: the negated rewrite
+    # manufactures exact score TIES, whose rank order (and tied-boundary
+    # membership) inside the top-k window is legitimately unstable
+    # between two physically-identical indexes
+    a = sorted(
+        (r[0], round(r[2], 9))
+        for r in cosine_topk_ivf_prebuilt(live, q, ivf, k=5, n_probe=2).collect()
+    )
+    b = sorted(
+        (r[0], round(r[2], 9))
+        for r in cosine_topk_ivf_prebuilt(live, q, fivf, k=5, n_probe=2).collect()
+    )
+    assert a == b
+
+
+def test_compaction_span_restamps_without_rebuild(spark, tmp_path):
+    """A compaction (empty CDC) between maintenances changes nothing —
+    the ensure must restamp the version ledger and report 'current',
+    never pay a rebuild (artifact files untouched)."""
+    from funnel_report_etl_pipeline__spark.operators.ann_index import (
+        ensure_ivf_index_versioned,
+        ensure_ivfpq_residual_index_versioned,
+    )
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        append_versioned,
+        compact_versioned,
+        write_versioned,
+    )
+
+    emb = _emb(spark)
+    tbl = str(tmp_path / "tbl")
+    write_versioned(emb.filter("vec_id % 2 = 0"), tbl, id_col="vec_id")
+    append_versioned(emb.filter("vec_id % 2 = 1"), tbl, id_col="vec_id")
+    ivf, res = str(tmp_path / "ivf"), str(tmp_path / "res")
+    ensure_ivf_index_versioned(spark, tbl, ivf)
+    ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)
+    compact_versioned(spark, tbl, "vec_id")
+    pre = {
+        **_mtimes(os.path.join(ivf, "assignments.parquet")),
+        **_mtimes(os.path.join(res, "codes.parquet")),
+    }
+    m = ensure_ivf_index_versioned(spark, tbl, ivf)
+    assert m["maintenance"] == "current"
+    assert int(m["indexed_version"]) == 3
+    r = ensure_ivfpq_residual_index_versioned(spark, tbl, res, ivf)
+    assert r["maintenance"] == "current"
+    assert int(r["indexed_version"]) == 3
+    post = {
+        **_mtimes(os.path.join(ivf, "assignments.parquet")),
+        **_mtimes(os.path.join(res, "codes.parquet")),
+    }
+    assert post == pre

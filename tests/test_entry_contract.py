@@ -60,12 +60,10 @@ def test_driver_window_composition_pinned():
     # they may sit outside per the standing budget contract below)
     # ... and (round 13) ols_brand_price_quantity +
     # chi_square_flag_status + markov_event_transitions (external rows
-    # r09-r12)
+    # r09-r12), and (round 14) gini_impurity_segments +
+    # priority_change_intervals + assoc_rules_brand + asof_join_forward
+    # (external rows r09-r13)
     assert window[-12:] == [
-        "versioned_vacuum_audit",
-        "ann_ivfpq_residual",
-        "versioned_compact_audit",
-        "late_interaction_maxsim",
         "late_interaction_maxsim_pruned",
         "rrf_trimodal_fusion",
         "versioned_tombstone_audit",
@@ -74,6 +72,10 @@ def test_driver_window_composition_pinned():
         "versioned_span_feed",
         "versioned_partition_audit",
         "versioned_timetravel_audit",
+        "dedup_minhash_incremental",
+        "versioned_update_span_audit",
+        "versioned_recommit_cdc_audit",
+        "versioned_sql_timetravel",
     ]
     specs = load_all()
     parity = [n for n, s in specs.items() if s.fn.__module__.endswith(".parity")]

@@ -424,6 +424,15 @@ WINDOW_SHUFFLE_BUDGET = {
     "versioned_span_feed": 0,
     "versioned_partition_audit": 0,
     "versioned_timetravel_audit": 0,
+    # round 14: all four return collected result rows re-created (the
+    # per-run versioned tables, the minhash index lifecycle with its
+    # raise-unless-incremental labels, the candidate-partition /
+    # CDC plan-shape raises and the spark.sql history diff all run
+    # inside fn())
+    "dedup_minhash_incremental": 0,
+    "versioned_update_span_audit": 0,
+    "versioned_recommit_cdc_audit": 0,
+    "versioned_sql_timetravel": 0,
 }
 
 

@@ -248,7 +248,10 @@ def test_commit_ts_monotone_and_null_stamp_inheritance(spark, tmp_path):
     _restamp(2, future)
     append_versioned(docs.filter("doc_id = 9"), t, id_col="doc_id")  # v3
     m = {int(r["version"]): r for r in version_manifest(spark, t).collect()}
-    assert int(m[3]["commit_ts"]) >= future
+    # STRICTLY above the planted future stamp (round-14: prev + 1 micro,
+    # Delta's commit-timestamp adjustment) — equal stamps would make
+    # as-of resolution at a commit's own stamp return the LATER version
+    assert int(m[3]["commit_ts"]) > future
     # (b) make v3 look like a LEGACY (unstamped) commit
     _restamp(3, None)
     # at a time after v1 but before v2's stamp: only v1 is readable —
