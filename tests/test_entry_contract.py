@@ -112,14 +112,21 @@ def test_driver_window_composition_pinned():
     # chi_square_flag_status and markov_event_transitions (rows
     # r09-r12) rotated out in round 13 (slots to versioned_span_feed /
     # versioned_partition_audit / versioned_timetravel_audit); the
-    # rest of the r9 rotation still holds its window seats
+    # rest of the r9 rotation still holds its window seats;
+    # gini_impurity_segments, priority_change_intervals,
+    # assoc_rules_brand and asof_join_forward (rows r09-r13) rotated
+    # out in round 14 (slots to dedup_minhash_incremental /
+    # versioned_update_span_audit / versioned_recommit_cdc_audit /
+    # versioned_sql_timetravel)
     assert (
         rotated_in_r9
         - {"window_dist_funcs", "equidepth_price_histogram",
            "asof_join_nearest", "table_profile_orders",
            "cumulative_unique_users", "two_hop_reach",
            "ols_brand_price_quantity", "chi_square_flag_status",
-           "markov_event_transitions"}
+           "markov_event_transitions",
+           "gini_impurity_segments", "priority_change_intervals",
+           "assoc_rules_brand", "asof_join_forward"}
     ) <= set(window)
     import json
     from pathlib import Path
