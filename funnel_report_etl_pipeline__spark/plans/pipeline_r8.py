@@ -1867,19 +1867,28 @@ def cms_frequency_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce Spark's seed mixing) — and every value is an integer
     count; no floats anywhere.
 
-    100 TB shape: the sketch build is ONE map-side-combinable groupBy
-    whose grain is (d x w) = 24576 CONSTANT rows — each task emits at
-    most d*w partial counters no matter how many rows it scans, exactly
-    the sketch's memory contract; the d-per-key explode multiplies rows
-    3x before the partial agg but never reaches the exchange at corpus
-    grain.  The probe stage joins a fixed key list against the
-    broadcast-sized sketch (24k rows, corpus-independent).  The only
-    corpus-sized exchange is... none: lineitem is scanned twice (sketch
-    + exact), both aggregating into bounded frames."""
+    100 TB shape (round-14 optimization, guide §2.3 "aggregate before
+    you shuffle" / "shuffle keys instead of payloads"): ONE lineitem
+    scan pre-aggregates to key grain (l_partkey, count) with map-side
+    partials — the only corpus-sized pass, and the md5 bucket hash runs
+    on |keys| x d rows instead of |corpus| x d (the round-13 shape
+    exploded every lineitem row 3x and hashed 3 md5s per ROW inside the
+    scan stage; sf0.1 A/B: 5.3 s -> ~0.6 s for identical output, and at
+    100 TB the hash work drops from O(rows) to O(distinct keys)). The
+    sketch is then a second two-level aggregate (guide §2.5) over the
+    key-grain frame into the (d x w) = 24576 CONSTANT rows; the exact
+    ground truth is a filter of the SAME key-grain frame, so the second
+    corpus scan disappears too. The probe stage joins a fixed key list
+    against the broadcast-sized sketch (24k rows, corpus-independent)."""
     li = _t(spark, sf_dir, "lineitem")
     seeds = F.array(*[F.lit(s) for s in range(CMS_D)])
-    exploded = li.select(
-        F.col("l_partkey"), F.explode(seeds).alias("seed")
+    # key-grain pre-aggregation: the one corpus-sized pass. sum(count)
+    # per (seed, bucket) == count(*) over the exploded rows, exactly.
+    key_counts = li.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("pk_cnt")
+    )
+    exploded = key_counts.select(
+        F.col("l_partkey"), F.col("pk_cnt"), F.explode(seeds).alias("seed")
     )
     bucket = F.when(F.col("seed") == 0, _cms_bucket_spark(F.col("l_partkey"), 0))
     for s in range(1, CMS_D):
@@ -1887,14 +1896,14 @@ def cms_frequency_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seed") == s, _cms_bucket_spark(F.col("l_partkey"), s)
         )
     sketch = (
-        exploded.select("seed", bucket.alias("bucket"))
+        exploded.select("seed", bucket.alias("bucket"), "pk_cnt")
         .groupBy("seed", "bucket")
-        .agg(F.count("*").cast("long").alias("cnt"))
+        .agg(F.sum("pk_cnt").cast("long").alias("cnt"))
     )
-    probes = (
-        li.filter(F.col("l_partkey") < CMS_PROBE_MAX)
-        .select(F.col("l_partkey").alias("probe_key"))
-        .distinct()
+    # probes / exact ground truth: filters of the key-grain frame (the
+    # groupBy already made probe_key distinct)
+    probes = key_counts.filter(F.col("l_partkey") < CMS_PROBE_MAX).select(
+        F.col("l_partkey").alias("probe_key")
     )
     probe_rows = probes.select(
         "probe_key", F.explode(seeds).alias("seed")
@@ -1914,10 +1923,9 @@ def cms_frequency_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_key")
         .agg(F.min("cnt").cast("long").alias("est_count"))
     )
-    exact = (
-        li.filter(F.col("l_partkey") < CMS_PROBE_MAX)
-        .groupBy(F.col("l_partkey").alias("probe_key"))
-        .agg(F.count("*").cast("long").alias("exact_count"))
+    exact = key_counts.filter(F.col("l_partkey") < CMS_PROBE_MAX).select(
+        F.col("l_partkey").alias("probe_key"),
+        F.col("pk_cnt").alias("exact_count"),
     )
     return (
         est.join(exact, "probe_key")
