@@ -88,12 +88,62 @@ def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
+def _local_parquet_files(path: str) -> list[str]:
+    """Data files of a Spark-written parquet directory on the LOCAL
+    filesystem (ignores _SUCCESS/.crc sidecars); [path] for a bare file;
+    [] when absent/non-local."""
+    import glob
+
+    if os.path.isfile(path):
+        return [path]
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
 def _read_meta(spark: SparkSession, path: str) -> dict | None:
+    # fast path (round-14 optimization, guide §5 "the driver should do
+    # almost no data work" inverted: a 1-row meta table does not need a
+    # Spark job at all): read the tiny parquet directly with pyarrow —
+    # no JVM scan job, no schema-inference pass (~0.2-0.4 s per ensure_*
+    # call on the serve path). Falls back to the Spark reader off local
+    # filesystems. Values were written as strings; both paths return them
+    # unchanged.
+    try:
+        files = _local_parquet_files(path)
+        if files:
+            import pyarrow.parquet as _pq
+
+            rows: list[dict] = []
+            for f in files:
+                rows.extend(_pq.read_table(f).to_pylist())
+            return rows[0] if rows else None
+    except Exception:  # noqa: BLE001 — fall through to the Spark reader
+        pass
     try:
         rows = spark.read.parquet(path).collect()
     except Exception:  # noqa: BLE001 — missing/garbled meta = no index
         return None
     return rows[0].asDict() if rows else None
+
+
+def _read_artifact(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the footer schema pre-read locally via
+    pyarrow and pinned — skips the JVM schema-inference pass every
+    serve-path artifact read otherwise pays (measured 0.37 s -> 0.11 s
+    per read+collect of a small artifact; the ANN serve queries read
+    3-5 artifacts each). Schema pinning never changes values: the pinned
+    schema IS the file footer's. Falls back to plain inference when the
+    path is not a local parquet file/directory."""
+    try:
+        files = _local_parquet_files(path)
+        if files:
+            import pyarrow.parquet as _pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            schema = from_arrow_schema(_pq.read_schema(files[0]))
+            return spark.read.schema(schema).parquet(path)
+    except Exception:  # noqa: BLE001 — fall through to inference
+        pass
+    return spark.read.parquet(path)
 
 
 # ---------------------------------------------------------------------------
@@ -116,7 +166,7 @@ def build_ivf_medoid_index(
     med = medoid_cells(corpus, n_cells, id_col, vec_col)
     med.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "cells.parquet"))
     spark.catalog.refreshByPath(os.path.join(out_dir, "cells.parquet"))
-    saved_med = spark.read.parquet(os.path.join(out_dir, "cells.parquet"))
+    saved_med = _read_artifact(spark, os.path.join(out_dir, "cells.parquet"))
     c = corpus.select(
         F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("__v")
     )
@@ -245,7 +295,7 @@ def _read_mask(spark: SparkSession, index_dir: str) -> DataFrame | None:
     p = _mask_path(index_dir)
     if not os.path.exists(p):
         return None
-    return spark.read.parquet(p).select("cid")
+    return _read_artifact(spark, p).select("cid")
 
 
 def _live_assignments(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -257,7 +307,7 @@ def _live_assignments(spark: SparkSession, index_dir: str) -> DataFrame:
     the join strategy is left to the size-gated planner — a small mask
     still broadcasts under the session threshold, a near-trigger one
     degrades to a shuffled join instead of an OOM (round-13 review)."""
-    assign = spark.read.parquet(os.path.join(index_dir, "assignments.parquet"))
+    assign = _read_artifact(spark, os.path.join(index_dir, "assignments.parquet"))
     mask = _read_mask(spark, index_dir)
     if mask is None:
         return assign
@@ -311,7 +361,7 @@ def _append_delete_mask(
     to_add.write.mode("overwrite" if mask is None else "append").parquet(
         _mask_path(index_dir)
     )
-    return spark.read.parquet(_mask_path(index_dir)).distinct().count()
+    return _read_artifact(spark, _mask_path(index_dir)).distinct().count()
 
 
 def ensure_ivf_index_versioned(
@@ -471,7 +521,7 @@ def ensure_ivf_index_versioned(
                 > 0
             )
             cells_path = os.path.join(out_dir, "cells.parquet")
-            saved_med = spark.read.parquet(cells_path)
+            saved_med = _read_artifact(spark, cells_path)
             if (
                 not readded_masked
                 and not still_live
@@ -498,7 +548,7 @@ def ensure_ivf_index_versioned(
                                 F.col(vec_col).cast("array<double>").alias("__v"),
                             )
                         )
-                        done = spark.read.parquet(assign_path).select("cid")
+                        done = _read_artifact(spark, assign_path).select("cid")
                         fresh = _nearest_medoid_cells(
                             newv, saved_med, "cid", 1
                         ).join(done, "cid", "left_anti")
@@ -567,7 +617,7 @@ def cosine_topk_ivf_prebuilt(
     (pinned in tests) — the only difference is where the quantization
     came from."""
     spark = corpus.sparkSession
-    med = spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
+    med = _read_artifact(spark, os.path.join(index_dir, "cells.parquet"))
     assign = _live_assignments(spark, index_dir)  # tombstone-masked deletes
     c = corpus.select(
         F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
@@ -654,24 +704,38 @@ def build_pq_index(
         os.path.join(out_dir, "codebook.parquet")
     )
     spark.catalog.refreshByPath(os.path.join(out_dir, "codebook.parquet"))
-    saved = spark.read.parquet(os.path.join(out_dir, "codebook.parquet"))
+    saved = _read_artifact(spark, os.path.join(out_dir, "codebook.parquet"))
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     corp = corpus.select(F.col(id_col).alias("cid"), dv.alias("v"))
     joined = corp.crossJoin(F.broadcast(saved))
-    per_seg = []
-    for s in range(n_segments):
-        per_seg.append(
-            joined.groupBy("cid")
-            .agg(
-                F.min(
-                    F.struct(_seg_dist("v", "av", s, seg_dim).alias("d"), F.col("code"))
-                ).alias("m")
+    # ONE corpus pass (round-14 optimization, the residual build's shape,
+    # guide §2.4): all n_segments struct-mins in a single grouped
+    # aggregate, exploded to (cid, s, code) — the union-over-segments
+    # form re-inlined (and re-executed) the corpus×codebook cross join
+    # once per segment: n_segments scans and n_segments aggregates where
+    # one suffices. min(struct(d, code)) per segment is unchanged, so
+    # the saved code TABLE is row-for-row identical.
+    agg = joined.groupBy("cid").agg(
+        *[
+            F.min(
+                F.struct(_seg_dist("v", "av", s, seg_dim).alias("d"), F.col("code"))
+            ).alias(f"__m{s}")
+            for s in range(n_segments)
+        ]
+    )
+    codes = agg.select(
+        "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.col(f"__m{s}.code").alias("code")
+                    )
+                    for s in range(n_segments)
+                ]
             )
-            .select("cid", F.lit(s).alias("s"), F.col("m.code").alias("code"))
-        )
-    codes = per_seg[0]
-    for p in per_seg[1:]:
-        codes = codes.unionByName(p)
+        ).alias("__sc"),
+    ).select("cid", F.col("__sc.s").alias("s"), F.col("__sc.code").alias("code"))
     codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes.parquet"))
     n, sig = corpus_signature(corpus, id_col)
     meta = {
@@ -741,24 +805,28 @@ def pq_topk_prebuilt(
     exactly like ``pq_topk`` — results are bit-identical to the fresh
     build (pinned in tests)."""
     spark = queries.sparkSession
-    anchors = spark.read.parquet(os.path.join(index_dir, "codebook.parquet"))
-    codes = spark.read.parquet(os.path.join(index_dir, "codes.parquet"))
+    anchors = _read_artifact(spark, os.path.join(index_dir, "codebook.parquet"))
+    codes = _read_artifact(spark, os.path.join(index_dir, "codes.parquet"))
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.select(F.col(id_col).alias("qid"), dv.alias("qv"))
     qj = q.crossJoin(F.broadcast(anchors))
-    adc_parts = []
-    for s in range(n_segments):
-        adc_parts.append(
-            qj.select(
-                "qid",
+    # single-subtree ADC (round-14 optimization, the residual serve's
+    # shape): explode the per-segment distances instead of a union over
+    # segments — the union form re-inlined the query×codebook cross join
+    # once PER SEGMENT (8 scans + 8 broadcast joins in the plan where
+    # one suffices). Same (qid, s, code, dist) rows, same expressions.
+    seg_structs = F.array(
+        *[
+            F.struct(
                 F.lit(s).alias("s"),
-                "code",
                 _seg_dist("qv", "av", s, seg_dim).alias("dist"),
             )
-        )
-    adc = adc_parts[0]
-    for p in adc_parts[1:]:
-        adc = adc.unionByName(p)
+            for s in range(n_segments)
+        ]
+    )
+    adc = qj.select("qid", "code", F.explode(seg_structs).alias("sd")).select(
+        "qid", F.col("sd.s").alias("s"), "code", F.col("sd.dist").alias("dist")
+    )
     pairs = codes.join(F.broadcast(adc), ["s", "code"])
     pivot = pairs.groupBy("qid", "cid").agg(
         *[
@@ -806,10 +874,10 @@ def ivfpq_topk_prebuilt(
     value-hash oracle like its parents. Returns (qid, cid, adc_dist,
     rnk) over the probed-cell candidates."""
     spark = queries.sparkSession
-    med = spark.read.parquet(os.path.join(ivf_dir, "cells.parquet"))
+    med = _read_artifact(spark, os.path.join(ivf_dir, "cells.parquet"))
     assign = _live_assignments(spark, ivf_dir)  # tombstone-masked deletes
-    anchors = spark.read.parquet(os.path.join(pq_dir, "codebook.parquet"))
-    codes = spark.read.parquet(os.path.join(pq_dir, "codes.parquet"))
+    anchors = _read_artifact(spark, os.path.join(pq_dir, "codebook.parquet"))
+    codes = _read_artifact(spark, os.path.join(pq_dir, "codes.parquet"))
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.select(F.col(id_col).alias("qid"), dv.alias("qv"))
     q_cell = _nearest_medoid_cells(
@@ -818,19 +886,21 @@ def ivfpq_topk_prebuilt(
     # candidate set: corpus ids inside the probed cells, per query
     cand = assign.join(F.broadcast(q_cell), "cell").select("qid", "cid")
     qj = q.crossJoin(F.broadcast(anchors))
-    adc_parts = []
-    for s in range(n_segments):
-        adc_parts.append(
-            qj.select(
-                "qid",
+    # single-subtree ADC via explode — see pq_topk_prebuilt (round-14
+    # optimization; the union form re-inlined the query×codebook cross
+    # join once per segment)
+    seg_structs = F.array(
+        *[
+            F.struct(
                 F.lit(s).alias("s"),
-                "code",
                 _seg_dist("qv", "av", s, seg_dim).alias("dist"),
             )
-        )
-    adc = adc_parts[0]
-    for p in adc_parts[1:]:
-        adc = adc.unionByName(p)
+            for s in range(n_segments)
+        ]
+    )
+    adc = qj.select("qid", "code", F.explode(seg_structs).alias("sd")).select(
+        "qid", F.col("sd.s").alias("s"), "code", F.col("sd.dist").alias("dist")
+    )
     pairs = (
         cand.filter(F.col("qid") != F.col("cid"))
         .join(codes, "cid")
@@ -940,8 +1010,8 @@ def build_ivfpq_residual_index(
     IVF index (cells + assignments) — pass the same corpus to both
     ensure_* calls."""
     spark = corpus.sparkSession
-    med = spark.read.parquet(os.path.join(ivf_dir, "cells.parquet"))
-    assign = spark.read.parquet(os.path.join(ivf_dir, "assignments.parquet"))
+    med = _read_artifact(spark, os.path.join(ivf_dir, "cells.parquet"))
+    assign = _read_artifact(spark, os.path.join(ivf_dir, "assignments.parquet"))
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     corp = corpus.select(F.col(id_col).alias("cid"), dv.alias("v"))
     # residual per corpus vector: v − medoid of its assigned cell
@@ -977,7 +1047,7 @@ def build_ivfpq_residual_index(
         os.path.join(out_dir, "codebook.parquet")
     )
     spark.catalog.refreshByPath(os.path.join(out_dir, "codebook.parquet"))
-    saved = spark.read.parquet(os.path.join(out_dir, "codebook.parquet"))
+    saved = _read_artifact(spark, os.path.join(out_dir, "codebook.parquet"))
     joined = res.crossJoin(F.broadcast(saved))
     # ONE pass over the residuals: per (cid, code) row, emit every
     # segment's distance via explode — the union-over-segments form the
@@ -1189,7 +1259,7 @@ def ensure_ivfpq_residual_index_versioned(
             and int(ivf_meta["corpus_sig"]) == sig
         ):
             return False
-        med = spark.read.parquet(os.path.join(ivf_dir, "cells.parquet"))
+        med = _read_artifact(spark, os.path.join(ivf_dir, "cells.parquet"))
         live_medoids = ",".join(
             str(r["mid"])
             for r in med.select("cell", "mid").orderBy("cell").collect()
@@ -1259,10 +1329,10 @@ def ensure_ivfpq_residual_index_versioned(
             return None  # partially-deleted duplicate id stays live
         if not _quantizers_unchanged():
             return None
-        med = spark.read.parquet(os.path.join(ivf_dir, "cells.parquet"))
+        med = _read_artifact(spark, os.path.join(ivf_dir, "cells.parquet"))
         codes_path = os.path.join(out_dir, "codes.parquet")
         per_cid = (
-            spark.read.parquet(codes_path)
+            _read_artifact(spark, codes_path)
             .groupBy("cid")
             .agg(F.count("*").alias("__k"))
         )
@@ -1277,10 +1347,10 @@ def ensure_ivfpq_residual_index_versioned(
                 return None  # dead fraction past the trigger: rebuild
             n_masked = masked
         if has_inserts:
-            assign = spark.read.parquet(
+            assign = _read_artifact(spark, 
                 os.path.join(ivf_dir, "assignments.parquet")
             )
-            saved_cb = spark.read.parquet(
+            saved_cb = _read_artifact(spark, 
                 os.path.join(out_dir, "codebook.parquet")
             )
             dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -1388,10 +1458,10 @@ def ivfpq_residual_topk_prebuilt(
     faithful. Corpus raw vectors are never read; compute stays
     ∝ |Q|·corpus·n_probe/n_cells at n_segments bytes/vector."""
     spark = queries.sparkSession
-    med = spark.read.parquet(os.path.join(ivf_dir, "cells.parquet"))
+    med = _read_artifact(spark, os.path.join(ivf_dir, "cells.parquet"))
     assign = _live_assignments(spark, ivf_dir)  # tombstone-masked deletes
-    anchors = spark.read.parquet(os.path.join(res_dir, "codebook.parquet"))
-    codes = spark.read.parquet(os.path.join(res_dir, "codes.parquet"))
+    anchors = _read_artifact(spark, os.path.join(res_dir, "codebook.parquet"))
+    codes = _read_artifact(spark, os.path.join(res_dir, "codes.parquet"))
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.select(F.col(id_col).alias("qid"), dv.alias("qv"))
     q_cell = _nearest_medoid_cells(

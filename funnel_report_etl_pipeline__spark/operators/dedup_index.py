@@ -67,6 +67,7 @@ from pyspark.sql import functions as F
 
 from funnel_report_etl_pipeline__spark.operators.ann_index import (
     _append_delete_mask,
+    _read_artifact,
     _read_mask,
     _read_meta,
     _readded_masked_id,
@@ -179,7 +180,7 @@ def build_minhash_index(
     )
     bkts.write.mode("overwrite").parquet(os.path.join(out_dir, "buckets.parquet"))
     spark.catalog.refreshByPath(os.path.join(out_dir, "buckets.parquet"))
-    saved = spark.read.parquet(os.path.join(out_dir, "buckets.parquet"))
+    saved = _read_artifact(spark, os.path.join(out_dir, "buckets.parquet"))
     a, b = saved.alias("a"), saved.alias("b")
     cand = (
         a.join(
@@ -213,7 +214,7 @@ def minhash_pairs_prebuilt(spark: SparkSession, index_dir: str) -> DataFrame:
     contract. No forced broadcast: the mask may legally grow to the
     dead-fraction trigger, so the join strategy stays with the
     size-gated planner."""
-    pairs = spark.read.parquet(os.path.join(index_dir, "pairs.parquet"))
+    pairs = _read_artifact(spark, os.path.join(index_dir, "pairs.parquet"))
     mask = _read_mask(spark, index_dir)
     if mask is None:
         return pairs
@@ -343,7 +344,7 @@ def ensure_minhash_index_versioned(
                         )
                         bkt_path = os.path.join(out_dir, "buckets.parquet")
                         done = (
-                            spark.read.parquet(bkt_path).select("id").distinct()
+                            _read_artifact(spark, bkt_path).select("id").distinct()
                         )
                         # crash-idempotent append: a replayed maintenance
                         # re-signs the delta but appends nothing twice
@@ -351,7 +352,7 @@ def ensure_minhash_index_versioned(
                             "append"
                         ).parquet(bkt_path)
                         spark.catalog.refreshByPath(bkt_path)
-                        store = spark.read.parquet(bkt_path)
+                        store = _read_artifact(spark, bkt_path)
                         # probe ONLY the new docs' buckets against the
                         # store (which now includes them, so new↔new and
                         # new↔old candidates are both complete); masked
@@ -374,7 +375,7 @@ def ensure_minhash_index_versioned(
                             corpus, cand, id_col, text_col, ngram, threshold
                         )
                         pair_path = os.path.join(out_dir, "pairs.parquet")
-                        have = spark.read.parquet(pair_path).select(
+                        have = _read_artifact(spark, pair_path).select(
                             "id_a", "id_b"
                         )
                         fresh.join(
