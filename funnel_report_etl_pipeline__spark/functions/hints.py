@@ -143,3 +143,30 @@ def maybe_broadcast(df: DataFrame, gate_bytes: int | None = None) -> DataFrame:
     if est is not None and _estimate_trustworthy(df):
         return df.hint("merge")
     return df
+
+
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive parallelism guard for heavy per-row compute over a
+    small-file scan (round 14, guide §2.5 "input skew — one huge
+    unsplittable file"): when the frame's PLANNED partition count is
+    below the session's defaultParallelism — a single-file local scan
+    plans 1 task, so vectorized-expression work (md5 chains, 64-dim
+    cosine trees) serializes on one core no matter how many exist —
+    hash-repartition it by ``keys`` (round-robin when no keys) up to
+    defaultParallelism. On a real cluster a corpus-sized scan already
+    plans >= parallelism partitions and this returns the frame
+    UNCHANGED — no exchange is added at scale, and the partition count
+    derives from the session, never a local[32] constant. The partition
+    probe is a driver-side plan walk (no job)."""
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — Connect / exotic plans: no probe
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if 0 < nparts < par:
+        return (
+            df.repartition(par, *[F.col(k) for k in keys])
+            if keys
+            else df.repartition(par)
+        )
+    return df

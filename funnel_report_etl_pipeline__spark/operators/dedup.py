@@ -486,27 +486,38 @@ def chunk_dedup(
         )
     )
     w = Window.partitionBy(F.md5(F.col("chunk_text"))).orderBy("id", "chunk_idx")
-    kept = (
-        chunks.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .groupBy("id")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
-                    lambda s: s["chunk_text"],
-                ),
-                " ",
-            ).alias("text_clean"),
-        )
+    return _assemble_chunk_survivors(chunks, w, id_col)
+
+
+def _assemble_chunk_survivors(
+    chunks: DataFrame, w_dedup, id_col: str
+) -> DataFrame:
+    """One grouped pass from the ranked chunk frame to the per-document
+    report (round 14, guide §2.4): the previous shape computed the chunk
+    aggregation TWICE — once filtered to survivors (`kept`), once for the
+    totals — and joined the two back on id. collect_list SKIPS nulls, so
+    a single groupBy can count all chunks, count survivors, and assemble
+    only the survivor text in one aggregate: one exchange and no join,
+    and the chunk frame is computed once. Values are identical: the
+    survivor struct list is the same set array_sort saw before, a doc
+    with zero survivors aggregates to ('' , 0) exactly as the old left
+    join + coalesce produced."""
+    ranked = chunks.withColumn("__rn", F.row_number().over(w_dedup))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct("chunk_idx", "chunk_text")
     )
-    totals = chunks.groupBy("id").agg(F.count("*").alias("n_chunks"))
-    return totals.join(kept, "id", "left").select(
-        F.col("id").alias(id_col),
-        F.col("n_chunks"),
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    return ranked.groupBy("id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum((F.col("__rn") == 1).cast("int")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    ).select(
+        F.col("id").alias(id_col), "n_chunks", "n_kept", "text_clean"
     )
 
 
@@ -575,28 +586,7 @@ def cdc_chunk_dedup(
         ).alias("chunk_text")
     )
     w_dedup = Window.partitionBy(F.md5(F.col("chunk_text"))).orderBy("id", "chunk_idx")
-    kept = (
-        chunks.withColumn("__rn", F.row_number().over(w_dedup))
-        .filter(F.col("__rn") == 1)
-        .groupBy("id")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
-                    lambda s: s["chunk_text"],
-                ),
-                " ",
-            ).alias("text_clean"),
-        )
-    )
-    totals = chunks.groupBy("id").agg(F.count("*").alias("n_chunks"))
-    return totals.join(kept, "id", "left").select(
-        F.col("id").alias(id_col),
-        F.col("n_chunks"),
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-    )
+    return _assemble_chunk_survivors(chunks, w_dedup, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -676,11 +666,12 @@ def simhash_candidate_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _union_find_labels(edges: DataFrame) -> DataFrame:
+def _union_find_labels(edges: DataFrame, rows: list | None = None) -> DataFrame:
     """(id, comp) via driver-side union-find over a SMALL edge list (the
     caller has already bounded its size). comp = min id per component,
     matching the distributed loop's labels exactly. Path-halving +
-    union-by-min keeps it near-linear."""
+    union-by-min keeps it near-linear. ``rows`` lets the caller hand in
+    already-collected edge rows so the frame is not re-executed."""
     parent: dict = {}
 
     def find(x):
@@ -691,7 +682,8 @@ def _union_find_labels(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    rows = edges.collect()
+    if rows is None:
+        rows = edges.collect()
     for r in rows:
         a, b = r.src, r.dst
         parent.setdefault(a, a)
@@ -756,9 +748,19 @@ def connected_components(
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = edges.localCheckpoint()  # reused every round: materialize once
-    if driver_threshold and edges.count() <= driver_threshold:
-        return _union_find_labels(edges)
+    # checkpoint once, then ONE take instead of count + collect (round-14,
+    # guide §1.2 "fewer actions"): the old shape ran a count over the
+    # materialized blocks to answer the size test and then a separate
+    # full collect for the driver path. take(threshold+1) answers both —
+    # it IS the edge list when it comes back short. (A/B note: a LAZY
+    # checkpoint + take was tried first and regressed — take's
+    # incremental partition scale-up re-entered the uncached pipeline in
+    # 4 jobs; against materialized blocks it is 1-2 trivial ones.)
+    edges = edges.localCheckpoint()
+    if driver_threshold:
+        head = edges.take(driver_threshold + 1)
+        if len(head) <= driver_threshold:
+            return _union_find_labels(edges, rows=head)
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     )

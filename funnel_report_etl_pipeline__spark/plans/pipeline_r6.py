@@ -556,19 +556,33 @@ def pagerank_coorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     co = co.localCheckpoint()  # reused every iteration
-    # deg is referenced twice per iteration plus the node count — without
-    # its own checkpoint each reference re-runs the edge-grain groupBy
-    # (~7 recomputes of the biggest aggregate in the query); node-grain,
-    # so the checkpoint is |V| rows
-    deg = co.groupBy("src").agg(F.count("*").cast("long").alias("deg")).localCheckpoint()
-    n = deg.count()  # node count: bounded by |part| — a write-planning scalar
-    if n == 0:
-        # empty co-order graph (no order holds two distinct parts):
-        # PageRank over zero nodes is the empty ranking, not a crash
-        schema = "part_id bigint, rank_u bigint"
-        return spark.createDataFrame([], schema)
-    base = F.lit(15 * (_PR_TOTAL // n) // 100).cast("long")
-    ranks = deg.select(F.col("src").alias("id"), F.lit(_PR_TOTAL // n).cast("long").alias("r"))
+    # Round-14 shape (guide §1.2 "fewer actions", §2.4 "remove shuffles"):
+    # the node count is a 1-row BROADCAST scalar instead of a driver-side
+    # deg.count() job, deg rides INSIDE the ranks frame (id, deg, base, r)
+    # so each iteration joins once instead of twice (the old shape did
+    # ranks⋈deg for shares AND deg⋈contrib for reassembly), and deg loses
+    # its eager checkpoint — it is consumed once to seed ranks0, and the
+    # checkpointed co exchange feeds it. Driver-side jobs during
+    # construction drop from 3 (co ckpt, deg ckpt, count) to 1 (co ckpt);
+    # every value stays the same exact integer arithmetic (TOTAL DIV n
+    # etc. — n reaches the expressions as a column, never a float). An
+    # empty co-order graph yields an empty deg, hence an empty crossJoin
+    # and an empty result — the DIV-by-zero branch is dead because no row
+    # exists to evaluate it (the old code needed an explicit n == 0 guard
+    # only because n was a driver-side Python int).
+    deg = co.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    nrow = deg.agg(F.count("*").cast("long").alias("__n"))
+    ranks = (
+        deg.crossJoin(F.broadcast(nrow))
+        .select(
+            F.col("src").alias("id"),
+            "deg",
+            F.expr(f"CAST(15 * ({_PR_TOTAL} DIV __n) DIV 100 AS BIGINT)").alias(
+                "__base"
+            ),
+            F.expr(f"CAST({_PR_TOTAL} DIV __n AS BIGINT)").alias("r"),
+        )
+    )
     # per-share table: node-grain (|V| rows). Joining it BROADCAST into the
     # edge frame keeps every iteration map-side over the edges — the only
     # shuffle is the partial-aggregated contribution sum (combiner reduces
@@ -578,9 +592,8 @@ def pagerank_coorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # swap F.broadcast for a shuffle_hash hint — plan shape otherwise
     # unchanged.
     for _ in range(_PR_ITERS):
-        share = (
-            ranks.join(deg, ranks.id == deg.src)
-            .select(F.col("id").alias("src"), F.expr("r DIV deg").alias("c"))
+        share = ranks.select(
+            F.col("id").alias("src"), F.expr("r DIV deg").alias("c")
         )
         contrib = (
             co.join(F.broadcast(share), "src")
@@ -588,11 +601,15 @@ def pagerank_coorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").cast("long").alias("contrib"))
         )
         ranks = (
-            deg.select("src")
-            .join(contrib, deg.src == contrib.dst, "left")
+            ranks.select("id", "deg", "__base")
+            .join(contrib, ranks.id == contrib.dst, "left")
             .select(
-                F.col("src").alias("id"),
-                (base + F.expr("85 * coalesce(contrib, 0) DIV 100")).cast("long").alias("r"),
+                "id",
+                "deg",
+                "__base",
+                (F.col("__base") + F.expr("85 * coalesce(contrib, 0) DIV 100"))
+                .cast("long")
+                .alias("r"),
             )
         )
     return ranks.select(F.col("id").alias("part_id"), F.col("r").alias("rank_u"))

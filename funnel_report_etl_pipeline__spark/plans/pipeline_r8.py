@@ -2343,6 +2343,10 @@ def degree_assortativity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = ends.groupBy(F.col("x").alias("id")).agg(
         F.count("*").cast("long").alias("d")
     ).localCheckpoint()  # |V|-bounded; reused by both joins + n_nodes
+    # (round-14 note: dropping this checkpoint in favour of runtime
+    # ReusedExchange was A/B-tested and REGRESSED — the three consumers'
+    # groupBy subtrees did not collapse and execute went 0.5 -> 1.3 s;
+    # the eager |V|-grain materialization is the right trade here)
     pairs = (
         ends.join(deg.withColumnsRenamed({"id": "x", "d": "du"}), "x")
         .join(deg.withColumnsRenamed({"id": "y", "d": "dv"}), "y")
@@ -2731,17 +2735,24 @@ def _k_core_peel(spark: SparkSession, sf_dir: str, k: int, rounds: int) -> DataF
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     ).localCheckpoint()  # the union below reads it twice
-    ends = (
-        co.select(F.col("u").alias("x"), F.col("v").alias("y"))
-        .unionByName(co.select(F.col("v").alias("x"), F.col("u").alias("y")))
-        .localCheckpoint()  # static for the whole peel; probed every round
+    # ends is TWO NARROW PROJECTIONS of the checkpointed co — no shuffle,
+    # no new compute — so materializing it again bought nothing: each
+    # round's probe re-derives it from co's blocks for the cost of a
+    # projection scan over the same bytes. (Round-14: its eager
+    # localCheckpoint was one more driver job + a second copy of the
+    # edge list pinned in memory; dropped, same plan work per round.)
+    ends = co.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+        co.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )
     deg = ends.groupBy(F.col("x").alias("id")).agg(
         F.count("*").alias("d")
     ).localCheckpoint()
     for _ in range(rounds):
         removed = deg.filter(F.col("d") < k).select("id")
-        if removed.count() == 0:
+        # isEmpty (a take-1 over the checkpointed |V| frame) is the exit
+        # test; the old full count() scanned every block for a number
+        # only compared to zero
+        if removed.isEmpty():
             # fixpoint: every remaining round is an identity in BOTH
             # engines (the oracle's later CTEs filter nothing), so
             # stopping early cannot diverge from the unrolled SQL
