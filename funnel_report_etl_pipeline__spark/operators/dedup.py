@@ -91,6 +91,16 @@ def gram_rows(
     posexplode the token stream, window-lead n−1 successors, concat — every
     operator is codegen'd. The window's shuffle on id is the only exchange,
     and it parallelizes a single-file scan across the cluster for free.
+
+    (Round-15 A/B note: a narrow sequence→transform→array_distinct→explode
+    array-expression shape — zero exchanges — was tried and REVERTED:
+    higher-order functions are CodegenFallback, and the interpreted
+    per-element concat ran 3-4x more CPU than this codegen'd chain
+    (dup_ngram_coverage 0.93 s → 3.82 s, benchmark_contamination 1.33 s →
+    3.92 s at sf0.1/local[32]) — the same lesson dup_span_dedup's round-6
+    A/B recorded. Gram-frame RECOMPUTATION across consumers is handled at
+    the consumer (persist slots / localCheckpoint), not by making the
+    subtree narrow-but-slow.)
     """
     tok = df.select(
         F.col(id_col).alias("id"), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")

@@ -543,7 +543,7 @@ def pagerank_coorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .repartition(32, "l_orderkey")
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     )
     a = li.alias("a")
     b = li.alias("b")
@@ -555,6 +555,13 @@ def pagerank_coorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Round-15 A/B note (process-isolated, fresh JVM per tree, 2x5 runs):
+    # landing co hash-partitioned by dst via an AQE-off localCheckpoint so
+    # each iteration's groupBy("dst") plans no Exchange was tried and
+    # REVERTED — the per-iteration savings are partial-aggregated
+    # node-grain shuffles (small), while the partitioned materialization
+    # cost a second edge-grain exchange and AQE-less planning of the
+    # self-join build job: 4.0 s → 5.2-7.2 s at sf0.1/local[32].
     co = co.localCheckpoint()  # reused every iteration
     # Round-14 shape (guide §1.2 "fewer actions", §2.4 "remove shuffles"):
     # the node count is a 1-row BROADCAST scalar instead of a driver-side

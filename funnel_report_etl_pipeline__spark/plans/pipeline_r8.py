@@ -1167,6 +1167,14 @@ def minhash_jaccard_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame
     counts everywhere; the two ratios are single IEEE divisions of exact
     integers — bit-identical on both engines."""
     docs = _t(spark, sf_dir, "documents")
+    # Round-15 A/B note: localCheckpointing grams/sigs to collapse the
+    # 6x/4x subtree recomputation was tried and REVERTED — at sf0.1 in
+    # the 1 GB bench JVM the materialization (token-grain rows pinned as
+    # MEMORY_AND_DISK blocks) costs what the recompute costs, within
+    # noise (5-run medians 2.9-3.5 s either way), and the pinned blocks
+    # added GC pressure to neighbouring queries. At 100 TB the right
+    # materialization is a parquet checkpoint between pipeline stages
+    # (minhash_dedup_pairs docstring), not executor-memory blocks.
     grams = drop_frequent_grams(
         gram_rows(docs, id_col="doc_id", text_col="text", ngram=3), 1000
     )
@@ -2723,10 +2731,11 @@ def _k_core_peel(spark: SparkSession, sf_dir: str, k: int, rounds: int) -> DataF
     one no-shuffle probe scan + delta-sized aggregates instead of an
     |E|-sized rewrite-and-checkpoint — the sf0.1 A/B measured 5.9 s vs
     10.3 s warm for identical output."""
+    par = spark.sparkContext.defaultParallelism
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .repartition(32, "l_orderkey")
+        .repartition(par, "l_orderkey")
     )
     a, b = li.alias("a"), li.alias("b")
     co = (
@@ -2740,7 +2749,13 @@ def _k_core_peel(spark: SparkSession, sf_dir: str, k: int, rounds: int) -> DataF
     # round's probe re-derives it from co's blocks for the cost of a
     # projection scan over the same bytes. (Round-14: its eager
     # localCheckpoint was one more driver job + a second copy of the
-    # edge list pinned in memory; dropped, same plan work per round.)
+    # edge list pinned in memory; dropped, same plan work per round.
+    # Round-15: a y-partitioned AQE-off checkpoint of ends — which makes
+    # every peel round's groupBy(y) exchange-free — was A/B'd
+    # process-isolated and REVERTED: the doubled pinned edge list and the
+    # AQE-less build job cost 5.3 s → 7.4-9.2 s at sf0.1 in the 1 GB
+    # bench JVM; the per-round shuffles it removes are tiny partial-agg
+    # exchanges.)
     ends = co.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
         co.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )

