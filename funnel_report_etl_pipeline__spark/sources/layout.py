@@ -143,15 +143,23 @@ def zorder_key_sql(cols: list[str], bits: int) -> str:
 def file_minmax_stats(path: str, cols: list[str]) -> list[dict]:
     """Per-file min/max for ``cols`` straight from the parquet footers —
     the exact statistics a pruning scan consults. Driver-side metadata
-    read (footers only, no data pages)."""
+    read (footers only, no data pages).
+
+    Underscore-/dot-prefixed sub-paths are pruned exactly as Spark's own
+    readers prune them: the round-14 commit-time CDC stages an (often
+    empty) ``_changes/`` parquet INSIDE each data directory, which is
+    invisible to snapshot reads but was being walked here, surfacing
+    None min/max rows for files no scan would ever open (round-15
+    inherited-state fix; tests/test_versioned_r13.py zorder pin)."""
     import os
 
     import pyarrow.parquet as pq
 
     out = []
-    for dirpath, _, files in os.walk(path):
+    for dirpath, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for fname in sorted(files):
-            if not fname.endswith(".parquet"):
+            if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
                 continue
             meta = pq.ParquetFile(os.path.join(dirpath, fname)).metadata
             mins: dict[str, object] = {}

@@ -839,6 +839,40 @@ def _save_table_layout(table_dir: str, layout: dict) -> None:
     os.replace(tmp, os.path.join(table_dir, _LAYOUT_FILE))
 
 
+def _pinned_schema_scan(spark: SparkSession, dirs: list[str]) -> DataFrame | None:
+    """Multi-path scan with the footer schema pre-read locally via pyarrow
+    and pinned — the round-14 ANN `_read_artifact` device applied to FLAT
+    versioned data directories (round-14 verdict Next #5): skips the JVM
+    schema-inference job every snapshot assembly otherwise pays per scan.
+    Only fires when every directory's footer schema is IDENTICAL — a
+    schema-evolved chain (a delta that added a column) falls back to the
+    mergeSchema reader, so evolution semantics are unchanged. Never used
+    on partition-layouted dirs (their table schema includes
+    directory-encoded columns the footer lacks). Returns None to decline."""
+    import glob as _glob
+    import os as _os
+
+    try:
+        import pyarrow.parquet as _pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        schemas = []
+        for d in dirs:
+            files = (
+                [d]
+                if _os.path.isfile(d)
+                else sorted(_glob.glob(_os.path.join(d, "*.parquet")))
+            )
+            if not files:
+                return None
+            schemas.append(_pq.read_schema(files[0]))
+        if any(not s.equals(schemas[0]) for s in schemas[1:]):
+            return None
+        return spark.read.schema(from_arrow_schema(schemas[0])).parquet(*dirs)
+    except Exception:  # noqa: BLE001 — non-local FS, exotic types: decline
+        return None
+
+
 def _read_add_dirs(
     spark: SparkSession, dirs: list[str], layout: dict | None
 ) -> DataFrame:
@@ -857,6 +891,10 @@ def _read_add_dirs(
                 part, allowMissingColumns=True
             )
         return out
+    if layout is None or not layout.get("partition_by"):
+        pinned = _pinned_schema_scan(spark, dirs)
+        if pinned is not None:
+            return pinned
     if len(dirs) == 1:
         return spark.read.parquet(dirs[0])
     return spark.read.option("mergeSchema", "true").parquet(*dirs)
@@ -1089,8 +1127,51 @@ def version_manifest(spark: SparkSession, table_dir: str) -> DataFrame:
 
 def _manifest_rows(spark: SparkSession, table_dir: str) -> list:
     """Committed manifest rows ascending by version (bounded collect:
-    one row per version — commit-log grain, not data grain)."""
-    return version_manifest(spark, table_dir).orderBy("version").collect()
+    one row per version — commit-log grain, not data grain).
+
+    Fast path (round 15 — the round-14 ANN pyarrow device extended to
+    the versioned read path, round-14 verdict Next #5): each manifest is
+    a 1-row flat parquet directory (`_MANIFEST_BASE_SCHEMA`: longs and
+    strings), so read them locally with pyarrow and union the ledger
+    columns in Python. This removes the per-call JVM mergeSchema
+    inference job AND the collect job — every versioned serve
+    (read_versioned, version_changes, vacuum, compact, time travel) pays
+    `_manifest_rows` at least once, and the diff-feed serve was running
+    25 driver jobs at construct, mostly these. Column semantics are
+    identical to the mergeSchema read: a column absent from an older
+    manifest surfaces as None (the round-10 mixed-table fail-open stays
+    fixed), and rows come back as pyspark Rows so `r["v"]` /
+    `r.__fields__` consumers are unchanged. Falls back to the Spark
+    reader off local filesystems."""
+    import glob as _glob
+    import os as _os
+
+    try:
+        vs = table_versions(spark, table_dir)
+        if not vs:
+            return []
+        import pyarrow.parquet as _pq
+        from pyspark.sql import Row
+
+        dicts: list[dict] = []
+        fields: list[str] = []
+        seen: set[str] = set()
+        for v in vs:
+            d = _os.path.join(table_dir, "_versions", f"{v}.parquet")
+            files = sorted(_glob.glob(_os.path.join(d, "*.parquet")))
+            if not files:
+                raise RuntimeError(f"manifest dir without data files: {d}")
+            for f in files:
+                for rec in _pq.read_table(f).to_pylist():
+                    dicts.append(rec)
+                    for k in rec:
+                        if k not in seen:
+                            seen.add(k)
+                            fields.append(k)
+        dicts.sort(key=lambda r: int(r["version"]))
+        return [Row(**{k: r.get(k) for k in fields}) for r in dicts]
+    except Exception:  # noqa: BLE001 — non-local FS / unexpected layout
+        return version_manifest(spark, table_dir).orderBy("version").collect()
 
 
 def _chain_for(table_dir: str, rows: list, v: int) -> list[tuple[int, str, str]]:
@@ -1206,7 +1287,15 @@ def read_versioned(
                 # so a pruned read prunes its anti-joins as well.
                 # Strict equality is safe: a NULL-partition victim
                 # forces the flat id-only dir shape at delete time.
-                tomb = spark.read.parquet(d)
+                # Flat tombstone dirs take the footer-pinned read (no
+                # schema-inference job); partition-scoped dirs keep
+                # discovery (their victims' partition values may be
+                # directory-encoded).
+                pb0 = (layout or {}).get("partition_by") or []
+                tomb = (
+                    (_pinned_schema_scan(spark, [d]) if not pb0 else None)
+                    or spark.read.parquet(d)
+                )
                 idc = tomb.columns[0]
                 pb = (layout or {}).get("partition_by") or []
                 join_cols = [idc] + [

@@ -186,7 +186,11 @@ WINDOW_SHUFFLE_BUDGET = {
     # contribution shuffles), CDC diff, census joins
     "entity_funnel_waterfall": 8, "incremental_daily_rollup": 2,
     "linear_attribution": 2, "vocab_tokenize": 2, "fuzzy_dedup_names": 2,
-    "pagerank_coorder": 10, "skew_key_profile": 2,
+    # pagerank: 11 since the round-14 rewrite (deg rides inside ranks —
+    # one join per iteration instead of two, node count as a broadcast
+    # scalar instead of a driver job; the old 10 predates it — the r14
+    # session never completed pytest, so the pin went stale unnoticed)
+    "pagerank_coorder": 11, "skew_key_profile": 2,
     "doc_length_percentile_gate": 1, "snapshot_diff": 3,
     "triangle_count": 6,
     # relational headliners
@@ -267,10 +271,12 @@ WINDOW_SHUFFLE_BUDGET = {
     # QI-grain (or smaller) frames — the count is joins between small
     # re-aggregations of the same keys, not repeated corpus shuffles
     "t_closeness_profile": 11,
-    # CMS: sketch-build agg (partials bounded at d*w per task), probe
-    # distinct, exact-count agg; sketch side reaches the probes via
-    # broadcast
-    "cms_frequency_calibration": 3,
+    # CMS: 4 since the round-14 rewrite (ec00817 pre-aggregates lineitem
+    # to (key, count) grain BEFORE the d-way bucket hashing — one more
+    # key-grain exchange, one fewer full corpus scan; driver-measured
+    # 3.25x): key-grain pre-agg, sketch-build agg, probe distinct,
+    # exact-count agg; sketch side reaches the probes via broadcast
+    "cms_frequency_calibration": 4,
     # one ungrouped conditional aggregate — SinglePartition gather only
     "conversion_lift_ztest": 0,
     # term-grain count; TakeOrderedAndProject caps the spectrum at 200
@@ -702,8 +708,12 @@ def test_stratified_sample_uses_window_group_limit(spark):
 TOP_COST_PLAN_PINS = {
     #                               exch  bcast  codegen_min
     "k_core_peeling":              (0,    0,     3),  # checkpoint-truncated peel result
-    "pagerank_coorder":            (10,   3,     0),  # per-iteration contribution shuffles
-    "cms_frequency_calibration":   (3,    2,     0),  # sketch agg + probe distinct + exact agg
+    # pagerank/CMS re-pinned to the round-14 optimized shapes (deg-inside-
+    # ranks with per-iteration broadcast shares; CMS key-grain pre-agg) —
+    # the r14 session never finished pytest, so these two pins lagged the
+    # reviewed rewrites by a round (round-15 inherited-state fix)
+    "pagerank_coorder":            (11,   7,     0),  # per-iteration contribution shuffles
+    "cms_frequency_calibration":   (4,    2,     0),  # key pre-agg + sketch agg + probe distinct + exact agg
     "minhash_band_skew":           (5,    1,     0),  # shared gram->sig chain + 8-row audit agg
     "minhash_jaccard_calibration": (19,   11,    0),  # candidate join + per-b/r re-aggs
     "degree_assortativity":        (4,    1,     0),  # checkpointed edges + degree joins
