@@ -218,3 +218,77 @@ def test_orc_roundtrip_partition_prune_and_pushdown(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         write_columnar(df, out, fmt="avro")
+
+
+def test_manifest_rows_pyarrow_fast_path_matches_spark_reader(spark, tmp_path):
+    """Round-15: _manifest_rows reads the per-version manifests locally
+    with pyarrow (no Spark jobs). Parity contract with the mergeSchema
+    Spark read it replaced: same rows, same version order, and a ledger
+    column absent from OLDER manifests (schema evolution of the commit
+    log itself, e.g. the round-13 'kind'/'tomb_dir' columns on a table
+    whose v1 predates them) surfaces as None — field present on EVERY
+    row."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        _manifest_rows,
+        append_versioned,
+        version_manifest,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "mtbl")
+    df = spark.range(20).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+    write_versioned(df, t, id_col="doc_id")
+    append_versioned(
+        spark.range(20, 25).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text"),
+        t,
+        id_col="doc_id",
+    )
+    fast = _manifest_rows(spark, t)
+    slow = version_manifest(spark, t).orderBy("version").collect()
+    assert [int(r["version"]) for r in fast] == [int(r["version"]) for r in slow]
+    for fr, sr in zip(fast, slow):
+        assert set(fr.__fields__) >= set(sr.__fields__)
+        for k in sr.__fields__:
+            assert fr[k] == sr[k], f"field {k}: {fr[k]!r} != {sr[k]!r}"
+
+
+def test_pinned_schema_scan_declines_on_evolved_chain(spark, tmp_path):
+    """Round-15: the footer-pinned multi-dir scan only fires when every
+    directory's footer schema is identical; a schema-evolved delta chain
+    must fall back to the mergeSchema reader (superset schema, NULLs for
+    pre-evolution rows) — pinning either dir's footer would drop or
+    mistype the evolved column."""
+    from funnel_report_etl_pipeline__spark.sources.sinks import (
+        _pinned_schema_scan,
+        append_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "etbl")
+    write_versioned(
+        spark.range(10).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text"),
+        t,
+        id_col="doc_id",
+    )
+    append_versioned(
+        spark.range(10, 14).selectExpr(
+            "id AS doc_id", "CAST(id AS STRING) AS text", "id * 2 AS extra"
+        ),
+        t,
+        id_col="doc_id",
+    )
+    import os
+
+    dirs = [
+        os.path.join(t, d)
+        for d in sorted(os.listdir(t))
+        if not d.startswith("_") and os.path.isdir(os.path.join(t, d))
+    ]
+    assert len(dirs) == 2
+    assert _pinned_schema_scan(spark, dirs) is None  # evolved chain: decline
+    assert _pinned_schema_scan(spark, dirs[:1]) is not None  # single dir: pin
+    got = read_versioned(spark, t)
+    assert "extra" in got.columns
+    rows = {r["doc_id"]: r["extra"] for r in got.collect()}
+    assert rows[3] is None and rows[12] == 24
